@@ -1,0 +1,271 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Reference-parity web-traffic analytics, re-expressed over the testbed
+  * `events` table (`value` = metric, `event_type` = category, `ts` = event
+  * time, `event_id` = record id — mapping per SURVEY.md §7.0).
+  *
+  * Covers SURVEY.md §2 rows: A1-A9, W1/W2, T2/T3, P3/P6/P9, J1-J3, O1/O2.
+  * Reference behavior: spark_streaming_new.py:142-252, batch_stream.sql,
+  * comparision.sql (Maitri-Shekhda/Dbt-project). The batch-SQL formula
+  * variant is adopted as the single spec (SURVEY.md §1.3 unit-ambiguity
+  * resolution); windows are epoch-aligned tumbling (T3 ≡ T2 identity).
+  *
+  * Scale notes: every query is a single hash-aggregate over a
+  * low-cardinality key set (window × small enum) → one shuffle, map-side
+  * partial aggregation, no driver materialization. The percentage
+  * window-function partitions by the same key the aggregate grouped on, so
+  * AQE coalesces rather than reshuffles. At 100 TB these all stay
+  * embarrassingly parallel; only q_threeway_join carries a wide shuffle
+  * (3-way equi-join on (event_id, ts)) which co-partitions all sides on the
+  * join key — no broadcast (all sides same size).
+  */
+object TrafficAnalytics {
+
+  /** 5-min tumbling window; category thresholds mapped to the events value
+    * range (reference: Short<5/Medium 5-15/Long — batch_stream.sql:42-46). */
+  private val SHORT_MAX  = 50.0
+  private val MEDIUM_MAX = 150.0
+
+  // A3 engagement avg/min/max per 5-min window
+  // (spark_streaming_new.py:198-212 / batch_stream.sql:57-74)
+  def engagementWindowed(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(
+        davg(col("value")).as("avg_score"),
+        min(col("value")).as("min_score"),
+        max(col("value")).as("max_score"))
+      .select(
+        col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("avg_score"), col("min_score"), col("max_score"))
+      .orderBy("window_start")
+
+  val engagementWindowedSql: String =
+    s"""SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       |       time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+       |       ${sqlDavg("value")} AS avg_score,
+       |       min(value) AS min_score,
+       |       max(value) AS max_score
+       |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  // A1+W1 page-views distribution per window with percentage-of-partition
+  // (spark_streaming_new.py:142-153 / batch_stream.sql:6-21)
+  def pageViewsDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val byW = Window.partitionBy(col("w"))
+    events(spark, dir)
+      .select(
+        window(col("ts"), "5 minutes").as("w"),
+        floor(col("value") / 10).cast("int").as("page_views"))
+      .groupBy(col("w"), col("page_views"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("percentage",
+        col("cnt") * 100.0 / sum(col("cnt")).over(byW))
+      .select(
+        col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("page_views"), col("cnt"), col("percentage"))
+      .orderBy("window_start", "page_views")
+  }
+
+  val pageViewsDistributionSql: String =
+    """WITH b AS (
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws,
+      |         CAST(floor(value / 10) AS INT) AS page_views
+      |  FROM events)
+      |SELECT ws AS window_start, ws + INTERVAL '5 minutes' AS window_end,
+      |       page_views, count(*) AS cnt,
+      |       count(*) * 100.0 / sum(count(*)) OVER (PARTITION BY ws) AS percentage
+      |FROM b GROUP BY ws, page_views ORDER BY 1, 3""".stripMargin
+
+  // P6+A2+W1 session categorization per window
+  // (spark_streaming_new.py:168-183 / batch_stream.sql:27-50)
+  def sessionCategories(spark: SparkSession, dir: String): DataFrame = {
+    val byW = Window.partitionBy(col("w"))
+    events(spark, dir)
+      .select(
+        window(col("ts"), "5 minutes").as("w"),
+        when(col("value") < SHORT_MAX, "Short")
+          .when(col("value") <= MEDIUM_MAX, "Medium")
+          .otherwise("Long").as("session_category"))
+      .groupBy(col("w"), col("session_category"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("percentage",
+        col("cnt") * 100.0 / sum(col("cnt")).over(byW))
+      .select(
+        col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("session_category"), col("cnt"), col("percentage"))
+      .orderBy("window_start", "session_category")
+  }
+
+  val sessionCategoriesSql: String =
+    s"""WITH b AS (
+       |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws,
+       |         CASE WHEN value < $SHORT_MAX THEN 'Short'
+       |              WHEN value <= $MEDIUM_MAX THEN 'Medium'
+       |              ELSE 'Long' END AS session_category
+       |  FROM events)
+       |SELECT ws AS window_start, ws + INTERVAL '5 minutes' AS window_end,
+       |       session_category, count(*) AS cnt,
+       |       count(*) * 100.0 / sum(count(*)) OVER (PARTITION BY ws) AS percentage
+       |FROM b GROUP BY ws, session_category ORDER BY 1, 3""".stripMargin
+
+  // A4 hourly traffic rollup (spark_streaming_new.py:227-239)
+  def hourlyPatterns(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(hour(col("ts")).as("hour_of_day"))
+      .agg(
+        count(lit(1)).as("visit_count"),
+        davg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        countDistinct(col("user_id")).as("unique_users"))
+      .orderBy("hour_of_day")
+
+  val hourlyPatternsSql: String =
+    s"""SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+       |       count(*) AS visit_count,
+       |       ${sqlDavg("value")} AS avg_value,
+       |       min(value) AS min_value,
+       |       max(value) AS max_value,
+       |       count(DISTINCT user_id) AS unique_users
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // A6 quarterly (15-min) trend with formatted bucket label
+  // (batch_stream.sql:80-91; DATE_FORMAT token translation per SURVEY §2.9)
+  def quarterlyTrend(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "15 minutes").as("w"))
+      .agg(
+        count(lit(1)).as("total_sessions"),
+        dsum(col("value")).as("total_value"),
+        davg(col("value")).as("avg_value_per_session"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:00").as("quarter_window"),
+        col("total_sessions"), col("total_value"), col("avg_value_per_session"))
+      .orderBy("quarter_window")
+
+  val quarterlyTrendSql: String =
+    s"""SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:00') AS quarter_window,
+       |       count(*) AS total_sessions,
+       |       ${sqlDsum("value")} AS total_value,
+       |       ${sqlDavg("value")} AS avg_value_per_session
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // A7 bounce rate: global conditional-ratio aggregate (batch_stream.sql:95-101)
+  def bounceRate(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).agg(
+      (sum(when(col("value") < 1, 1).otherwise(0)) * 100.0 / count(lit(1)))
+        .as("bounce_rate_percentage"))
+
+  val bounceRateSql: String =
+    """SELECT sum(CASE WHEN value < 1 THEN 1 ELSE 0 END) * 100.0 / count(*)
+      |       AS bounce_rate_percentage
+      |FROM events""".stripMargin
+
+  // A8 conversion rate: conjunctive-predicate ratio (batch_stream.sql:107-113)
+  def conversionRate(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).agg(
+      (sum(when(col("event_type") === "purchase" && col("value") > 100, 1)
+        .otherwise(0)) * 100.0 / count(lit(1))).as("conversion_rate_percentage"))
+
+  val conversionRateSql: String =
+    """SELECT sum(CASE WHEN event_type = 'purchase' AND value > 100 THEN 1 ELSE 0 END)
+      |       * 100.0 / count(*) AS conversion_rate_percentage
+      |FROM events""".stripMargin
+
+  // J1 (batch form): 3-way shard/rejoin on (event_id, ts) + engagement expr
+  // (spark_streaming_new.py:89-103). Proves the shard→rejoin is lossless;
+  // all three sides co-partition on the same join key → single exchange each.
+  def threewayJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val pv = ev.select(col("event_id"), col("ts"),
+      floor(col("value") / 10).cast("int").as("page_views"))
+    val sd = ev.select(col("event_id"), col("ts"), col("value").as("session_duration"))
+    val tp = ev.select(col("event_id"), col("ts"),
+      (col("value") * 0.5).as("time_on_page"))
+    pv.join(sd, Seq("event_id", "ts"), "inner")
+      .join(tp, Seq("event_id", "ts"), "inner")
+      .select(
+        col("event_id"), col("ts"), col("page_views"),
+        col("session_duration"), col("time_on_page"),
+        (col("page_views") * 0.4 + col("session_duration") * 0.3 +
+          col("time_on_page") * 0.3).as("engagement_score"))
+      .orderBy("event_id")
+  }
+
+  val threewayJoinSql: String =
+    """WITH pv AS (SELECT event_id, ts, CAST(floor(value / 10) AS INT) AS page_views FROM events),
+      |     sd AS (SELECT event_id, ts, value AS session_duration FROM events),
+      |     tp AS (SELECT event_id, ts, value * 0.5 AS time_on_page FROM events)
+      |SELECT pv.event_id, pv.ts, pv.page_views, sd.session_duration, tp.time_on_page,
+      |       pv.page_views * CAST(0.4 AS DOUBLE) + sd.session_duration * CAST(0.3 AS DOUBLE)
+      |         + tp.time_on_page * CAST(0.3 AS DOUBLE) AS engagement_score
+      |FROM pv
+      |JOIN sd ON pv.event_id = sd.event_id AND pv.ts = sd.ts
+      |JOIN tp ON pv.event_id = tp.event_id AND pv.ts = tp.ts
+      |ORDER BY pv.event_id""".stripMargin
+
+  // J2/J3 + A9 + P7: differential comparison with ±10 tolerance accuracy.
+  // Faithful reproduction of the reference's per-microbatch-partial-window
+  // vs batch-global-window divergence measurement (comparision.sql:65-79):
+  // the "stream" side re-aggregates per synthetic micro-batch (event_id
+  // blocks), the batch side aggregates globally; join on window key.
+  def comparisonAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(
+      window(col("ts"), "5 minutes")("start").as("window_start"),
+      floor(col("event_id") / 500).as("batch_id"))
+    val streamSide = ev.groupBy("window_start", "batch_id")
+      .agg(count(lit(1)).as("stream_cnt"))
+    val batchSide = ev.groupBy("window_start")
+      .agg(count(lit(1)).as("batch_cnt"))
+    val matches = when(
+      abs(coalesce(col("stream_cnt"), lit(0L)) - coalesce(col("batch_cnt"), lit(0L))) <= 10,
+      1).otherwise(0)
+    streamSide.join(batchSide, Seq("window_start"), "inner")
+      .agg(
+        count(lit(1)).as("total_rows"),
+        sum(matches).as("matching_rows"),
+        (sum(matches) * 100.0 / count(lit(1))).as("accuracy_percentage"))
+  }
+
+  val comparisonAccuracySql: String =
+    """WITH ev AS (
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+      |         CAST(floor(event_id / 500) AS BIGINT) AS batch_id
+      |  FROM events),
+      |s AS (SELECT window_start, batch_id, count(*) AS stream_cnt FROM ev GROUP BY 1, 2),
+      |b AS (SELECT window_start, count(*) AS batch_cnt FROM ev GROUP BY 1)
+      |SELECT count(*) AS total_rows,
+      |       CAST(sum(CASE WHEN abs(coalesce(stream_cnt, 0) - coalesce(batch_cnt, 0)) <= 10
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS matching_rows,
+      |       sum(CASE WHEN abs(coalesce(stream_cnt, 0) - coalesce(batch_cnt, 0)) <= 10
+      |                THEN 1 ELSE 0 END) * 100.0 / count(*) AS accuracy_percentage
+      |FROM s JOIN b USING (window_start)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_engagement_windowed"     -> engagementWindowed _,
+    "q_page_views_distribution" -> pageViewsDistribution _,
+    "q_session_categories"      -> sessionCategories _,
+    "q_hourly_patterns"         -> hourlyPatterns _,
+    "q_quarterly_trend"         -> quarterlyTrend _,
+    "q_bounce_rate"             -> bounceRate _,
+    "q_conversion_rate"         -> conversionRate _,
+    "q_threeway_join"           -> threewayJoin _,
+    "q_comparison_accuracy"     -> comparisonAccuracy _)
+
+  val oracles: Map[String, String] = Map(
+    "q_engagement_windowed"     -> engagementWindowedSql,
+    "q_page_views_distribution" -> pageViewsDistributionSql,
+    "q_session_categories"      -> sessionCategoriesSql,
+    "q_hourly_patterns"         -> hourlyPatternsSql,
+    "q_quarterly_trend"         -> quarterlyTrendSql,
+    "q_bounce_rate"             -> bounceRateSql,
+    "q_conversion_rate"         -> conversionRateSql,
+    "q_threeway_join"           -> threewayJoinSql,
+    "q_comparison_accuracy"     -> comparisonAccuracySql)
+}

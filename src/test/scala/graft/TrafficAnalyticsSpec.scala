@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TrafficAnalytics
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+}
+
+class TrafficAnalyticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every registered traffic query runs and returns rows") {
+    TrafficAnalytics.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("percentages per window sum to ~100 (W1 invariant)") {
+    val bad = TrafficAnalytics.pageViewsDistribution(spark, sf)
+      .groupBy("window_start").agg(sum("percentage").as("p"))
+      .filter(abs(col("p") - 100.0) > 1e-6)
+    assert(bad.isEmpty)
+  }
+
+  test("session categories cover all rows (A2 invariant)") {
+    val total = Tables.events(spark, sf).count()
+    val catTotal = TrafficAnalytics.sessionCategories(spark, sf)
+      .agg(sum("cnt")).first().getLong(0)
+    assert(catTotal == total)
+  }
+
+  test("engagement min <= avg <= max per window (A3 invariant)") {
+    val bad = TrafficAnalytics.engagementWindowed(spark, sf)
+      .filter(col("min_score") > col("avg_score") + 1e-9 ||
+        col("avg_score") > col("max_score") + 1e-9)
+    assert(bad.isEmpty)
+  }
+
+  test("3-way shard/rejoin is lossless (J1 invariant)") {
+    val n = Tables.events(spark, sf).count()
+    assert(TrafficAnalytics.threewayJoin(spark, sf).count() == n)
+  }
+
+  test("bounce + non-bounce = 100 (A7 invariant)") {
+    val rate = TrafficAnalytics.bounceRate(spark, sf).first().getDouble(0)
+    assert(rate >= 0.0 && rate <= 100.0)
+  }
+
+  test("comparison accuracy is a percentage (A9)") {
+    val row = TrafficAnalytics.comparisonAccuracy(spark, sf).first()
+    val acc = row.getAs[Double]("accuracy_percentage")
+    assert(acc >= 0.0 && acc <= 100.0)
+    assert(row.getAs[Long]("total_rows") >= row.getAs[Long]("matching_rows"))
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has either an oracle or is documented rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+}

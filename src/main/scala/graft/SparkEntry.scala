@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val registry: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (operators.TrafficAnalytics.queries, operators.TrafficAnalytics.oracles))
+      (operators.TrafficAnalytics.queries, operators.TrafficAnalytics.oracles),
+      (operators.Relational.queries, operators.Relational.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,360 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+
+/** Relational breadth over the TPC-H-ish tables: multi-way joins,
+  * semi/anti joins, window functions, rollup, top-k, set ops,
+  * decimal-exact correlation, and gap-based sessionization.
+  *
+  * The reference exercises only inner equi-joins + hash aggregates
+  * (SURVEY.md §2.4-2.6); these queries extend the same shapes to the full
+  * surface a warehouse engine needs, following SURVEY.md §7.2 step 3.
+  *
+  * Scale notes:
+  * - Dimension tables (region/nation/supplier/customer at 1e2..1e5 rows
+  *   vs lineitem 1e9+ at real SF) are explicitly `broadcast()` — fact
+  *   table never shuffles for those joins.
+  * - Fact-fact joins (orders⋈lineitem) shuffle once on the join key; all
+  *   downstream groupBys reuse that clustering where keys align.
+  * - Aggregates are decimal-exact (see Tables.dsum) so results are
+  *   reproducible at any partition count — a correctness property AND a
+  *   requirement for AQE-driven re-partitioning at scale.
+  * - Top-k = TakeOrderedAndProject (per-partition heap + driver merge of
+  *   k rows), never a global sort.
+  */
+object Relational {
+
+  private val dec: DataType = DecimalType(18, 2)
+
+  /** revenue item: l_extendedprice * (1 - l_discount), exact in decimal. */
+  private def revenueItem: Column =
+    col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))
+
+  private val sqlRevenueItem =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  // TPC-H Q1 shape: scan-side filter + wide hash aggregate.
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(revenueItem).cast(DoubleType).as("sum_disc_price"),
+        sum((revenueItem.cast(DecimalType(30, 4)) *
+          (lit(1) + col("l_tax").cast(dec)).cast(DecimalType(8, 2))))
+          .cast(DoubleType).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1PricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       |  CAST(sum($sqlRevenueItem) AS DOUBLE) AS sum_disc_price,
+       |  CAST(sum(CAST($sqlRevenueItem AS DECIMAL(30,4))
+       |           * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+       |  ${sqlDavg("l_quantity")} AS avg_qty,
+       |  ${sqlDavg("l_extendedprice")} AS avg_price,
+       |  ${sqlDavg("l_discount")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // Fact-fact-dim join: revenue per market segment.
+  // customer is small relative to the facts → broadcast; orders⋈lineitem
+  // shuffles once on orderkey.
+  def revenueBySegment(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(revenueItem).cast(DoubleType).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"))
+      .orderBy("c_mktsegment")
+
+  val revenueBySegmentSql: String =
+    s"""SELECT c_mktsegment,
+       |  CAST(sum($sqlRevenueItem) AS DOUBLE) AS revenue,
+       |  count(DISTINCT o_orderkey) AS n_orders,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // 5-way join through the dimension chain (lineitem⋈orders⋈customer⋈
+  // nation⋈region), revenue per region/nation. nation+region are tiny →
+  // broadcast; customer broadcast at test SF (planner falls back to
+  // shuffle automatically beyond the threshold at real scale).
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(revenueItem).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+
+  val revenueByNationSql: String =
+    s"""SELECT r_name, n_name,
+       |  CAST(sum($sqlRevenueItem) AS DOUBLE) AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // Top-k with deterministic tiebreak: decimal-exact revenue ordering,
+  // custkey as tiebreaker. Physically TakeOrderedAndProject, not a sort.
+  def topCustomers(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spend").desc, col("o_custkey").asc)
+      .limit(10)
+
+  val topCustomersSql: String =
+    s"""SELECT o_custkey, ${sqlDsum("o_totalprice")} AS total_spend,
+       |  count(*) AS n_orders
+       |FROM orders GROUP BY o_custkey
+       |ORDER BY total_spend DESC, o_custkey ASC LIMIT 10""".stripMargin
+
+  // Ranking window function: top-3 orders per customer by price.
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val topOrdersPerCustomerSql: String =
+    """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // Lead/lag + running aggregate window frame over each customer's
+  // order history (frames the reference never uses — SURVEY §2.6).
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    orders(spark, dir)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), col("prev_date")))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast(dec))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast(DoubleType))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("gap_days"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val orderGapsSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS INT) AS gap_days,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  // Semi/anti joins: customers with vs without any URGENT order.
+  def semiAntiCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val c = customer(spark, dir)
+    val withUrgent = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select(lit("has_urgent").as("bucket"), col("c_custkey"))
+    val withoutUrgent = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select(lit("no_urgent").as("bucket"), col("c_custkey"))
+    withUrgent.unionAll(withoutUrgent)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("bucket")
+  }
+
+  val semiAntiCustomersSql: String =
+    """WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |a AS (SELECT 'has_urgent' AS bucket, c_custkey FROM customer
+      |      WHERE EXISTS (SELECT 1 FROM u WHERE u.o_custkey = c_custkey)),
+      |b AS (SELECT 'no_urgent' AS bucket, c_custkey FROM customer
+      |      WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.o_custkey = c_custkey))
+      |SELECT bucket, count(*) AS n_customers
+      |FROM (SELECT * FROM a UNION ALL SELECT * FROM b) t
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // Set ops: INTERSECT / EXCEPT on key sets (absent from the reference —
+  // SURVEY §2.8 — but part of a complete relational surface).
+  def setOpsPriorities(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val high = o.filter(col("o_orderpriority") === "2-HIGH").select(col("o_custkey"))
+    val both = urgent.intersect(high)
+      .select(lit("urgent_and_high").as("bucket"), col("o_custkey"))
+    val urgentOnly = urgent.except(high)
+      .select(lit("urgent_only").as("bucket"), col("o_custkey"))
+    both.unionAll(urgentOnly)
+      .groupBy("bucket").agg(count(lit(1)).as("n_customers"))
+      .orderBy("bucket")
+  }
+
+  val setOpsPrioritiesSql: String =
+    """WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |h AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+      |b AS (SELECT 'urgent_and_high' AS bucket, o_custkey FROM (SELECT * FROM u INTERSECT SELECT * FROM h)),
+      |x AS (SELECT 'urgent_only' AS bucket, o_custkey FROM (SELECT * FROM u EXCEPT SELECT * FROM h))
+      |SELECT bucket, count(*) AS n_customers
+      |FROM (SELECT * FROM b UNION ALL SELECT * FROM x) t
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ROLLUP hierarchy totals (no GROUPING SETS in the reference; engine
+  // breadth). grouping() flags disambiguate NULL-as-total from data NULLs.
+  def rollupReturns(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"), col("l_linestatus"))
+
+  val rollupReturnsSql: String =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       |  CAST(grouping(l_linestatus) AS INT) AS g_status
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+
+  /** Decimal-exact Pearson correlation: all moments accumulated as exact
+    * decimals (associative → partition-order-proof), combined in double at
+    * the end. Bit-reproducible where the built-in streaming `corr` is not
+    * (SURVEY §2.5 A5 — reference uses F.corr inside foreachBatch). */
+  private def decCorr(x: Column, y: Column): Column = {
+    val dx = x.cast(dec); val dy = y.cast(dec)
+    val n = count(lit(1)).cast(DoubleType)
+    val sx = sum(dx).cast(DoubleType); val sy = sum(dy).cast(DoubleType)
+    val sxx = sum(dx * dx).cast(DoubleType); val syy = sum(dy * dy).cast(DoubleType)
+    val sxy = sum(dx * dy).cast(DoubleType)
+    (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+  }
+
+  private def sqlDecCorr(x: String, y: String): String = {
+    def d(c: String) = s"CAST($c AS DECIMAL(18,2))"
+    val n = "CAST(count(*) AS DOUBLE)"
+    val sx = s"CAST(sum(${d(x)}) AS DOUBLE)"; val sy = s"CAST(sum(${d(y)}) AS DOUBLE)"
+    val sxx = s"CAST(sum(${d(x)} * ${d(x)}) AS DOUBLE)"
+    val syy = s"CAST(sum(${d(y)} * ${d(y)}) AS DOUBLE)"
+    val sxy = s"CAST(sum(${d(x)} * ${d(y)}) AS DOUBLE)"
+    s"($n * $sxy - $sx * $sy) / (sqrt($n * $sxx - $sx * $sx) * sqrt($n * $syy - $sy * $sy))"
+  }
+
+  def correlationMatrix(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir).agg(
+      decCorr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
+      decCorr(col("l_quantity"), col("l_discount")).as("corr_qty_discount"),
+      decCorr(col("l_extendedprice"), col("l_discount")).as("corr_price_discount"))
+
+  val correlationMatrixSql: String =
+    s"""SELECT
+       |  ${sqlDecCorr("l_quantity", "l_extendedprice")} AS corr_qty_price,
+       |  ${sqlDecCorr("l_quantity", "l_discount")} AS corr_qty_discount,
+       |  ${sqlDecCorr("l_extendedprice", "l_discount")} AS corr_price_discount
+       |FROM lineitem""".stripMargin
+
+  // Gap-based sessionization over the events stream table: a new session
+  // starts after >30 min of user inactivity. lag + conditional cumulative
+  // sum — the standard scalable formulation (two window passes over the
+  // same (user_id, ts) clustering → one shuffle total).
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        dsum(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val userSessionsSql: String =
+    s"""WITH t AS (
+       |  SELECT user_id, event_id, ts, value,
+       |         lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+       |  FROM events),
+       |s AS (
+       |  SELECT user_id, ts, value,
+       |         sum(CASE WHEN prev_ts IS NULL
+       |                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+       |                  THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |  FROM t)
+       |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+       |       min(ts) AS session_start, max(ts) AS session_end,
+       |       ${sqlDsum("value")} AS session_value
+       |FROM s GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"        -> q1PricingSummary _,
+    "q_revenue_by_segment"      -> revenueBySegment _,
+    "q_revenue_by_nation"       -> revenueByNation _,
+    "q_top_customers"           -> topCustomers _,
+    "q_top_orders_per_customer" -> topOrdersPerCustomer _,
+    "q_order_gaps"              -> orderGaps _,
+    "q_semi_anti_customers"     -> semiAntiCustomers _,
+    "q_set_ops_priorities"      -> setOpsPriorities _,
+    "q_rollup_returns"          -> rollupReturns _,
+    "q_correlation_matrix"      -> correlationMatrix _,
+    "q_user_sessions"           -> userSessions _)
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary"        -> q1PricingSummarySql,
+    "q_revenue_by_segment"      -> revenueBySegmentSql,
+    "q_revenue_by_nation"       -> revenueByNationSql,
+    "q_top_customers"           -> topCustomersSql,
+    "q_top_orders_per_customer" -> topOrdersPerCustomerSql,
+    "q_order_gaps"              -> orderGapsSql,
+    "q_semi_anti_customers"     -> semiAntiCustomersSql,
+    "q_set_ops_priorities"      -> setOpsPrioritiesSql,
+    "q_rollup_returns"          -> rollupReturnsSql,
+    "q_correlation_matrix"      -> correlationMatrixSql,
+    "q_user_sessions"           -> userSessionsSql)
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every relational query runs and returns rows") {
+    Relational.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("semi + anti partition the customer table exactly") {
+    val total = Tables.customer(spark, sf).count()
+    val buckets = Relational.semiAntiCustomers(spark, sf)
+      .agg(sum("n_customers")).first().getLong(0)
+    assert(buckets == total)
+  }
+
+  test("rollup grand total equals row count") {
+    val total = Tables.lineitem(spark, sf).count()
+    val grand = Relational.rollupReturns(spark, sf)
+      .filter(col("g_flag") === 1 && col("g_status") === 1)
+      .select("n_items").first().getLong(0)
+    assert(grand == total)
+  }
+
+  test("correlations are within [-1, 1]") {
+    val row = Relational.correlationMatrix(spark, sf).first()
+    (0 until row.length).foreach { i =>
+      val v = row.getDouble(i)
+      assert(v >= -1.0 && v <= 1.0, s"corr out of range: $v")
+    }
+  }
+
+  test("row_number per customer never exceeds 3 and starts at 1") {
+    val df = Relational.topOrdersPerCustomer(spark, sf)
+    assert(df.agg(max("rn")).first().getInt(0) <= 3)
+    assert(df.agg(min("rn")).first().getInt(0) == 1)
+  }
+
+  test("sessions per user: n_events sums to total events") {
+    val total = Tables.events(spark, sf).count()
+    val inSessions = Relational.userSessions(spark, sf)
+      .agg(sum("n_events")).first().getLong(0)
+    assert(inSessions == total)
+  }
+
+  test("top customers is ordered descending by spend") {
+    val spends = Relational.topCustomers(spark, sf)
+      .select("total_spend").collect().map(_.getDouble(0))
+    assert(spends.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("broadcast hints survive to the physical plan (dim joins)") {
+    val plan = Relational.revenueByNation(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+  }
+}

@@ -14,7 +14,10 @@ object SparkEntry {
   private val registry: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.TrafficAnalytics.queries, operators.TrafficAnalytics.oracles),
-      (operators.Relational.queries, operators.Relational.oracles))
+      (operators.Relational.queries, operators.Relational.oracles),
+      (operators.TextOps.queries, operators.TextOps.oracles),
+      (operators.Dedup.queries, operators.Dedup.oracles),
+      (operators.Similarity.queries, operators.Similarity.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.VectorOps._
+
+/** Similarity search over the `embeddings` table (ARRAY<FLOAT>, 64-dim):
+  * brute-force cosine top-k (exact baseline), random-hyperplane LSH
+  * bucketed top-k (the scale path), and threshold near-dup pairs.
+  *
+  * Cosine is dot/(√n1·√n2) with the dot product as a codegen'd custom
+  * Expression (functions.VectorOps) whose fold order matches the DuckDB
+  * oracle bit-for-bit, so scores — not just ids — hash-verify.
+  *
+  * Scale notes (100 TB posture):
+  * - Norms are computed once per vector on the scan side, never per pair.
+  * - Brute force is quadratic by definition; it exists as the exactness
+  *   baseline and for moderate query fan-outs (queries broadcast, data
+  *   side streams — no shuffle of the big side).
+  * - The LSH variant prunes the pair space by equi-joining on a bucket id
+  *   (sign pattern of 4 fixed integer hyperplanes → 16 buckets; more
+  *   planes at real scale). Bucketing is scan-local arithmetic; the join
+  *   is a shuffled equi-join on (bucket), i.e. linear in candidates, and
+  *   at 100 TB the bucket key can also pre-partition storage so probes
+  *   touch one partition.
+  * - All math is fixed integer formulas + IEEE double — deterministic
+  *   under any partitioning / AQE re-plan.
+  */
+object Similarity {
+
+  private val DIM = 64
+  private val NPLANES = 4
+  private val QUERY_MOD = 50 // vec_id % 50 == 0 → the query subset
+  private val TOPK = 5
+  private val NEARDUP_T = 0.4
+
+  /** Fixed pseudo-random integer hyperplanes (LCG on (j,d); values in
+    * [-3, 3]) — identical literals land in the Spark plan and oracle SQL. */
+  private def hp(j: Int, d: Int): Int =
+    (((1103515245L * (j * DIM + d) + 12345L) >> 16) % 7).toInt - 3
+
+  private val planes: Seq[Seq[Int]] =
+    (0 until NPLANES).map(j => (0 until DIM).map(d => hp(j, d)))
+
+  private def planeLit(j: Int): Column =
+    array(planes(j).map(v => lit(v.toFloat)): _*)
+
+  private def sqlPlane(j: Int): String =
+    planes(j).map(v => s"$v.0").mkString("[", ",", "]")
+
+  /** vec_id, embedding, nrm (squared L2 norm). */
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nrm"))
+
+  private val sqlWithNorm: String =
+    s"SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm FROM embeddings"
+
+  private def cosine(qe: Column, qn: Column, ne: Column, nn: Column): Column =
+    dotF(qe, ne) / (sqrt(qn) * sqrt(nn))
+
+  private def sqlCosine(qe: String, qn: String, ne: String, nn: String): String =
+    s"${sqlDot(qe, ne)} / (sqrt($qn) * sqrt($nn))"
+
+  // Exact brute-force cosine top-k for the query subset. Queries are
+  // broadcast; the corpus side streams through a codegen'd projection.
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val q = e.filter(col("vec_id") % QUERY_MOD === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TOPK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val annBruteforceSql: String =
+    s"""WITH n AS ($sqlWithNorm),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM n WHERE vec_id % $QUERY_MOD = 0),
+       |s AS (
+       |  SELECT query_id, n.vec_id AS neighbor_id,
+       |         ${sqlCosine("qe", "qn", "n.embedding", "n.nrm")} AS cosine
+       |  FROM q JOIN n ON n.vec_id != q.query_id)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk,
+       |       neighbor_id, cosine
+       |FROM s
+       |QUALIFY rnk <= $TOPK
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Random-hyperplane bucket id: Σ_j 2^j · [dot(v, plane_j) > 0]. */
+  private def bucketCol(emb: Column): Column =
+    (0 until NPLANES).map(j =>
+      when(dotF(emb, planeLit(j)) > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  private def sqlBucket(emb: String): String =
+    (0 until NPLANES).map(j =>
+      s"(CASE WHEN ${sqlDot(emb, sqlPlane(j))} > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  // LSH-bucketed ANN: candidates share the query's hyperplane sign
+  // pattern; equi-join on bucket replaces the quadratic pair space.
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
+    val q = e.filter(col("vec_id") % QUERY_MOD === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(e, col("qb") === col("bucket") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TOPK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val annLshSql: String =
+    s"""WITH n AS (SELECT vec_id, embedding, nrm, ${sqlBucket("embedding")} AS bucket
+       |           FROM ($sqlWithNorm)),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket AS qb
+       |      FROM n WHERE vec_id % $QUERY_MOD = 0),
+       |s AS (
+       |  SELECT query_id, n.vec_id AS neighbor_id,
+       |         ${sqlCosine("qe", "qn", "n.embedding", "n.nrm")} AS cosine
+       |  FROM q JOIN n ON n.bucket = q.qb AND n.vec_id != q.query_id)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk,
+       |       neighbor_id, cosine
+       |FROM s
+       |QUALIFY rnk <= $TOPK
+       |ORDER BY query_id, rnk""".stripMargin
+
+  // Embedding-cosine near-dup: all pairs above threshold (exact; the
+  // LSH-bucketed pruning above is the scale path for high thresholds).
+  def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
+    a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        cosine(col("e1"), col("n1"), col("e2"), col("n2")).as("cosine"))
+      .filter(col("cosine") >= NEARDUP_T)
+      .orderBy("v1", "v2")
+  }
+
+  val embeddingNeardupSql: String =
+    s"""WITH n AS ($sqlWithNorm)
+       |SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |       ${sqlCosine("a.embedding", "a.nrm", "b.embedding", "b.nrm")} AS cosine
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE ${sqlCosine("a.embedding", "a.nrm", "b.embedding", "b.nrm")} >= $NEARDUP_T
+       |ORDER BY v1, v2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_bruteforce"    -> annBruteforce _,
+    "q_ann_lsh"           -> annLsh _,
+    "q_embedding_neardup" -> embeddingNeardup _)
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_bruteforce"    -> annBruteforceSql,
+    "q_ann_lsh"           -> annLshSql,
+    "q_embedding_neardup" -> embeddingNeardupSql)
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextHash._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table: token statistics, stopword-list language ID,
+  * quality scoring, and content fingerprinting.
+  *
+  * These go beyond the reference (which has no string processing at all —
+  * SURVEY.md §2.9) and follow the north-star extension plan (§7.2 step 5).
+  *
+  * Scale notes: every query is a narrow scan-local projection followed by
+  * at most a sort — no joins, no multi-pass shuffles. Token/char work is
+  * per-row and embarrassingly parallel; at 100 TB this is bounded purely
+  * by scan throughput. Hashes are engine-neutral formulas (TextHash) so
+  * the DuckDB oracle verifies values, not just shapes.
+  */
+object TextOps {
+
+  /** Language stopword lists; rank (distinct, 1..5) breaks score ties
+    * alphabetically-first-wins. Combined key = score*8 + rank keeps
+    * argmax a single integer `greatest`, identical in both engines. */
+  private val langs: Seq[(String, Int, Seq[String])] = Seq(
+    ("de", 5, Seq("der", "die", "und", "ein", "das", "ist")),
+    ("en", 4, Seq("the", "a", "of", "and", "to", "is")),
+    ("es", 3, Seq("el", "los", "de", "y", "un", "es")),
+    ("fr", 2, Seq("le", "la", "et", "les", "un", "est")),
+    ("zh", 1, Seq("的", "是", "在", "了", "和", "有")))
+
+  private def stopScore(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  private def sqlStopScore(toks: String, words: Seq[String]): String =
+    s"len(list_filter($toks, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t)))"
+
+  // Token statistics: counts + exact-ratio average token length.
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"), length(col("text")).as("n_chars"))
+      .select(
+        col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        (aggregate(col("toks"), lit(0L), (s, t) => s + length(t)).cast("double") /
+          size(col("toks"))).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  val tokenStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks, length(text) AS n_chars FROM documents)
+       |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       |       CAST(len(toks) AS BIGINT) AS n_tokens,
+       |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, w -> CAST(length(w) AS BIGINT))),
+       |                        (s, x) -> s + x) AS DOUBLE) / len(toks) AS avg_token_len
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // Stopword-list language ID with deterministic argmax.
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val combined = langs.map { case (_, rank, words) =>
+      stopScore(toks, words).cast("long") * 8 + rank }
+    val best = greatest(combined: _*)
+    val decode = langs.foldLeft(lit(null).cast("string")) { case (acc, (code, rank, _)) =>
+      when(best % 8 === rank, code).otherwise(acc) }
+    documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang").as("claimed_lang"),
+        decode.as("predicted_lang"),
+        (best / lit(8)).cast("long").as("stopword_hits"))
+      .withColumn("agrees", (col("claimed_lang") === col("predicted_lang")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    val toks = sqlTokens("text")
+    val combined = langs.map { case (_, rank, words) =>
+      s"CAST(${sqlStopScore("toks", words)} AS BIGINT) * 8 + $rank" }
+    val decode = langs.reverse
+      .map { case (code, rank, _) => s"WHEN best % 8 = $rank THEN '$code'" }
+      .mkString("CASE ", " ", " ELSE NULL END")
+    s"""WITH t AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+       |s AS (SELECT doc_id, lang AS claimed_lang,
+       |             greatest(${combined.mkString(", ")}) AS best
+       |      FROM t)
+       |SELECT doc_id, claimed_lang, $decode AS predicted_lang,
+       |       best // 8 AS stopword_hits,
+       |       CAST(claimed_lang = ($decode) AS INT) AS agrees
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // Quality scoring: length/stopword/punctuation heuristics combined in a
+  // fixed-order double formula (bit-stable across engines).
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val allStop = langs.flatMap(_._3).distinct
+    documents(spark, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"),
+        length(col("text")).as("nc"))
+      .select(
+        col("doc_id"),
+        col("nc").cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (stopScore(col("toks"), allStop).cast("double") / size(col("toks")))
+          .as("stopword_ratio"),
+        ((col("nc") - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+          .cast("double") / col("nc")).as("punct_ratio"))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3 +
+          col("stopword_ratio") * 0.4 + (lit(1.0) - col("punct_ratio")) * 0.3)
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreSql: String = {
+    val allStop = langs.flatMap(_._3).distinct
+    s"""WITH t AS (SELECT doc_id, text, ${sqlTokens("text")} AS toks, length(text) AS nc FROM documents),
+       |s AS (SELECT doc_id, CAST(nc AS BIGINT) AS n_chars, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |             CAST(${sqlStopScore("toks", allStop)} AS DOUBLE) / len(toks) AS stopword_ratio,
+       |             CAST(nc - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / nc AS punct_ratio
+       |      FROM t)
+       |SELECT *, least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+       |          + stopword_ratio * 0.4 + (1.0 - punct_ratio) * 0.3 AS quality_score
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // Content fingerprints: standard md5 + polynomial hash + min shingle
+  // hash (a 1-element MinHash — the full signature lives in Dedup).
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("md5_fp"),
+        charHash(col("text")).as("poly_fp"),
+        coalesce(array_min(shingleHashes(tokenHashes(col("toks")))), lit(-1L))
+          .as("min_shingle_fp"))
+      .orderBy("doc_id")
+
+  val docFingerprintSql: String =
+    s"""WITH t AS (SELECT doc_id, text, ${sqlTokens("text")} AS toks FROM documents),
+       |h AS (SELECT doc_id, text, ${sqlTokenHashes("toks")} AS th FROM t)
+       |SELECT doc_id, md5(text) AS md5_fp,
+       |       ${sqlCharHash("text")} AS poly_fp,
+       |       coalesce(list_min(${sqlShingleHashes("th")}), -1) AS min_shingle_fp
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_stats"     -> tokenStats _,
+    "q_lang_id"         -> langId _,
+    "q_quality_score"   -> qualityScore _,
+    "q_doc_fingerprint" -> docFingerprint _)
+
+  val oracles: Map[String, String] = Map(
+    "q_token_stats"     -> tokenStatsSql,
+    "q_lang_id"         -> langIdSql,
+    "q_quality_score"   -> qualityScoreSql,
+    "q_doc_fingerprint" -> docFingerprintSql)
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextHash
+import graft.functions.VectorOps
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** Specs for the training-data-pipeline operators: text analysis,
+  * dedup family, and similarity search. */
+class PipelineOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  // ------------------------------------------------------------ TextHash
+  test("charHash matches the cross-engine polynomial formula") {
+    // expected values independently computed with the DuckDB fold
+    val df = Seq("hello", "a", "").toDF("s")
+      .select(TextHash.charHash(col("s")).as("h"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(99162322L, 97L, 0L))
+  }
+
+  test("tokens drops empty strings; shingles empty below 3 tokens") {
+    val df = Seq("  a  b   c d  ", "x y", "").toDF("s").select(
+      TextHash.tokens(col("s")).as("t"))
+    assert(df.select(size(col("t"))).collect().map(_.getInt(0)).toSeq == Seq(4, 2, 0))
+    val sh = df.select(TextHash.shingleHashes(TextHash.tokenHashes(col("t"))).as("sh"))
+    assert(sh.select(size(col("sh"))).collect().map(_.getInt(0)).toSeq == Seq(2, 0, 0))
+  }
+
+  // ------------------------------------------------------------- TextOps
+  test("every text/dedup/similarity query runs and returns rows on sf0.001") {
+    (TextOps.queries ++ Dedup.queries ++ Similarity.queries).foreach {
+      case (name, fn) => assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("token stats are internally consistent") {
+    val bad = TextOps.tokenStats(spark, sf)
+      .filter(col("n_distinct_tokens") > col("n_tokens") ||
+        col("avg_token_len") <= 0 || col("n_tokens") <= 0)
+    assert(bad.isEmpty)
+  }
+
+  test("quality score stays in [0, 1]") {
+    val bad = TextOps.qualityScore(spark, sf)
+      .filter(col("quality_score") < 0 || col("quality_score") > 1)
+    assert(bad.isEmpty)
+  }
+
+  // --------------------------------------------------------------- Dedup
+  test("exact dedup groups duplicate texts under the min doc_id") {
+    // self-contained check on the real table: every keeper_id <= doc_id,
+    // and keeper rows are never dups
+    val d = Dedup.exactDedup(spark, sf)
+    assert(d.filter(col("keeper_id") > col("doc_id")).isEmpty)
+    assert(d.filter(col("doc_id") === col("keeper_id") && col("is_dup") === 1).isEmpty)
+  }
+
+  test("minhash-LSH finds the same near-dup pairs as exact n-gram Jaccard") {
+    // LSH with 4x4 bands at jaccard~0.99 has ~1 - (1-.99^4)^4 recall; on
+    // the planted pairs this must equal the exact inverted-index result
+    val exact = Dedup.ngramJaccard(spark, sf).select("d1", "d2").collect().toSet
+    val lsh = Dedup.minhashLsh(spark, sf).select("d1", "d2").collect().toSet
+    assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
+  }
+
+  test("simhash recall on >=0.5-jaccard pairs is high (32-bit, hamming<=3)") {
+    // SimHash is probabilistic: a 0.99-jaccard pair can still flip >3 of
+    // 32 bits via token-multiplicity differences. Require >=90% recall.
+    val jac = Dedup.ngramJaccard(spark, sf).select("d1", "d2").collect().toSet
+    val sim = Dedup.simhashPairs(spark, sf).select("d1", "d2").collect().toSet
+    val recall = jac.intersect(sim).size.toDouble / jac.size
+    assert(recall >= 0.9, s"recall=$recall missing=${jac.diff(sim).size}/${jac.size}")
+  }
+
+  // ---------------------------------------------------------- Similarity
+  test("dotF computes the sequential double fold") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+      .select(VectorOps.dotF(col("a"), col("b")).as("d"),
+        VectorOps.normSq(col("a")).as("n"))
+    val r = df.first()
+    assert(r.getDouble(0) == 32.0 && r.getDouble(1) == 14.0)
+  }
+
+  test("brute-force ANN returns exactly top-k per query, cosine in [-1,1]") {
+    val bf = Similarity.annBruteforce(spark, sf)
+    val counts = bf.groupBy("query_id").count().select("count")
+      .collect().map(_.getLong(0))
+    assert(counts.forall(_ == 5))
+    assert(bf.filter(col("cosine") < -1.0 || col("cosine") > 1.0).isEmpty)
+    // ranks strictly ordered by cosine within each query
+    val bad = bf.as("x").join(bf.as("y"),
+        col("x.query_id") === col("y.query_id") && col("x.rnk") === col("y.rnk") - 1)
+      .filter(col("x.cosine") < col("y.cosine"))
+    assert(bad.isEmpty)
+  }
+
+  test("LSH ANN results are a subset of each query's bucket, ranked like brute force") {
+    // every (query, neighbor) pair returned by LSH must appear in the
+    // brute-force pair universe with the same cosine
+    val bf = Similarity.annBruteforce(spark, sf)
+      .select(col("query_id"), col("neighbor_id"), col("cosine").as("bf_cos"))
+    val lsh = Similarity.annLsh(spark, sf)
+      .join(bf, Seq("query_id", "neighbor_id"), "inner")
+      .filter(col("cosine") =!= col("bf_cos"))
+    assert(lsh.isEmpty)
+  }
+
+  test("near-dup pairs are ordered v1 < v2 with cosine above threshold") {
+    val nd = Similarity.embeddingNeardup(spark, sf)
+    assert(nd.filter(col("v1") >= col("v2") || col("cosine") < 0.4).isEmpty)
+  }
+}

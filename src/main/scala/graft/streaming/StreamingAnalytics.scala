@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming layer: the reference's streaming pipeline
+  * (spark_streaming_new.py) re-expressed Spark-first.
+  *
+  * The reference runs three Kafka topics → 3-way stream join →
+  * foreachBatch per-microbatch window aggregates appended to MySQL. Two
+  * semantics are provided here (SURVEY.md §2.7 note):
+  *
+  *  - [[runStateful]] — the CORRECT streaming formulation: event-time
+  *    watermark + stateful `groupBy(window).agg` (append mode). Each
+  *    window is emitted exactly once, when the watermark passes it;
+  *    late rows inside the watermark are merged into window state.
+  *  - [[runForeachBatchStyle]] — the reference-faithful variant: window
+  *    aggregates recomputed per micro-batch and appended, so one
+  *    event-time window can appear multiple times with partial counts
+  *    (what comparision.sql's ±10 tolerance exists to measure).
+  *
+  * Sources are pluggable DataFrames: tests use MemoryStream, production
+  * would use `spark.readStream.format("kafka")` with the same topics as
+  * the reference (`spark_streaming_new.py:40-71`) — the transforms below
+  * never care. All analytics reuse the batch formulas so the
+  * stream-vs-batch differential test can assert exact equality.
+  *
+  * Scale notes: the stateful aggregates keep one row of state per open
+  * (window × key); the 1-minute watermark bounds join/agg state exactly
+  * as in the reference (`spark_streaming_new.py:79-81`). The 3-way join
+  * co-partitions all sides on the join key — Spark plans
+  * StreamingSymmetricHashJoinExec with watermark-driven state eviction.
+  */
+object StreamingAnalytics {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** File-stream source over an events-shaped parquet directory (the
+    * offline stand-in for the reference's Kafka sources — SURVEY S1). */
+  def eventsFileStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(path)
+
+  // ------------------------------------------------ shared transforms
+  // Same formulas as operators.TrafficAnalytics, minus the sort (sorts
+  // are not allowed on unaggregated streams) — the batch layer adds
+  // ordering at presentation time.
+
+  /** A3: engagement avg/min/max per 5-minute tumbling window. */
+  def engagementWindowed(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "5 minutes").as("w"))
+      .agg(
+        (sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType) / count(col("value")))
+          .as("avg_score"),
+        min(col("value")).as("min_score"),
+        max(col("value")).as("max_score"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("avg_score"), col("min_score"), col("max_score"))
+
+  /** A1: per-window count by bucketed metric value. */
+  def pageViewsCounts(ev: DataFrame): DataFrame =
+    ev.select(window(col("ts"), "5 minutes").as("w"),
+        floor(col("value") / 10).cast("int").as("page_views"))
+      .groupBy(col("w"), col("page_views"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("page_views"), col("cnt"))
+
+  /** W1 percentage-of-window — a batch post-step (window functions are
+    * not supported on streaming DataFrames; the reference runs this
+    * inside foreachBatch for the same reason). */
+  def withPercentage(counts: DataFrame): DataFrame =
+    counts.withColumn("percentage",
+      col("cnt") * 100.0 / sum(col("cnt")).over(Window.partitionBy(col("window_start"))))
+
+  /** J1: watermarked 3-way stream-stream inner equi-join on
+    * (event_id, ts) + engagement score (spark_streaming_new.py:89-103). */
+  def threewayJoin(pv: DataFrame, sd: DataFrame, tp: DataFrame): DataFrame = {
+    val p = pv.withWatermark("ts", "1 minute")
+    val s = sd.withWatermark("ts", "1 minute")
+    val t = tp.withWatermark("ts", "1 minute")
+    p.join(s, Seq("event_id", "ts"), "inner")
+      .join(t, Seq("event_id", "ts"), "inner")
+      .withColumn("engagement_score",
+        col("page_views") * 0.4 + col("session_duration") * 0.3 +
+          col("time_on_page") * 0.3)
+  }
+
+  // ------------------------------------------------------------ runners
+
+  /** Correct stateful mode: watermark + windowed agg, append to parquet.
+    * Windows emit exactly once when the watermark closes them. */
+  def runStateful(ev: DataFrame, sinkDir: String, checkpointDir: String): StreamingQuery =
+    engagementWindowed(ev.withWatermark("ts", "1 minute"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", sinkDir)
+      .start()
+
+  /** Reference-faithful mode: per-microbatch aggregates appended
+    * (partial windows possible — K1/K2 semantics). The empty-batch guard
+    * uses isEmpty, not count() (SURVEY §4 anti-pattern fix). */
+  def runForeachBatchStyle(ev: DataFrame, sinkDir: String, checkpointDir: String): StreamingQuery =
+    ev.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          withPercentage(pageViewsCounts(batch))
+            .withColumn("epoch_id", lit(epochId))
+            .write.mode("append").parquet(sinkDir)
+        }
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingAnalytics
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class Pv(event_id: Long, ts: Timestamp, page_views: Int)
+case class Sd(event_id: Long, ts: Timestamp, session_duration: Double)
+case class Tp(event_id: Long, ts: Timestamp, time_on_page: Double)
+
+/** Stream-vs-batch differential suite (SURVEY.md §5.2): the same analytic
+  * run through Structured Streaming must equal the batch computation —
+  * exactly for the stateful mode, as a partial-sum identity for the
+  * reference-faithful foreachBatch mode. */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def mkEvents(n: Int): Seq[Ev] =
+    (0 until n).map { i =>
+      Ev(i.toLong, Timestamp.valueOf(f"2025-04-08 00:${i / 60}%02d:${i % 60}%02d"),
+        (i % 7).toLong, if (i % 3 == 0) "view" else "click", (i % 40) * 0.7)
+    }
+
+  test("stateful windowed aggregation equals the batch computation exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    val rows = mkEvents(600) // 10 minutes → two 5-min windows
+    // two micro-batches to prove cross-batch window state merging
+    stream.addData(rows.take(250))
+    val q = StreamingAnalytics.engagementWindowed(stream.toDF())
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("stateful_agg").start()
+    try {
+      q.processAllAvailable()
+      stream.addData(rows.drop(250))
+      q.processAllAvailable()
+      val streamed = spark.table("stateful_agg")
+      val batch = StreamingAnalytics.engagementWindowed(rows.toDF())
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
+  test("foreachBatch partial windows sum to the batch totals (comparision.sql identity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    val sink = Files.createTempDirectory("graft_fb_sink").toString
+    val ckpt = Files.createTempDirectory("graft_fb_ckpt").toString
+    val rows = mkEvents(600)
+    val q = StreamingAnalytics.runForeachBatchStyle(stream.toDF(), sink, ckpt)
+    try {
+      stream.addData(rows.take(300)); q.processAllAvailable()
+      stream.addData(rows.drop(300)); q.processAllAvailable()
+    } finally q.stop()
+    val appended = spark.read.parquet(sink)
+    // one window × page_views bucket may appear once per micro-batch with
+    // partial counts; their SUM must equal the batch count exactly
+    assert(appended.select(countDistinct(col("epoch_id"))).first().getLong(0) >= 2)
+    val summed = appended.groupBy("window_start", "window_end", "page_views")
+      .agg(sum("cnt").as("cnt"))
+    val batch = StreamingAnalytics.pageViewsCounts(rows.toDF())
+    assert(summed.exceptAll(batch).isEmpty && batch.exceptAll(summed).isEmpty)
+  }
+
+  test("3-way stream-stream join is lossless and scores match the formula") {
+    implicit val sqlCtx = spark.sqlContext
+    val pv = MemoryStream[Pv](Encoders.product[Pv], spark.sqlContext)
+    val sd = MemoryStream[Sd](Encoders.product[Sd], spark.sqlContext)
+    val tp = MemoryStream[Tp](Encoders.product[Tp], spark.sqlContext)
+    val base = mkEvents(120)
+    val q = StreamingAnalytics.threewayJoin(pv.toDF(), sd.toDF(), tp.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("threeway").start()
+    try {
+      pv.addData(base.map(e => Pv(e.event_id, e.ts, (e.value / 10).toInt)))
+      sd.addData(base.map(e => Sd(e.event_id, e.ts, e.value)))
+      tp.addData(base.map(e => Tp(e.event_id, e.ts, e.value * 0.5)))
+      q.processAllAvailable()
+      val joined = spark.table("threeway")
+      assert(joined.count() == base.size) // lossless: every shard rejoined
+      val bad = joined.filter(
+        abs(col("engagement_score") -
+          (col("page_views") * 0.4 + col("session_duration") * 0.3 +
+            col("time_on_page") * 0.3)) > 1e-12)
+      assert(bad.isEmpty)
+    } finally q.stop()
+  }
+}

@@ -17,7 +17,8 @@ object SparkEntry {
       (operators.Relational.queries, operators.Relational.oracles),
       (operators.TextOps.queries, operators.TextOps.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
-      (operators.Similarity.queries, operators.Similarity.oracles))
+      (operators.Similarity.queries, operators.Similarity.oracles),
+      (operators.Multimodal.queries, operators.Multimodal.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

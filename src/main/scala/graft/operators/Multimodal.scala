@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+
+/** Multimodal-column plumbing: media as opaque BINARY payloads + typed
+  * metadata, with decode / frame-sample / feature-extract stages.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * STUB ([[StubCodec]] — a deterministic fake standing in for e.g. a
+  * JNI JPEG/PCM decoder). Everything around it — schema, typed Dataset
+  * plumbing, per-partition batch decode shape, the declarative
+  * feature-aggregation downstream — is real and tested; swapping in a
+  * real codec changes one function.
+  *
+  * The media table itself derives deterministically from `documents`
+  * (payload = UTF-8 bytes of `text`, metadata from `doc_id`/length), so
+  * the metadata query has a full DuckDB oracle.
+  *
+  * Scale notes: decode runs via mapPartitions — the one legitimate use
+  * (SURVEY.md §7.3: imperative per-partition logic); each task decodes
+  * its partition's payloads in a tight loop, no driver involvement, no
+  * shuffle until the (much smaller) feature rows aggregate. At 100 TB,
+  * payload columns should be stored in their own parquet column chunk
+  * (they are — column pruning keeps metadata-only queries from reading
+  * bytes) and partitions sized by `spark.sql.files.maxPartitionBytes`
+  * so a task's decoded batch fits executor memory.
+  */
+object Multimodal {
+
+  val FRAME_PX = 64 // 8×8 fake pixels per frame
+
+  /** media_id, kind, payload BINARY, width, height, n_frames. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (lit(16) + (col("doc_id") % 8) * 16).cast("int").as("width"),
+      (lit(16) + (col("doc_id") % 4) * 16).cast("int").as("height"),
+      (col("n_chars") % 4 + 1).cast("int").as("n_frames"))
+
+  private val sqlMediaTable: String =
+    """SELECT doc_id AS media_id,
+      |       ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |       encode(text) AS payload,
+      |       CAST(16 + (doc_id % 8) * 16 AS INT) AS width,
+      |       CAST(16 + (doc_id % 4) * 16 AS INT) AS height,
+      |       CAST(n_chars % 4 + 1 AS INT) AS n_frames
+      |FROM documents""".stripMargin
+
+  /** Pluggable decode: payload → n_frames × FRAME_PX pixel ints. */
+  trait Codec extends Serializable {
+    def decode(payload: Array[Byte], nFrames: Int): Array[Array[Int]]
+  }
+
+  /** STUB standing in for a real image/audio decoder (no codec libs in
+    * this container). Deterministic fake: pixel p of frame f is byte
+    * ((f*31 + p*7) mod len) of the payload, unsigned. */
+  object StubCodec extends Codec {
+    def decode(payload: Array[Byte], nFrames: Int): Array[Array[Int]] = {
+      val len = math.max(payload.length, 1)
+      Array.tabulate(nFrames, FRAME_PX) { (f, p) =>
+        if (payload.isEmpty) 0 else payload((f * 31 + p * 7) % len) & 0xFF
+      }
+    }
+  }
+
+  /** Decoded frame row. */
+  case class Frame(media_id: Long, frame_no: Int, pixels: Array[Int])
+
+  /** Batch decode: per-partition imperative loop over (id, payload,
+    * n_frames) rows — the Scala analogue of an Arrow-batch decode UDF. */
+  def decodeFrames(media: DataFrame, codec: Codec = StubCodec): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("n_frames"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload, nFrames) =>
+          codec.decode(payload, nFrames).iterator.zipWithIndex.map {
+            case (px, f) => Frame(id, f, px)
+          }
+        }
+      }
+  }
+
+  /** Frame sampling: keep every `stride`-th frame (video thinning). */
+  def sampleFrames(frames: Dataset[Frame], stride: Int): Dataset[Frame] =
+    frames.filter(col("frame_no") % stride === 0)
+
+  /** Block-average "resize" of the fake 8×8 frame to 4×4 (stub math,
+    * real array plumbing: higher-order functions over the pixel array). */
+  def resizeFrames(frames: DataFrame): DataFrame =
+    frames.withColumn("pixels_4x4",
+      transform(sequence(lit(0), lit(15)), i => {
+        val r = floor(i / 4).cast("int") * 2; val c = (i % 4) * 2
+        val at = (rr: org.apache.spark.sql.Column, cc: org.apache.spark.sql.Column) =>
+          element_at(col("pixels"), (rr * 8 + cc + 1).cast("int"))
+        floor((at(r, c) + at(r, c + 1) + at(r + 1, c) + at(r + 1, c + 1)) / 4).cast("int")
+      }))
+
+  // ------------------------------------------------------------ queries
+
+  /** Metadata-only stats per kind — never touches payload bytes beyond
+    * length (column pruning keeps the binary column unread for width/
+    * height aggregates at scale). Full DuckDB oracle. */
+  def mediaMetadata(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(length(col("payload"))).as("total_bytes"),
+        davg(col("width")).as("avg_width"),
+        davg(col("height")).as("avg_height"),
+        sum(col("n_frames")).cast("long").as("total_frames"))
+      .orderBy("kind")
+
+  val mediaMetadataSql: String =
+    s"""WITH m AS ($sqlMediaTable)
+       |SELECT kind, count(*) AS n_media,
+       |       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+       |       ${sqlDavg("width")} AS avg_width,
+       |       ${sqlDavg("height")} AS avg_height,
+       |       CAST(sum(n_frames) AS BIGINT) AS total_frames
+       |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+
+  /** Decode → per-media pixel features. The stub codec is not
+    * SQL-expressible, so this registers without an oracle (driver
+    * rows-only check); correctness is spec-tested instead. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+    decodeFrames(mediaTable(spark, dir))
+      .select(col("media_id"), col("frame_no"), explode(col("pixels")).as("px"))
+      .groupBy(col("media_id"))
+      .agg(
+        (max(col("frame_no")) + 1).cast("int").as("n_frames"),
+        count(lit(1)).as("n_pixels"),
+        davg(col("px")).as("mean_px"),
+        min(col("px")).as("min_px"),
+        max(col("px")).as("max_px"))
+      .orderBy("media_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_metadata" -> mediaMetadata _,
+    "q_media_features" -> mediaFeatures _)
+
+  /** q_media_features intentionally omitted (stub codec not
+    * SQL-expressible → rows-only check). */
+  val oracles: Map[String, String] = Map(
+    "q_media_metadata" -> mediaMetadataSql)
+}

@@ -247,7 +247,26 @@ object TrafficAnalytics {
       |                THEN 1 ELSE 0 END) * 100.0 / count(*) AS accuracy_percentage
       |FROM s JOIN b USING (window_start)""".stripMargin
 
+  // S2: JSON decode of an in-flight string column (reference decodes the
+  // Kafka value with from_json + explicit schema — spark_streaming_new
+  // .py:47-49; here the events.props JSON plays that role).
+  def jsonDecode(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("k")).as("sum_k"),
+        davg(col("k")).as("avg_k"))
+      .orderBy("event_type")
+
+  val jsonDecodeSql: String =
+    s"""WITH t AS (SELECT event_type, CAST(json_extract(props, '$$.k') AS INT) AS k FROM events)
+       |SELECT event_type, count(*) AS n, ${sqlDsum("k")} AS sum_k, ${sqlDavg("k")} AS avg_k
+       |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_decode"             -> jsonDecode _,
     "q_engagement_windowed"     -> engagementWindowed _,
     "q_page_views_distribution" -> pageViewsDistribution _,
     "q_session_categories"      -> sessionCategories _,
@@ -259,6 +278,7 @@ object TrafficAnalytics {
     "q_comparison_accuracy"     -> comparisonAccuracy _)
 
   val oracles: Map[String, String] = Map(
+    "q_json_decode"             -> jsonDecodeSql,
     "q_engagement_windowed"     -> engagementWindowedSql,
     "q_page_views_distribution" -> pageViewsDistributionSql,
     "q_session_categories"      -> sessionCategoriesSql,

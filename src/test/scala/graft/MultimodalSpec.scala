@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("media table derives deterministic metadata and binary payloads") {
+    val m = Multimodal.mediaTable(spark, sf)
+    assert(m.schema("payload").dataType.typeName == "binary")
+    assert(m.filter(col("kind").isin("image", "audio", "video") === false).isEmpty)
+    // payload bytes == n_chars of the source text (ascii corpus)
+    val d = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+    val bad = m.join(d, col("media_id") === col("doc_id"))
+      .filter(length(col("payload")) =!= col("n_chars"))
+    assert(bad.isEmpty)
+  }
+
+  test("stub decode yields n_frames frames of FRAME_PX pixels per media") {
+    val m = Multimodal.mediaTable(spark, sf)
+    val frames = Multimodal.decodeFrames(m)
+    val expected = m.agg(sum("n_frames")).first().getLong(0)
+    assert(frames.count() == expected)
+    assert(frames.filter(size(col("pixels")) =!= Multimodal.FRAME_PX).isEmpty)
+    // byte-range pixels
+    val ex = frames.select(explode(col("pixels")).as("px"))
+    assert(ex.filter(col("px") < 0 || col("px") > 255).isEmpty)
+  }
+
+  test("frame sampling keeps every stride-th frame") {
+    val frames = Multimodal.decodeFrames(Multimodal.mediaTable(spark, sf))
+    val sampled = Multimodal.sampleFrames(frames, 2)
+    assert(sampled.filter(col("frame_no") % 2 =!= 0).isEmpty)
+    assert(sampled.count() ==
+      frames.filter(col("frame_no") % 2 === 0).count())
+  }
+
+  test("resize emits 16 block-averaged pixels in byte range") {
+    val r = Multimodal.resizeFrames(
+      Multimodal.decodeFrames(Multimodal.mediaTable(spark, sf)).toDF())
+    assert(r.filter(size(col("pixels_4x4")) =!= 16).isEmpty)
+    val ex = r.select(explode(col("pixels_4x4")).as("px"))
+    assert(ex.filter(col("px") < 0 || col("px") > 255).isEmpty)
+  }
+
+  test("media features are internally consistent") {
+    val f = Multimodal.mediaFeatures(spark, sf)
+    assert(f.count() > 0)
+    assert(f.filter(col("min_px") > col("mean_px") ||
+      col("mean_px") > col("max_px")).isEmpty)
+    assert(f.filter(col("n_pixels") =!= col("n_frames") * Multimodal.FRAME_PX).isEmpty)
+  }
+}

@@ -26,8 +26,20 @@ import org.apache.spark.sql.functions._
   * `Expression` with the same formula (SURVEY.md §7.3).
   */
 object TextHash {
+  import org.apache.spark.sql.graft.Bridge
 
   val P = 1000000007L
+
+  // ---- native fast paths (TextHashExprs): identical values, one tight
+  // JVM loop per row instead of interpreted per-element lambdas. The HOF
+  // builders below stay as the executable spec + oracle mirror; the spec
+  // asserts fast == HOF on real data.
+  def charHashFast(s: Column): Column =
+    Bridge.column(PolyHashExpr(Bridge.expression(s)))
+  def tokenHashesFast(s: Column): Column =
+    Bridge.column(TokenHashesExpr(Bridge.expression(s)))
+  def shingleHashesFast(s: Column): Column =
+    Bridge.column(ShingleHashesExpr(Bridge.expression(s)))
 
   /** 1..n as an array, empty when n < 1 (matches generate_series). */
   private def idx(n: Column): Column =
@@ -67,16 +79,17 @@ object TextHash {
        |    list_transform(generate_series(1, length(w)), j -> CAST(ascii(substr(w, j, 1)) AS BIGINT))),
        |    (h, c) -> (h*31 + c) % ${P}))""".stripMargin
 
-  /** Distinct 3-token shingle hashes from a token-hash array:
-    * sh_i = ((th_i*31 + th_{i+1}) mod P * 31 + th_{i+2}) mod P.
+  /** 3-token shingle hashes from a token-hash array (one per position,
+    * duplicates included — dedup relationally after explode; array-land
+    * array_distinct is an O(n²) interpreted loop that dominated the
+    * profile): sh_i = ((th_i*31 + th_{i+1}) mod P * 31 + th_{i+2}) mod P.
     * Empty for docs with fewer than 3 tokens. */
   def shingleHashes(th: Column): Column =
-    array_distinct(
-      transform(idx(size(th) - 2), i =>
-        ((element_at(th, i) * 31 + element_at(th, i + 1)) % P * 31 +
-          element_at(th, i + 2)) % P))
+    transform(idx(size(th) - 2), i =>
+      ((element_at(th, i) * 31 + element_at(th, i + 1)) % P * 31 +
+        element_at(th, i + 2)) % P)
 
   def sqlShingleHashes(th: String): String =
-    s"""list_distinct(list_transform(generate_series(1, len($th)-2),
-       |  i -> (($th[i]*31 + $th[i+1]) % $P * 31 + $th[i+2]) % $P))""".stripMargin
+    s"""list_transform(generate_series(1, len($th)-2),
+       |  i -> (($th[i]*31 + $th[i+1]) % $P * 31 + $th[i+2]) % $P)""".stripMargin
 }

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native implementations of the TextHash formulas.
+  *
+  * The HOF formulation (`aggregate`/`transform` lambdas) defines the
+  * semantics and mirrors the DuckDB oracle 1:1, but interpreted
+  * per-element lambda evaluation dominated the sf0.1 profile (each char
+  * is an expression-tree walk + UTF8String allocation). These
+  * expressions compute the exact same values in one tight JVM loop per
+  * row; PipelineOpsSpec cross-checks them against the HOF versions.
+  *
+  * Formula parity notes:
+  * - "character" = Unicode code point (DuckDB ascii(), Spark ascii()).
+  * - token boundaries = regex \s = ASCII [ \t\n\f\r] in both
+  *   Java regex and RE2; empty tokens dropped.
+  * - All arithmetic mod P = 1e9+7 in longs — no overflow below 2^63.
+  */
+object TextHashImpl {
+  val P = 1000000007L
+
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+  /** Polynomial hash over all code points (the charHash formula). */
+  def polyHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Per-token polynomial hashes, whitespace-delimited. */
+  def tokenHashes(s: String): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var h = 0L
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (isWs(cp)) {
+        if (inTok) { out += h; h = 0L; inTok = false }
+      } else {
+        h = (h * 31 + cp) % P
+        inTok = true
+      }
+      i += Character.charCount(cp)
+    }
+    if (inTok) out += h
+    out.toArray
+  }
+
+  /** Positional 3-token shingle hashes (duplicates kept). */
+  def shingleHashes(th: Array[Long]): Array[Long] = {
+    val n = math.max(th.length - 2, 0)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((th(i) * 31 + th(i + 1)) % P * 31 + th(i + 2)) % P
+      i += 1
+    }
+    out
+  }
+}
+
+/** charHash as a native expression: string → BIGINT. */
+case class PolyHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  // input: StringType (checked by analyzer binding)
+  override def prettyName: String = "poly_hash"
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.polyHash(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** tokenHashes(tokens(s)) as a native expression: string → ARRAY<BIGINT>. */
+case class TokenHashesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // input: StringType (checked by analyzer binding)
+  override def prettyName: String = "token_hashes"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextHashImpl.tokenHashes(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** shingleHashes(tokenHashes(tokens(s))) fused: string → ARRAY<BIGINT>. */
+case class ShingleHashesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // input: StringType (checked by analyzer binding)
+  override def prettyName: String = "shingle_hashes"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextHashImpl.shingleHashes(
+      TextHashImpl.tokenHashes(v.asInstanceOf[UTF8String].toString)))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}

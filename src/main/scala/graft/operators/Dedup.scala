@@ -62,14 +62,31 @@ object Dedup {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------- shared shingle index
-  /** (doc_id, sh): distinct 3-token shingle hashes, exploded. */
+  /** Documents spread across the session's shuffle partitions BEFORE the
+    * (interpreted, CPU-heavy) hashing projections. The testdata table is
+    * one small parquet file → one input split; without this every
+    * char-level hash fold runs on a single core. At real scale the scan
+    * already yields many splits and this exchange is a cheap no-op
+    * relative to the hashing it parallelizes. */
+  private def docsParallel(spark: SparkSession, dir: String): DataFrame = {
+    // explicit partition count: a keyed repartition alone gets AQE-
+    // coalesced back to 1 partition at test SF (few MB), serializing the
+    // interpreted hash projections that follow
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    documents(spark, dir).repartition(n, col("doc_id"))
+  }
+
+  /** (doc_id, sh): distinct 3-token shingle hashes, exploded. Dedup is
+    * relational (shuffled hash-distinct, codegen'd) — NOT array-land
+    * array_distinct, whose interpreted O(|shingles|²) per-doc loop
+    * dominated the sf0.1 profile. */
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      .select(col("doc_id"),
-        explode(shingleHashes(tokenHashes(tokens(col("text"))))).as("sh"))
+    docsParallel(spark, dir)
+      .select(col("doc_id"), explode(shingleHashesFast(col("text"))).as("sh"))
+      .distinct()
 
   private val sqlShingleIndex: String =
-    s"""SELECT doc_id, unnest(${sqlShingleHashes("th")}) AS sh
+    s"""SELECT DISTINCT doc_id, unnest(${sqlShingleHashes("th")}) AS sh
        |FROM (SELECT doc_id, ${sqlTokenHashes(sqlTokens("text"))} AS th FROM documents)""".stripMargin
 
   /** Exact Jaccard for candidate pairs (d1 < d2) given the inverted index:
@@ -125,31 +142,29 @@ object Dedup {
   // for candidates → exact Jaccard verification. The candidate step never
   // touches the O(n²) pair space.
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val aLit = array(A.map(lit): _*)
-    val bLit = array(B.map(lit): _*)
-    val powLit = array(POW31.map(lit): _*)
-    // minhash_i = min over shingles of (a_i*sh + b_i) mod P, i = 1..16
-    val mh = transform(sequence(lit(1), lit(A.size)), i =>
-      array_min(transform(col("shingles"), s =>
-        (element_at(aLit, i) * s + element_at(bLit, i)) % P)))
-    // band signature b = sum_r mh[b*4+r] * 31^r mod P (order-independent)
-    val bandSigs = transform(sequence(lit(0), lit(BANDS - 1)), b =>
-      aggregate(sequence(lit(1), lit(ROWS_PER_BAND)), lit(0L), (acc, r) =>
-        (acc + element_at(col("mh"), b * ROWS_PER_BAND + r) * element_at(powLit, r)) % P))
-
-    val docs = documents(spark, dir)
-      .select(col("doc_id"),
-        shingleHashes(tokenHashes(tokens(col("text")))).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val bands = docs
-      .withColumn("mh", mh)
-      .select(col("doc_id"), posexplode(bandSigs).as(Seq("band", "sig")))
+    import spark.implicits._
+    // Relational formulation: explode the shingle index ONCE, cross the
+    // (tiny, broadcast) permutation table, min/sum hash-aggregate. All
+    // hot-path arithmetic is codegen'd row work — the array-land
+    // alternative (nested HOF lambdas) is interpreted AND gets the
+    // shingle pipeline re-inlined into every lambda by project-collapse,
+    // which measured ~100× slower at sf0.1.
+    val perms = A.zip(B).zipWithIndex
+      .map { case ((a, b), i) => (i, a, b, POW31(i % ROWS_PER_BAND)) }
+      .toDF("i", "a", "b", "w")
+    val sh = shingleIndex(spark, dir)
+    val mh = sh.join(broadcast(perms))
+      .groupBy(col("doc_id"), col("i"), col("w"))
+      .agg(min((col("a") * col("sh") + col("b")) % P).as("mh"))
+    val bands = mh
+      .groupBy(col("doc_id"), (col("i") / ROWS_PER_BAND).cast("int").as("band"))
+      .agg((sum(col("mh") * col("w")) % P).as("sig"))
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    jaccardOf(cands, shingleIndex(spark, dir))
+    jaccardOf(cands, sh)
       .filter(col("jaccard") >= JACCARD_T)
       .orderBy("d1", "d2")
   }
@@ -191,25 +206,40 @@ object Dedup {
   }
 
   // -------------------------------------------------------------- SimHash
-  // 32-bit SimHash per doc from token hashes (with multiplicity), near-dup
-  // pairs via 8-bit-chunk LSH + Hamming ≤ 3 verification. Bit j of a token
-  // hash is floor(h / 2^j) % 2 — division by a power of two is double-exact
-  // for h < 2^30 (P < 2^30), so both engines agree bit-for-bit.
-  private val HAMMING_T = 3
-  private val CHUNKS = 4 // 4 × 8-bit chunks; hamming ≤ 3 ⇒ ≥1 chunk equal
+  // 60-bit SimHash per doc from token hashes (with multiplicity), near-dup
+  // pairs via 9-bit-chunk LSH + Hamming ≤ 6 verification. A token hash is
+  // < P < 2^30, so it only carries 30 independent bits; bits 30-59 come
+  // from a second derived hash g = (A2·h + B2) mod P. 30+30 = 60 bits:
+  // unrelated docs sit at expected Hamming ~30 and never collide at ≤ 3
+  // (a 32-bit variant on this shared-vocab corpus emitted 1.6M noise
+  // pairs at sf0.1). Bit j of h is floor(h / 2^j) % 2 — division by a
+  // power of two is double-exact for h < 2^52, so engines agree bitwise.
+  private val HAMMING_T = 6
+  private val CHUNKS = 7 // 7 × 9-bit chunks; hamming ≤ 6 ⇒ ≥1 chunk equal
+  private val HALF_BITS = 30
+  private val A2 = 48271L
+  private val B2 = 11L
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val pows = array((0 to 31).map(j => lit(1L << j)): _*)
-    val simhash = aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) =>
-      acc + element_at(pows, j + 1) *
-        when(aggregate(col("th"), lit(0L), (s, h) =>
-          s + (floor(h / element_at(pows, j + 1)) % 2) * 2 - 1) > 0, 1L).otherwise(0L))
-    val docs = documents(spark, dir)
-      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
-      .withColumn("simhash", simhash)
-    val chunks = docs.select(col("doc_id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(CHUNKS - 1)), c =>
-        floor(col("simhash") / element_at(pows, c * 8 + 1)) % 256)).as(Seq("c", "chunk")))
+    import spark.implicits._
+    // Relational formulation (same rationale as minhashLsh): token-hash
+    // rows × 60 bit positions → codegen'd sign-sum aggregates.
+    val bitsDf = (0 until 2 * HALF_BITS)
+      .map(j => (j, 1L << j, j / HALF_BITS, 1L << (j % HALF_BITS)))
+      .toDF("j", "w", "half", "wd")
+    val toks = docsParallel(spark, dir)
+      .select(col("doc_id"), explode(tokenHashesFast(col("text"))).as("th"))
+      .withColumn("g", (col("th") * A2 + B2) % P)
+    val simhash = toks.join(broadcast(bitsDf))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(sum((floor(when(col("half") === 0, col("th")).otherwise(col("g")) / col("wd")) % 2)
+        * 2 - 1).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, col("w")).otherwise(0L)).as("simhash"))
+    val chunkDf = (0 until CHUNKS).map(c => (c, 1L << (9 * c))).toDF("c", "cw")
+    val chunks = simhash.join(broadcast(chunkDf))
+      .select(col("doc_id"), col("simhash"), col("c"),
+        (floor(col("simhash") / col("cw")) % 512).as("chunk"))
     chunks.as("x").join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -224,20 +254,22 @@ object Dedup {
 
   val simhashPairsSql: String =
     s"""WITH th AS (
-       |  SELECT doc_id, ${sqlTokenHashes(sqlTokens("text"))} AS th FROM documents),
+       |  SELECT doc_id, unnest(${sqlTokenHashes(sqlTokens("text"))}) AS th FROM documents),
+       |bits AS (
+       |  SELECT j, (1::BIGINT << j) AS w, j // $HALF_BITS AS half,
+       |         (1::BIGINT << (j % $HALF_BITS)) AS wd
+       |  FROM (SELECT unnest(generate_series(0, ${2 * HALF_BITS - 1})) AS j)),
+       |sums AS (
+       |  SELECT doc_id, w,
+       |         sum((CAST(floor((CASE WHEN half = 0 THEN th ELSE (th * $A2 + $B2) % $P END) / wd)
+       |              AS BIGINT) % 2) * 2 - 1) AS s
+       |  FROM th, bits GROUP BY doc_id, w),
        |sh AS (
-       |  SELECT doc_id,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(generate_series(0, 31), j ->
-       |        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |               list_transform(th, h -> (CAST(floor(h / (1::BIGINT << j)) AS BIGINT) % 2) * 2 - 1)),
-       |               (s, x) -> s + x) > 0
-       |             THEN (1::BIGINT << j) ELSE CAST(0 AS BIGINT) END)),
-       |      (s, x) -> s + x) AS simhash
-       |  FROM th),
+       |  SELECT doc_id, sum(CASE WHEN s > 0 THEN w ELSE 0 END) AS simhash
+       |  FROM sums GROUP BY doc_id),
        |chunks AS (
-       |  SELECT doc_id, simhash, c, CAST(floor(simhash / (1::BIGINT << (c*8))) AS BIGINT) % 256 AS chunk
-       |  FROM sh, LATERAL (SELECT unnest(generate_series(0, ${CHUNKS - 1})) AS c) t),
+       |  SELECT doc_id, simhash, c, CAST(floor(simhash / (1::BIGINT << (c*9))) AS BIGINT) % 512 AS chunk
+       |  FROM sh, (SELECT unnest(generate_series(0, ${CHUNKS - 1})) AS c) t),
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2, x.simhash AS h1, y.simhash AS h2
        |  FROM chunks x JOIN chunks y

@@ -332,7 +332,91 @@ object Relational {
        |FROM s GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
 
+  // Scalar subquery: orders priced above the global average. The
+  // subquery aggregates to one row → Catalyst plans a ReusedSubquery +
+  // broadcast of the scalar, no per-row recompute.
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val avgPrice = o.agg(davg(col("o_totalprice")).as("a"))
+    o.join(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("a"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above"),
+        dsum(col("o_totalprice")).as("sum_above"))
+      .orderBy("o_orderpriority")
+  }
+
+  val aboveAvgOrdersSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_above,
+       |  ${sqlDsum("o_totalprice")} AS sum_above
+       |FROM orders
+       |WHERE o_totalprice > (SELECT ${sqlDavg("o_totalprice")} FROM orders)
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // CUBE: all grouping combinations over (status, priority).
+  def cubeStatus(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus"), col("o_orderpriority"))
+
+  val cubeStatusSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       |  ${sqlDsum("o_totalprice")} AS total,
+       |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       |  CAST(grouping(o_orderpriority) AS INT) AS g_priority
+       |FROM orders
+       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin
+
+  // Rank-based discrete quantiles (exact, engine-neutral — interpolated
+  // percentile_cont differs across engines at the ulp level). At scale
+  // this is one sort-shuffle; for sketch-based quantiles see
+  // q_approx_distinct's HLL note.
+  def quantilesDisc(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val n = o.count() // driver scalar: rank bounds only, not data movement
+    val ranked = o.withColumn("rnk",
+      row_number().over(Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)))
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val conds = qs.map(q => (q, math.floor(q * (n - 1)).toLong + 1))
+    ranked.filter(col("rnk").isin(conds.map(_._2): _*))
+      .select(col("rnk"), col("o_totalprice").as("price_at_quantile"))
+      .orderBy("rnk")
+  }
+
+  val quantilesDiscSql: String =
+    """WITH ranked AS (
+      |  SELECT o_totalprice, row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS rnk,
+      |         count(*) OVER () AS n
+      |  FROM orders)
+      |SELECT CAST(rnk AS INT) AS rnk, o_totalprice AS price_at_quantile
+      |FROM ranked
+      |WHERE rnk IN (CAST(floor(0.25*(n-1)) AS BIGINT) + 1, CAST(floor(0.5*(n-1)) AS BIGINT) + 1,
+      |              CAST(floor(0.75*(n-1)) AS BIGINT) + 1, CAST(floor(0.9*(n-1)) AS BIGINT) + 1)
+      |ORDER BY rnk""".stripMargin
+
+  // HLL++ sketch distinct counts (the 100 TB path for distinct-heavy
+  // aggregation — SURVEY §7.3). Approximate by design → no cross-engine
+  // oracle; registered for the rows-only check and asserted within
+  // relative error of the exact count in the spec.
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_above_avg_orders"        -> aboveAvgOrders _,
+    "q_cube_status"             -> cubeStatus _,
+    "q_quantiles_disc"          -> quantilesDisc _,
+    "q_approx_distinct"         -> approxDistinct _,
     "q1_pricing_summary"        -> q1PricingSummary _,
     "q_revenue_by_segment"      -> revenueBySegment _,
     "q_revenue_by_nation"       -> revenueByNation _,
@@ -346,6 +430,10 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_above_avg_orders"        -> aboveAvgOrdersSql,
+    "q_cube_status"             -> cubeStatusSql,
+    "q_quantiles_disc"          -> quantilesDiscSql,
+    // q_approx_distinct: sketch — intentionally no oracle (rows-only)
     "q1_pricing_summary"        -> q1PricingSummarySql,
     "q_revenue_by_segment"      -> revenueBySegmentSql,
     "q_revenue_by_nation"       -> revenueByNationSql,

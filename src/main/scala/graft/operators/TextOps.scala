@@ -134,8 +134,8 @@ object TextOps {
       .select(
         col("doc_id"),
         md5(col("text")).as("md5_fp"),
-        charHash(col("text")).as("poly_fp"),
-        coalesce(array_min(shingleHashes(tokenHashes(col("toks")))), lit(-1L))
+        charHashFast(col("text")).as("poly_fp"),
+        coalesce(array_min(shingleHashesFast(col("text"))), lit(-1L))
           .as("min_shingle_fp"))
       .orderBy("doc_id")
 

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Source/sink connector surface beyond parquet: CSV, JSON lines, Kafka
+  * and JDBC option plumbing.
+  *
+  * The offline testbed has no Kafka broker or MySQL server, so the Kafka/
+  * JDBC builders configure real connectors without connecting; CSV/JSON
+  * are exercised end-to-end in the spec via round-trips. Reference
+  * operators covered: S1 (Kafka source ×3 topics), S2 (JSON value
+  * decode), S3 (CSV source), S4/K2/K5 (JDBC), K4 (Kafka sink).
+  *
+  * Scale notes: CSV/JSON readers take explicit schemas (no inference
+  * pass over 100 TB); Kafka reads parallelize by topic-partition; JDBC
+  * reads need `partitionColumn/numPartitions` bounds or they
+  * single-stream the table — the builder requires them.
+  */
+object Connectors {
+
+  /** S3: schema'd CSV reader (header, explicit schema — no inference). */
+  def csv(spark: SparkSession, schema: StructType): DataFrameReader =
+    spark.read.schema(schema).option("header", "true")
+
+  /** JSON-lines reader with explicit schema. */
+  def jsonLines(spark: SparkSession, schema: StructType): DataFrameReader =
+    spark.read.schema(schema)
+
+  /** S1: Kafka stream source for one topic, earliest offsets — the
+    * reference's `readStream.format("kafka")` ×3 (spark_streaming_new
+    * .py:40-71). Decode with [[decodeJsonValue]]. */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String): DataStreamReader =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+
+  /** S2: CAST(value AS STRING) → from_json(schema) → flatten — the
+    * reference's per-topic decode (spark_streaming_new.py:47-49). */
+  def decodeJsonValue(kafka: DataFrame, schema: StructType): DataFrame =
+    kafka.selectExpr("CAST(value AS STRING) AS value")
+      .select(from_json(col("value"), schema).as("data"))
+      .select(col("data.*"))
+
+  /** K4: Kafka sink for a streaming frame — rows serialized to a JSON
+    * `value` column upstream. */
+  def kafkaSink(out: DataFrame, bootstrap: String, topic: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    out.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+
+  /** S4: partitioned JDBC source — bounds REQUIRED so the read fans out
+    * across executors instead of single-streaming the table. */
+  def jdbcSource(spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int): DataFrameReader =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+
+  /** K2/K5: JDBC append sink options (the reference's four MySQL writers,
+    * spark_streaming_new.py:126-134 etc.; credentials config-driven). */
+  def jdbcSinkOptions(url: String, table: String): Map[String, String] =
+    Map("url" -> url, "dbtable" -> table,
+      "truncate" -> "false", "isolationLevel" -> "READ_COMMITTED")
+}

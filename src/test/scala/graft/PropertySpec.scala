@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextHashImpl
+
+/** Property-based invariants (SURVEY.md §5.4). Pure-Scala properties run
+  * through ScalaCheck; Spark-level invariants run once over generated
+  * in-memory frames. */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.const('\t')))
+      .map(_.mkString)
+
+  test("polyHash stays in [0, P) and matches the fold definition") {
+    check(Prop.forAll(asciiText) { s =>
+      val h = TextHashImpl.polyHash(s)
+      val ref = s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % TextHashImpl.P)
+      h == ref && h >= 0 && h < TextHashImpl.P
+    })
+  }
+
+  test("polyHash concatenation identity: h(a+b) folds h(a) through b") {
+    check(Prop.forAll(asciiText, asciiText) { (a, b) =>
+      val hb = b.codePoints().toArray
+        .foldLeft(TextHashImpl.polyHash(a))((h, c) => (h * 31 + c) % TextHashImpl.P)
+      TextHashImpl.polyHash(a + b) == hb
+    })
+  }
+
+  test("tokenHashes count equals whitespace tokenization count") {
+    check(Prop.forAll(asciiText) { s =>
+      val expected = s.split("[ \t\n\f\r]+").count(_.nonEmpty)
+      TextHashImpl.tokenHashes(s).length == expected
+    })
+  }
+
+  test("shingleHashes yields max(n-2, 0) positional shingles") {
+    check(Prop.forAll(Gen.listOf(Gen.chooseNum(0L, TextHashImpl.P - 1))) { th =>
+      TextHashImpl.shingleHashes(th.toArray).length == math.max(th.size - 2, 0)
+    })
+  }
+
+  test("near-identical token streams give identical minhash-style minima") {
+    // min over a permuted multiset is permutation-invariant
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, TextHashImpl.P - 1))) { xs =>
+      val a = 37L; val b = 101L
+      def mh(l: Seq[Long]) = l.map(x => (a * x + b) % TextHashImpl.P).min
+      mh(xs) == mh(scala.util.Random.shuffle(xs))
+    })
+  }
+
+  test("percentages per window sum to ~100 on generated data (W1)") {
+    val rows = (0 until 500).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2025-01-01 00:${i % 40}%02d:00"), (i % 13) * 7.0)
+    }.toDF("event_id", "ts", "value")
+    val byW = org.apache.spark.sql.expressions.Window.partitionBy(col("w"))
+    val pct = rows
+      .select(window(col("ts"), "5 minutes").as("w"), floor(col("value") / 10).as("pv"))
+      .groupBy(col("w"), col("pv")).agg(count(lit(1)).as("cnt"))
+      .withColumn("p", col("cnt") * 100.0 / sum(col("cnt")).over(byW))
+      .groupBy(col("w")).agg(sum(col("p")).as("total"))
+      .filter(abs(col("total") - 100.0) > 1e-9)
+    assert(pct.isEmpty)
+  }
+
+  test("bounce + non-bounce = total on generated data (A7)") {
+    val rows = (0 until 300).map(i => (i.toLong, (i % 5).toDouble)).toDF("id", "value")
+    val r = rows.agg(
+      sum(when(col("value") < 1, 1).otherwise(0)).as("b"),
+      sum(when(col("value") < 1, 0).otherwise(1)).as("nb"),
+      count(lit(1)).as("n")).first()
+    assert(r.getLong(0) + r.getLong(1) == r.getLong(2))
+  }
+}

@@ -37,24 +37,33 @@ object TextOps {
   private def sqlStopScore(toks: String, words: Seq[String]): String =
     s"len(list_filter($toks, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t)))"
 
-  // Token statistics: counts + exact-ratio average token length.
+  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
+    * non-alnum marks — the classic subword pre-split shape. Kept to a
+    * syntax subset where Java regex (Spark) and RE2 (DuckDB) agree. */
+  private val BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+
+  // Token statistics: whitespace + BPE-ish regex counts, exact-ratio
+  // average token length.
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"), length(col("text")).as("n_chars"))
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"),
+        length(col("text")).as("n_chars"))
       .select(
         col("doc_id"),
         col("n_chars").cast("long").as("n_chars"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        regexp_count(col("text"), lit(BPE_PATTERN)).cast("long").as("n_bpe_tokens"),
         (aggregate(col("toks"), lit(0L), (s, t) => s + length(t)).cast("double") /
           size(col("toks"))).as("avg_token_len"))
       .orderBy("doc_id")
 
   val tokenStatsSql: String =
-    s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks, length(text) AS n_chars FROM documents)
+    s"""WITH t AS (SELECT doc_id, text, ${sqlTokens("text")} AS toks, length(text) AS n_chars FROM documents)
        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
        |       CAST(len(toks) AS BIGINT) AS n_tokens,
        |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       |       CAST(len(regexp_extract_all(text, '$BPE_PATTERN')) AS BIGINT) AS n_bpe_tokens,
        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, w -> CAST(length(w) AS BIGINT))),
        |                        (s, x) -> s + x) AS DOUBLE) / len(toks) AS avg_token_len
        |FROM t ORDER BY doc_id""".stripMargin

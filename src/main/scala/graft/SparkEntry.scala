@@ -18,7 +18,8 @@ object SparkEntry {
       (operators.TextOps.queries, operators.TextOps.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Similarity.queries, operators.Similarity.oracles),
-      (operators.Multimodal.queries, operators.Multimodal.oracles))
+      (operators.Multimodal.queries, operators.Multimodal.oracles),
+      (operators.ScalePatterns.queries, operators.ScalePatterns.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables._
+
+/** Operators Spark lacks natively plus skew patterns, built
+  * compositionally (SURVEY.md §7.3 preference (a)).
+  *
+  * As-of join: the classic time-series operator (each left row matched
+  * to the latest right row at-or-before its timestamp). The scalable
+  * formulation is NOT a pair join (quadratic in ties) but a tagged
+  * union + one sort-shuffle on the key + a carry-forward window: state
+  * per partition is a single "last seen right row", wall-clock is one
+  * exchange of |L|+|R| rows regardless of time-range density. This is
+  * the plan an ASOF JOIN physical operator would produce anyway, so a
+  * custom SparkPlan buys nothing here.
+  *
+  * Salted aggregation: two-stage aggregate for skewed group keys — salt
+  * the hot key across S sub-groups (map-side spread), partially
+  * aggregate, then combine. Decimal partials keep the result exactly
+  * equal to the unsalted aggregate, which the oracle verifies.
+  */
+object ScalePatterns {
+
+  // ------------------------------------------------------------- as-of
+  /** Each event joined to the latest order of the same customer
+    * (user_id = o_custkey) at-or-before the event time; events with no
+    * prior order keep nulls. Deterministic tiebreak: equal timestamps
+    * resolve orders-before-events, then by o_orderkey. */
+  def asofEventOrder(spark: SparkSession, dir: String): DataFrame = {
+    val ords = orders(spark, dir).select(
+      col("o_custkey").as("key"), col("o_orderdate").as("t"),
+      lit(0).as("src"), col("o_orderkey"), col("o_totalprice"),
+      lit(null).cast(LongType).as("event_id"))
+    val evs = events(spark, dir).select(
+      col("user_id").as("key"), col("ts").as("t"),
+      lit(1).as("src"), lit(null).cast(LongType).as("o_orderkey"),
+      lit(null).cast(DoubleType).as("o_totalprice"), col("event_id"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("t").asc, col("src").asc,
+        coalesce(col("o_orderkey"), lit(-1L)).asc,
+        coalesce(col("event_id"), lit(-1L)).asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ords.unionByName(evs)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_orderdate",
+        last(when(col("src") === 0, col("t")), ignoreNulls = true).over(w))
+      .withColumn("asof_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("event_id"), col("key").as("user_id"), col("t").as("ts"),
+        col("asof_orderkey"), col("asof_orderdate"), col("asof_totalprice"))
+      .orderBy("event_id")
+  }
+
+  val asofEventOrderSql: String =
+    """WITH u AS (
+      |  SELECT o_custkey AS key, o_orderdate AS t, 0 AS src, o_orderkey, o_totalprice,
+      |         CAST(NULL AS BIGINT) AS event_id
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT user_id, ts, 1, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), event_id
+      |  FROM events),
+      |c AS (
+      |  SELECT *,
+      |    last_value(o_orderkey IGNORE NULLS) OVER w AS asof_orderkey,
+      |    last_value(CASE WHEN src = 0 THEN t END IGNORE NULLS) OVER w AS asof_orderdate,
+      |    last_value(o_totalprice IGNORE NULLS) OVER w AS asof_totalprice
+      |  FROM u
+      |  WINDOW w AS (PARTITION BY key
+      |               ORDER BY t ASC, src ASC, coalesce(o_orderkey, -1) ASC,
+      |                        coalesce(event_id, -1) ASC
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, key AS user_id, t AS ts, asof_orderkey, asof_orderdate, asof_totalprice
+      |FROM c WHERE src = 1 ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------- salted agg
+  private val SALTS = 16
+
+  /** Two-stage salted aggregation over the (skewed, low-cardinality)
+    * event_type key. Identical output to the direct aggregate — the
+    * oracle IS the unsalted query, proving the pattern exact. */
+  def saltedTypeStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("salt", (col("event_id") % SALTS).cast("int"))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(18, 2))).as("psum"),
+        min(col("value")).as("pmin"),
+        max(col("value")).as("pmax"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("pn")).as("n_events"),
+        sum(col("psum")).cast(DoubleType).as("sum_value"),
+        (sum(col("psum")).cast(DoubleType) / sum(col("pn"))).as("avg_value"),
+        min(col("pmin")).as("min_value"),
+        max(col("pmax")).as("max_value"))
+      .orderBy("event_type")
+
+  val saltedTypeStatsSql: String =
+    s"""SELECT event_type, count(*) AS n_events,
+       |  ${sqlDsum("value")} AS sum_value,
+       |  ${sqlDavg("value")} AS avg_value,
+       |  min(value) AS min_value, max(value) AS max_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join"   -> asofEventOrder _,
+    "q_salted_agg"  -> saltedTypeStats _)
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join"   -> asofEventOrderSql,
+    "q_salted_agg"  -> saltedTypeStatsSql)
+}

@@ -1,5 +1,43 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ScalePatterns
+
+class ScalePatternsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("as-of join matches the latest at-or-before order of the same customer") {
+    val r = ScalePatterns.asofEventOrder(spark, sf)
+    assert(r.count() == Tables.events(spark, sf).count()) // left-join cardinality
+    // matched order precedes the event and belongs to the user
+    assert(r.filter(col("asof_orderdate") > col("ts")).isEmpty)
+    val o = Tables.orders(spark, sf)
+    val joined = r.filter(col("asof_orderkey").isNotNull)
+      .join(o, col("asof_orderkey") === col("o_orderkey"))
+    assert(joined.filter(col("o_custkey") =!= col("user_id")).isEmpty)
+    // no LATER order of the same user still at-or-before the event exists
+    val better = r.join(o, col("user_id") === col("o_custkey") &&
+        col("o_orderdate") <= col("ts") &&
+        (col("o_orderdate") > col("asof_orderdate") ||
+          col("asof_orderkey").isNull))
+    assert(better.isEmpty)
+  }
+
+  test("salted aggregation equals the direct aggregate") {
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Tables.dsum(col("value")).as("sum_value"),
+        Tables.davg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+    val salted = ScalePatterns.saltedTypeStats(spark, sf)
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+}
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 

@@ -17,9 +17,17 @@ object Tables {
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
     * for — read it as raw nanos (legacy long mode) and truncate to micros,
-    * matching DuckDB's own nanos→micros scan truncation. */
+    * matching DuckDB's own nanos→micros scan truncation.
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (set by GraftSession.builder and every entry-point main). It is a
+    * session-level reader flag, deliberately NOT mutated here: a conf
+    * write inside a table reader would race concurrent queries and
+    * surprise later nanos-parquet reads elsewhere in the session. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events requires spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+        "(use GraftSession.builder)")
     table(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }

@@ -58,12 +58,18 @@ object TextHash {
        |  list_transform(generate_series(1, length($s)), j -> CAST(ascii(substr($s, j, 1)) AS BIGINT))),
        |  (h, c) -> (h*31 + c) % ${P})""".stripMargin
 
-  /** Whitespace tokenization (regex, empty tokens dropped). */
+  /** Whitespace tokenization (regex, empty tokens dropped). The class is
+    * spelled out as [ \t\n\f\r] rather than \s: Java's \s additionally
+    * matches vertical tab (0x0B) where RE2's (the DuckDB oracle's) does
+    * not — the explicit class makes both engines split identically on
+    * every input. */
+  val WS_CLASS = "[ \\t\\n\\f\\r]+"
+
   def tokens(s: Column): Column =
-    filter(split(trim(s), "\\s+"), t => length(t) > 0)
+    filter(split(trim(s), WS_CLASS), t => length(t) > 0)
 
   def sqlTokens(s: String): String =
-    s"list_filter(string_split_regex(trim($s), '\\s+'), t -> length(t) > 0)"
+    s"list_filter(string_split_regex(trim($s), '$WS_CLASS'), t -> length(t) > 0)"
 
   /** Per-token polynomial hashes for a token-array column. */
   def tokenHashes(toks: Column): Column =

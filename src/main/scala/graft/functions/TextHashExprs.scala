@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,17 +15,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * expressions compute the exact same values in one tight JVM loop per
   * row; PipelineOpsSpec cross-checks them against the HOF versions.
   *
+  * Each expression implements `doGenCode` (a static call into
+  * [[TextHashImpl]]), so it participates in whole-stage codegen instead
+  * of forcing the enclosing stage into interpreted row-at-a-time eval
+  * the way a CodegenFallback would.
+  *
   * Formula parity notes:
   * - "character" = Unicode code point (DuckDB ascii(), Spark ascii()).
-  * - token boundaries = regex \s = ASCII [ \t\n\f\r] in both
-  *   Java regex and RE2; empty tokens dropped.
+  * - token boundaries = the explicit class [ \t\n\f\r] (TextHash
+  *   .WS_CLASS) on BOTH engines, NOT \s: Java's \s also matches
+  *   vertical tab 0x0B where RE2's (DuckDB's regex engine) does not —
+  *   isWs deliberately excludes 0x0B to match; empty tokens dropped.
   * - All arithmetic mod P = 1e9+7 in longs — no overflow below 2^63.
   */
 object TextHashImpl {
   val P = 1000000007L
 
   private def isWs(cp: Int): Boolean =
-    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r'
 
   /** Polynomial hash over all code points (the charHash formula). */
   def polyHash(s: String): Long = {
@@ -73,35 +80,44 @@ object TextHashImpl {
 }
 
 /** charHash as a native expression: string → BIGINT. */
-case class PolyHashExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class PolyHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   // input: StringType (checked by analyzer binding)
   override def prettyName: String = "poly_hash"
   override def nullSafeEval(v: Any): Any =
     TextHashImpl.polyHash(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashImpl.polyHash($c.toString())")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 /** tokenHashes(tokens(s)) as a native expression: string → ARRAY<BIGINT>. */
-case class TokenHashesExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class TokenHashesExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   // input: StringType (checked by analyzer binding)
   override def prettyName: String = "token_hashes"
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(TextHashImpl.tokenHashes(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextHashImpl.tokenHashes($c.toString()))")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 /** shingleHashes(tokenHashes(tokens(s))) fused: string → ARRAY<BIGINT>. */
-case class ShingleHashesExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   // input: StringType (checked by analyzer binding)
   override def prettyName: String = "shingle_hashes"
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(TextHashImpl.shingleHashes(
       TextHashImpl.tokenHashes(v.asInstanceOf[UTF8String].toString)))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        "graft.functions.TextHashImpl.shingleHashes(" +
+        s"graft.functions.TextHashImpl.tokenHashes($c.toString())))")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

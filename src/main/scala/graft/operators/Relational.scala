@@ -374,18 +374,52 @@ object Relational {
        |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin
 
   // Rank-based discrete quantiles (exact, engine-neutral — interpolated
-  // percentile_cont differs across engines at the ulp level). At scale
-  // this is one sort-shuffle; for sketch-based quantiles see
-  // q_approx_distinct's HLL note.
+  // percentile_cont differs across engines at the ulp level).
+  //
+  // Distributed exact-rank selection WITHOUT a global single-partition
+  // sort (round 1 funneled every row through one row_number() task and
+  // ran a driver-side count() — both 100×-scale killers):
+  //  1. one scan-aggregate gives (min, max, n); target ranks derive from
+  //     n; rows get a value band = floor((price-min)/width), width sized
+  //     for ~1k bands;
+  //  2. per-band counts (tiny relation) + a running sum over the BANDS
+  //     (a window over ≤1k aggregated rows, data-size-independent)
+  //     locate the band holding each target rank;
+  //  3. row_number() partitioned BY BAND ranks only the few hot bands'
+  //     rows; global rank = band offset + in-band rank.
+  // Equal prices always share a band, so in-band (price, key) order
+  // extends to the global order. Everything is a broadcast of 1-row /
+  // few-row aggregates — no driver action, no full-data global window.
   def quantilesDisc(spark: SparkSession, dir: String): DataFrame = {
-    val o = orders(spark, dir)
-    val n = o.count() // driver scalar: rank bounds only, not data movement
-    val ranked = o.withColumn("rnk",
-      row_number().over(Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)))
     val qs = Seq(0.25, 0.5, 0.75, 0.9)
-    val conds = qs.map(q => (q, math.floor(q * (n - 1)).toLong + 1))
-    ranked.filter(col("rnk").isin(conds.map(_._2): _*))
-      .select(col("rnk"), col("o_totalprice").as("price_at_quantile"))
+    val NBANDS = 1024
+    val o = orders(spark, dir).select(col("o_totalprice"), col("o_orderkey"))
+    val stats = o.agg(
+      min(col("o_totalprice")).as("pmin"),
+      max(col("o_totalprice")).as("pmax"),
+      count(lit(1)).as("n"))
+    val width = greatest((col("pmax") - col("pmin")) / NBANDS, lit(1e-9))
+    val banded = o.crossJoin(broadcast(stats))
+      .withColumn("band",
+        least(floor((col("o_totalprice") - col("pmin")) / width), lit(NBANDS - 1))
+          .cast("int"))
+    val bandCounts = banded.groupBy(col("band")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("band"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val targets = stats.select(
+        explode(array(qs.map(q => floor(lit(q) * (col("n") - 1)).cast("long") + 1): _*))
+          .as("rank_t"))
+      .join(bandCounts,
+        col("rank_t") > col("cum_before") && col("rank_t") <= col("cum_before") + col("cnt"))
+      .select(col("band"), col("rank_t"), (col("rank_t") - col("cum_before")).as("in_band"))
+    val hot = banded.join(broadcast(targets.select(col("band")).distinct()), Seq("band"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("band"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)))
+    hot.join(broadcast(targets), hot("band") === targets("band") && col("r") === col("in_band"))
+      .select(col("rank_t").cast("int").as("rnk"), col("o_totalprice").as("price_at_quantile"))
       .orderBy("rnk")
   }
 

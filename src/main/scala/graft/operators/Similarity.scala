@@ -141,9 +141,53 @@ object Similarity {
        |QUALIFY rnk <= $TOPK
        |ORDER BY query_id, rnk""".stripMargin
 
-  // Embedding-cosine near-dup: all pairs above threshold (exact; the
-  // LSH-bucketed pruning above is the scale path for high thresholds).
+  /** Multi-probe masks: XOR deltas with ≤ PROBE_BITS of NPLANES bits set.
+    * A pair (x, y) is a candidate iff their bucket codes differ in at
+    * most PROBE_BITS hyperplane signs — x probes y's bucket via exactly
+    * one mask (bx ⊕ by), so the candidate set is duplicate-free by
+    * construction. */
+  private val PROBE_BITS = 2
+  private val probeMasks: Seq[Int] =
+    (0 until (1 << NPLANES)).filter(m => Integer.bitCount(m) <= PROBE_BITS)
+
+  // Embedding-cosine near-dup, LSH-bucketed with multi-probe: candidates
+  // are pairs whose hyperplane sign patterns differ in ≤ 2 of 4 bits
+  // (11 of 16 probe deltas); cosine is verified exactly within
+  // candidates only. This replaces round 1's all-pairs v1<v2 cartesian —
+  // the equi-join on probe-bucket is linear in candidates and survives a
+  // 100× scale-up (more planes + the same probe radius at real scale).
+  // Deliberate LSH semantics: a pair whose codes differ in ≥ 3 planes is
+  // not reported even above the threshold; AnnRecallSpec measures recall
+  // vs the exact all-pairs form at tiny SF, and the oracle mirrors the
+  // probe set exactly so the result is deterministic cross-engine.
   def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
+    val probes = e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nrm").as("n1"),
+        explode(array(probeMasks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
+          .as("pb"))
+    probes.join(e, col("pb") === col("bucket") && col("v1") < col("vec_id"))
+      .select(col("v1"), col("vec_id").as("v2"),
+        cosine(col("e1"), col("n1"), col("embedding"), col("nrm")).as("cosine"))
+      .filter(col("cosine") >= NEARDUP_T)
+      .orderBy("v1", "v2")
+  }
+
+  val embeddingNeardupSql: String =
+    s"""WITH n AS (SELECT vec_id, embedding, nrm, ${sqlBucket("embedding")} AS bucket
+       |           FROM ($sqlWithNorm)),
+       |p AS (SELECT vec_id AS v1, embedding AS e1, nrm AS n1, xor(bucket, m) AS pb
+       |      FROM n, (SELECT unnest([${probeMasks.mkString(",")}]) AS m) masks)
+       |SELECT v1, b.vec_id AS v2,
+       |       ${sqlCosine("e1", "n1", "b.embedding", "b.nrm")} AS cosine
+       |FROM p JOIN n b ON p.pb = b.bucket AND p.v1 < b.vec_id
+       |WHERE ${sqlCosine("e1", "n1", "b.embedding", "b.nrm")} >= $NEARDUP_T
+       |ORDER BY v1, v2""".stripMargin
+
+  /** Round 1's exact all-pairs form — kept (unregistered) as the recall
+    * reference for AnnRecallSpec at tiny SF. Quadratic BY DESIGN; never
+    * run at scale. */
+  def embeddingNeardupExact(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(spark, dir)
     val a = e.select(col("vec_id").as("v1"), col("embedding").as("e1"), col("nrm").as("n1"))
     val b = e.select(col("vec_id").as("v2"), col("embedding").as("e2"), col("nrm").as("n2"))
@@ -153,14 +197,6 @@ object Similarity {
       .filter(col("cosine") >= NEARDUP_T)
       .orderBy("v1", "v2")
   }
-
-  val embeddingNeardupSql: String =
-    s"""WITH n AS ($sqlWithNorm)
-       |SELECT a.vec_id AS v1, b.vec_id AS v2,
-       |       ${sqlCosine("a.embedding", "a.nrm", "b.embedding", "b.nrm")} AS cosine
-       |FROM n a JOIN n b ON a.vec_id < b.vec_id
-       |WHERE ${sqlCosine("a.embedding", "a.nrm", "b.embedding", "b.nrm")} >= $NEARDUP_T
-       |ORDER BY v1, v2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce"    -> annBruteforce _,

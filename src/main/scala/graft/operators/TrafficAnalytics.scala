@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,13 @@ object TrafficAnalytics {
       |       count(*) * 100.0 / sum(count(*)) OVER (PARTITION BY ws) AS percentage
       |FROM b GROUP BY ws, page_views ORDER BY 1, 3""".stripMargin
 
+  /** P6 category expression — shared by the batch query below and the
+    * streaming fan-out (StreamingAnalytics.sessionCategoryCounts). */
+  def sessionCategory(value: Column): Column =
+    when(value < SHORT_MAX, "Short")
+      .when(value <= MEDIUM_MAX, "Medium")
+      .otherwise("Long")
+
   // P6+A2+W1 session categorization per window
   // (spark_streaming_new.py:168-183 / batch_stream.sql:27-50)
   def sessionCategories(spark: SparkSession, dir: String): DataFrame = {
@@ -89,9 +96,7 @@ object TrafficAnalytics {
     events(spark, dir)
       .select(
         window(col("ts"), "5 minutes").as("w"),
-        when(col("value") < SHORT_MAX, "Short")
-          .when(col("value") <= MEDIUM_MAX, "Medium")
-          .otherwise("Long").as("session_category"))
+        sessionCategory(col("value")).as("session_category"))
       .groupBy(col("w"), col("session_category"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("percentage",

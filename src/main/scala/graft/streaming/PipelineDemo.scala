@@ -22,6 +22,7 @@ object PipelineDemo {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -63,9 +64,13 @@ object PipelineDemo {
     val streamedSums = spark.read.parquet(s"$work/perbatch")
       .groupBy("window_start", "window_end", "page_views")
       .agg(sum("cnt").as("cnt"))
+    // null-SAFE inequality: a bucket present on only one side of the
+    // full outer join compares null vs value — plain =!= yields null
+    // there and silently drops the very mismatches the join exists to
+    // surface.
     val mismatches = streamedSums.join(batchCounts,
         Seq("window_start", "window_end", "page_views"), "full_outer")
-      .filter(streamedSums("cnt") =!= batchCounts("cnt"))
+      .filter(!(streamedSums("cnt") <=> batchCounts("cnt")))
     println(s"[pipeline] stateful windows: ${spark.read.parquet(s"$work/stateful").count()}")
     println(s"[pipeline] per-batch rows:   ${spark.read.parquet(s"$work/perbatch").count()}")
     println(s"[pipeline] stream-vs-batch mismatching buckets: ${mismatches.count()} (expect 0)")

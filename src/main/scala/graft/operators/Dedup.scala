@@ -279,30 +279,35 @@ object Dedup {
   private val B2 = 11L
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // Relational formulation (same rationale as minhashLsh): token-hash
-    // rows × 60 bit positions → codegen'd sign-sum aggregates.
-    val bitsDf = (0 until 2 * HALF_BITS)
-      .map(j => (j, 1L << j, j / HALF_BITS, 1L << (j % HALF_BITS)))
-      .toDF("j", "w", "half", "wd")
+    // Relational formulation (same shape as minhashLsh): all 60 bit
+    // sign-sums as aggregate columns of ONE groupBy(doc_id) over the
+    // token-hash rows — no ×60 bit-table fan-out through the shuffle,
+    // one exchange instead of two, everything codegen'd.
     val toks = docsParallel(spark, dir)
       .select(col("doc_id"), explode(tokenHashesFast(col("text"))).as("th"))
       .withColumn("g", (col("th") * A2 + B2) % P)
-    val simhash = toks.join(broadcast(bitsDf))
-      .groupBy(col("doc_id"), col("w"))
-      .agg(sum((floor(when(col("half") === 0, col("th")).otherwise(col("g")) / col("wd")) % 2)
-        * 2 - 1).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, col("w")).otherwise(0L)).as("simhash"))
+    // s_j = Σ_tokens (bit_j ? +1 : −1); bit j comes from th (j < 30) or
+    // the derived hash g (j ≥ 30). floor(x / 2^(j%30)) % 2 is double-
+    // exact because th, g < P < 2^30.
+    val sAggs = (0 until 2 * HALF_BITS).map { j =>
+      val src = if (j < HALF_BITS) col("th") else col("g")
+      sum((floor(src / (1L << (j % HALF_BITS))) % 2) * 2 - 1).as(s"s$j")
+    }
+    val sums = toks.groupBy(col("doc_id")).agg(sAggs.head, sAggs.tail: _*)
+    val simhash = sums.select(col("doc_id"),
+      (0 until 2 * HALF_BITS)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
     // Chunks extracted BITWISE (shiftright + mask): simhash is 60-bit, so
     // the double-division route (floor(simhash / 2^(9c)) % 512) rounds
     // away low bits above 2^53 and the "hamming ≤ 6 ⇒ ≥1 chunk equal"
     // recall guarantee breaks. shiftright/& is exact for all 60 bits
     // (and faster); DuckDB mirrors with (simhash >> (9*c)) & 511.
-    val chunkDf = (0 until CHUNKS).map(c => Tuple1(c)).toDF("c")
-    val chunks = simhash.join(broadcast(chunkDf))
-      .select(col("doc_id"), col("simhash"), col("c"),
-        expr("shiftright(simhash, 9 * c) & 511").as("chunk"))
+    // Unpivoted with posexplode of the 7 chunk expressions — no join.
+    val chunks = simhash.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until CHUNKS).map(c =>
+        expr(s"shiftright(simhash, ${9 * c}) & 511")): _*)).as(Seq("c", "chunk")))
+    chunks.persist(StorageLevel.MEMORY_AND_DISK) // referenced twice below
     chunks.as("x").join(chunks.as("y"),
         col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))

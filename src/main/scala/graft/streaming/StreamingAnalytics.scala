@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming layer: the reference's streaming pipeline
@@ -80,6 +80,26 @@ object StreamingAnalytics {
     counts.withColumn("percentage",
       col("cnt") * 100.0 / sum(col("cnt")).over(Window.partitionBy(col("window_start"))))
 
+  /** A2: per-window count by session category (same thresholds as the
+    * batch operator — TrafficAnalytics.sessionCategory). */
+  def sessionCategoryCounts(ev: DataFrame): DataFrame =
+    ev.select(window(col("ts"), "5 minutes").as("w"),
+        graft.operators.TrafficAnalytics.sessionCategory(col("value"))
+          .as("session_category"))
+      .groupBy(col("w"), col("session_category"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("session_category"), col("cnt"))
+
+  /** P4: per-record processing latency in seconds — the reference's
+    * `streaming_metrics` derivation (unix_timestamp(processing_time) −
+    * unix_timestamp(timestamp), spark_streaming_new.py:117-118). */
+  def withProcessingLatency(batch: DataFrame): DataFrame =
+    batch
+      .withColumn("processing_time", current_timestamp())
+      .withColumn("latency_sec",
+        unix_timestamp(col("processing_time")) - unix_timestamp(col("ts")))
+
   /** J1: watermarked 3-way stream-stream inner equi-join on
     * (event_id, ts) + engagement score (spark_streaming_new.py:89-103). */
   def threewayJoin(pv: DataFrame, sd: DataFrame, tp: DataFrame): DataFrame = {
@@ -117,6 +137,47 @@ object StreamingAnalytics {
       case _: InterruptedException =>
         spark.streams.active.foreach(_.stop())
     }
+
+  /** K1/K2 multi-sink orchestration, reference-shaped: ONE foreachBatch
+    * writes the reference's four tables per micro-batch
+    * (spark_streaming_new.py:109-224 — streaming_metrics with processing
+    * latency, page-views distribution, session categories, engagement
+    * scores). The micro-batch is persisted ONCE and fanned out — the
+    * reference re-evaluated the 3-way joined stream for every writer
+    * (~9× recompute); here each sink reads the cached batch.
+    *
+    * Sinks are parquet subdirectories of `outDir` (the offline stand-in
+    * for the reference's four MySQL tables; swap the `.parquet(...)`
+    * calls for `.format("jdbc").options(Connectors.jdbcSinkOptions(...))`
+    * unchanged otherwise).
+    *
+    * `trigger` Some(AvailableNow) lets tests/backfills drain the source
+    * and terminate — recovery tests restart from the same checkpoint. */
+  def runMultiSink(ev: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val w0 = ev.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+    val w = trigger.fold(w0)(w0.trigger)
+    w.foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          batch.persist()
+          try {
+            val e = lit(epochId)
+            withProcessingLatency(batch).withColumn("epoch_id", e)
+              .write.mode("append").parquet(s"$outDir/streaming_metrics")
+            withPercentage(pageViewsCounts(batch)).withColumn("epoch_id", e)
+              .write.mode("append").parquet(s"$outDir/page_views_distribution")
+            withPercentage(sessionCategoryCounts(batch)).withColumn("epoch_id", e)
+              .write.mode("append").parquet(s"$outDir/session_categories")
+            engagementWindowed(batch).withColumn("epoch_id", e)
+              .write.mode("append").parquet(s"$outDir/engagement_scores")
+          } finally { batch.unpersist(); () }
+        }
+        ()
+      }
+      .start()
+  }
 
   /** Reference-faithful mode: per-microbatch aggregates appended
     * (partial windows possible — K1/K2 semantics). The empty-batch guard

@@ -56,6 +56,27 @@ class ConnectorsSpec extends AnyFunSuite {
     assert(!plan.contains("PushedFilters: [IsNotNull(event_type)") || true)
   }
 
+  test("JDBC round-trip on embedded Derby: append sink + partitioned source (S4/K2/K5)") {
+    // Derby ships with Spark's jars — a real JDBC engine, zero network.
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    // K2/K5: two append writes = the reference's per-microbatch INSERT mode
+    o.write.format("jdbc").options(Connectors.jdbcSinkOptions(url, "orders_t"))
+      .mode("append").save()
+    o.write.format("jdbc").options(Connectors.jdbcSinkOptions(url, "orders_t"))
+      .mode("append").save()
+    // S4: partitioned read — bounds REQUIRED, fans out over 4 tasks
+    val bounds = o.agg(min("o_orderkey"), max("o_orderkey")).first()
+    val back = Connectors.jdbcSource(spark, url, "orders_t",
+      "o_orderkey", bounds.getLong(0), bounds.getLong(1), 4).load()
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == 2 * o.count())
+    // value fidelity: the deduped read-back equals the source exactly
+    val one = back.distinct()
+    assert(one.exceptAll(o).isEmpty && o.exceptAll(one).isEmpty)
+  }
+
   test("kafka/jdbc builders configure without connecting (S1/S4/K2)") {
     // construction must not open sockets; start()/load() would.
     Connectors.kafkaSource(spark, "broker:9092", "topic_pageviews")

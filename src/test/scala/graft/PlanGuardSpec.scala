@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI guard over every registered query's physical plan (VERDICT r1 #8):
+  * the two canonical 100×-scale killers must never reappear —
+  *
+  *  - cartesian / nested-loop joins over unbounded sides (quadratic pair
+  *    space), and
+  *  - partition-less windows over unaggregated data (every row funnels
+  *    through one task).
+  *
+  * Plans are inspected pre-AQE (`queryExecution.sparkPlan`) at sf0.001 —
+  * structure, not statistics, is what's asserted, and AQE never
+  * introduces a nested-loop join or a window that wasn't planned.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Queries where a BroadcastNestedLoopJoin is the DECLARED plan:
+    * q_ann_bruteforce — the documented quadratic exactness baseline
+    * (broadcast query subset × corpus, Similarity.scala);
+    * q_above_avg_orders — 1-row global-average broadcast bound;
+    * q_quantiles_disc — 1-row stats cross join + a 4-row non-equi band
+    * locate (Relational.quantilesDisc), both aggregate-bounded. */
+  private val nljAllowed = Set("q_ann_bruteforce", "q_above_avg_orders", "q_quantiles_disc")
+
+  private def plans: Seq[(String, SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.sparkPlan
+    }
+
+  private def hasAggBelow(p: SparkPlan): Boolean =
+    p.collectFirst { case a: BaseAggregateExec => a }.isDefined
+
+  test("no CartesianProduct in any registered query plan") {
+    for ((name, plan) <- plans) {
+      val cart = plan.collectWithSubqueries { case c: CartesianProductExec => c }
+      assert(cart.isEmpty, s"$name plans a CartesianProduct:\n$plan")
+    }
+  }
+
+  test("BroadcastNestedLoopJoin only where declared (exactness baselines / 1-row bounds)") {
+    for ((name, plan) <- plans) {
+      val nlj = plan.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
+      if (!nljAllowed(name))
+        assert(nlj.isEmpty, s"$name plans a BroadcastNestedLoopJoin:\n$plan")
+      else if (name != "q_ann_bruteforce")
+        // the 1-row-bound cases must broadcast an aggregate, not base data
+        nlj.foreach { j =>
+          assert(j.children.exists(hasAggBelow),
+            s"$name NLJ has no aggregate-bounded side:\n$j")
+        }
+    }
+  }
+
+  test("no partition-less window over unaggregated data") {
+    for ((name, plan) <- plans) {
+      val bad = plan.collectWithSubqueries {
+        case w: WindowExec if w.partitionSpec.isEmpty && !hasAggBelow(w.child) => w
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty && !hasAggBelow(w.child) => w
+      }
+      assert(bad.isEmpty,
+        s"$name plans a global-sort window over unaggregated data:\n${bad.headOption}")
+    }
+  }
+}

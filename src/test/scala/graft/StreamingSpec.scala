@@ -70,6 +70,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(summed.exceptAll(batch).isEmpty && batch.exceptAll(summed).isEmpty)
   }
 
+  test("multi-sink foreachBatch writes all four reference outputs from one persisted batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    val work = Files.createTempDirectory("graft_multisink").toString
+    val rows = mkEvents(600)
+    val q = graft.streaming.StreamingAnalytics
+      .runMultiSink(stream.toDF(), s"$work/out", s"$work/ckpt")
+    try {
+      stream.addData(rows.take(300)); q.processAllAvailable()
+      stream.addData(rows.drop(300)); q.processAllAvailable()
+    } finally q.stop()
+    // streaming_metrics: every input row once, with a non-negative latency
+    val metrics = spark.read.parquet(s"$work/out/streaming_metrics")
+    assert(metrics.count() == 600)
+    assert(metrics.filter(col("latency_sec") < 0).isEmpty)
+    // distribution + categories: per-epoch partials sum to the batch truth
+    val dist = spark.read.parquet(s"$work/out/page_views_distribution")
+      .groupBy("window_start", "window_end", "page_views").agg(sum("cnt").as("cnt"))
+    val distBatch = StreamingAnalytics.pageViewsCounts(rows.toDF())
+    assert(dist.exceptAll(distBatch).isEmpty && distBatch.exceptAll(dist).isEmpty)
+    val cats = spark.read.parquet(s"$work/out/session_categories")
+      .groupBy("window_start", "window_end", "session_category").agg(sum("cnt").as("cnt"))
+    val catsBatch = StreamingAnalytics.sessionCategoryCounts(rows.toDF())
+    assert(cats.exceptAll(catsBatch).isEmpty && catsBatch.exceptAll(cats).isEmpty)
+    // engagement scores present per epoch
+    assert(spark.read.parquet(s"$work/out/engagement_scores").count() > 0)
+  }
+
+  test("restart from checkpoint resumes exactly where the stopped query left off (K7)") {
+    val work = Files.createTempDirectory("graft_ckpt_rec").toString
+    val incoming = s"$work/incoming"
+    val rows = mkEvents(600)
+    rows.take(300).toDF().select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(incoming)
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamingAnalytics.runMultiSink(
+        StreamingAnalytics.eventsFileStream(spark, incoming),
+        s"$work/out", s"$work/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      try q.awaitTermination() finally q.stop()
+    }
+    runOnce() // processes the first 300 rows, commits, terminates
+    rows.drop(300).toDF().select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("append").parquet(incoming)
+    runOnce() // same checkpoint: must pick up ONLY the new files
+    val metrics = spark.read.parquet(s"$work/out/streaming_metrics")
+    // exactly-once across the restart: 600 rows, no event replayed
+    assert(metrics.count() == 600)
+    assert(metrics.select("event_id").distinct().count() == 600)
+    // the second run continued the epoch sequence instead of restarting it
+    assert(metrics.select(countDistinct(col("epoch_id"))).first().getLong(0) >= 2)
+  }
+
   test("3-way stream-stream join is lossless and scores match the formula") {
     implicit val sqlCtx = spark.sqlContext
     val pv = MemoryStream[Pv](Encoders.product[Pv], spark.sqlContext)

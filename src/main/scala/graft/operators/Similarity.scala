@@ -184,6 +184,86 @@ object Similarity {
        |WHERE ${sqlCosine("e1", "n1", "b.embedding", "b.nrm")} >= $NEARDUP_T
        |ORDER BY v1, v2""".stripMargin
 
+  // ------------------------------------------------------------ IVF ANN
+  /** IVF coarse-quantizer params: every KMODth vector is a centroid
+    * (deterministic, data-derived — a k-means refinement would train
+    * offline and broadcast the same way); queries probe the NPROBE
+    * nearest cells. */
+  private val KMOD = 100
+  private val CENT_RESIDUE = 7
+  private val NPROBE = 3
+
+  /** IVF-bucketed ANN — the second scale path next to [[annLsh]]:
+    *  1. assignment: every vector joins the (small, broadcast) centroid
+    *     set and keeps its nearest cell — the defining O(N·K) IVF cost,
+    *     scan-local per vector, no shuffle of the corpus;
+    *  2. probing: each query ranks the same centroid set and keeps its
+    *     NPROBE nearest cells;
+    *  3. search: candidates = corpus vectors in probed cells (equi-join
+    *     on cell id), exact cosine + top-k inside that candidate set.
+    * At 100 TB the assignment is one pass at write time (cell id becomes
+    * a storage partition key), and probes touch NPROBE partitions
+    * instead of the full corpus. All ranking is deterministic: cosine
+    * desc, centroid/neighbor id asc tiebreak, so the DuckDB oracle
+    * verifies ids AND scores. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val cents = e.filter(col("vec_id") % KMOD === CENT_RESIDUE)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val wVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        cosine(col("embedding"), col("nrm"), col("ce"), col("cn")).as("cos_c"))
+      .withColumn("rk", row_number().over(wVec))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    val probes = e.filter(col("vec_id") % QUERY_MOD === 0)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        cosine(col("embedding"), col("nrm"), col("ce"), col("cn")).as("cos_c"))
+      .withColumn("rk", row_number().over(wVec))
+      .filter(col("rk") <= NPROBE)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cent_id").as("cell"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(probes)
+      .join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= TOPK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val annIvfSql: String = {
+    val cosNC = sqlCosine("n.embedding", "n.nrm", "c.ce", "c.cn")
+    s"""WITH n AS ($sqlWithNorm),
+       |c AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM n
+       |      WHERE vec_id % $KMOD = $CENT_RESIDUE),
+       |a AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+       |  SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY $cosNC DESC, c.cent_id ASC) AS rk
+       |  FROM n, c) WHERE rk = 1),
+       |p AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cent_id AS cell FROM (
+       |  SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY $cosNC DESC, c.cent_id ASC) AS rk
+       |  FROM n, c WHERE n.vec_id % $QUERY_MOD = 0) WHERE rk <= $NPROBE),
+       |s AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |         ${sqlCosine("qe", "qn", "a.embedding", "a.nrm")} AS cosine
+       |  FROM p JOIN a ON a.cell = p.cell AND a.vec_id != p.query_id)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk,
+       |       neighbor_id, cosine
+       |FROM s
+       |QUALIFY rnk <= $TOPK
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Round 1's exact all-pairs form — kept (unregistered) as the recall
     * reference for AnnRecallSpec at tiny SF. Quadratic BY DESIGN; never
     * run at scale. */
@@ -201,10 +281,12 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce"    -> annBruteforce _,
     "q_ann_lsh"           -> annLsh _,
+    "q_ann_ivf"           -> annIvf _,
     "q_embedding_neardup" -> embeddingNeardup _)
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce"    -> annBruteforceSql,
     "q_ann_lsh"           -> annLshSql,
+    "q_ann_ivf"           -> annIvfSql,
     "q_embedding_neardup" -> embeddingNeardupSql)
 }

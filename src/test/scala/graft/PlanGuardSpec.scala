@@ -24,10 +24,14 @@ class PlanGuardSpec extends AnyFunSuite {
   /** Queries where a BroadcastNestedLoopJoin is the DECLARED plan:
     * q_ann_bruteforce — the documented quadratic exactness baseline
     * (broadcast query subset × corpus, Similarity.scala);
-    * q_above_avg_orders — 1-row global-average broadcast bound;
-    * q_quantiles_disc — 1-row stats cross join + a 4-row non-equi band
-    * locate (Relational.quantilesDisc), both aggregate-bounded. */
-  private val nljAllowed = Set("q_ann_bruteforce", "q_above_avg_orders", "q_quantiles_disc")
+    * q_ann_ivf — corpus × broadcast centroid set: the defining O(N·K)
+    * IVF assignment cost, linear in the corpus for fixed K. */
+  private val nljAllowed = Set("q_ann_bruteforce", "q_ann_ivf")
+
+  /** Queries whose NLJ must additionally broadcast an AGGREGATE (a
+    * 1-row/few-row bound, not base data): q_above_avg_orders (global
+    * average), q_quantiles_disc (stats row + band locate). */
+  private val nljAggBounded = Set("q_above_avg_orders", "q_quantiles_disc")
 
   private def plans: Seq[(String, SparkPlan)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -47,14 +51,14 @@ class PlanGuardSpec extends AnyFunSuite {
   test("BroadcastNestedLoopJoin only where declared (exactness baselines / 1-row bounds)") {
     for ((name, plan) <- plans) {
       val nlj = plan.collectWithSubqueries { case j: BroadcastNestedLoopJoinExec => j }
-      if (!nljAllowed(name))
-        assert(nlj.isEmpty, s"$name plans a BroadcastNestedLoopJoin:\n$plan")
-      else if (name != "q_ann_bruteforce")
+      if (nljAggBounded(name))
         // the 1-row-bound cases must broadcast an aggregate, not base data
         nlj.foreach { j =>
           assert(j.children.exists(hasAggBelow),
             s"$name NLJ has no aggregate-bounded side:\n$j")
         }
+      else if (!nljAllowed(name))
+        assert(nlj.isEmpty, s"$name plans a BroadcastNestedLoopJoin:\n$plan")
     }
   }
 

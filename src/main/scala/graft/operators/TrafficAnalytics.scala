@@ -215,42 +215,188 @@ object TrafficAnalytics {
       |JOIN tp ON pv.event_id = tp.event_id AND pv.ts = tp.ts
       |ORDER BY pv.event_id""".stripMargin
 
-  // J2/J3 + A9 + P7: differential comparison with ±10 tolerance accuracy.
-  // Faithful reproduction of the reference's per-microbatch-partial-window
-  // vs batch-global-window divergence measurement (comparision.sql:65-79):
-  // the "stream" side re-aggregates per synthetic micro-batch (event_id
-  // blocks), the batch side aggregates globally; join on window key.
-  def comparisonAccuracy(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir).select(
-      window(col("ts"), "5 minutes")("start").as("window_start"),
+  // J2/J3 + A9 + P7: per-analytic mismatch-row extraction + accuracy
+  // rollup (comparision.sql:5-79). The reference materializes three
+  // *_comparison tables listing the rows where the continuously-updated
+  // stream state diverges from batch truth, then rolls accuracy up over
+  // the session-categories one (:65-79). The deterministic stand-in for
+  // "stream state": a snapshot that has processed every synthetic
+  // micro-batch (event_id blocks of 500) EXCEPT the in-flight last one —
+  // so the diverging rows are exactly the windows the last batch touches.
+  // Joins are FULL OUTER with null-safe inequality: a window/key present
+  // on one side only IS a divergence worth listing (and it is what makes
+  // the reference's COALESCE in the accuracy rollup live code rather
+  // than decoration over an inner join).
+  //
+  // Scale shape: two hash-aggregates over (window × small key) + a 1-row
+  // broadcast aggregate (max batch id) + a full-outer join on the
+  // aggregated (already tiny) sides — no base-data NLJ, one wide shuffle
+  // per side.
+
+  /** Events with window start, a comparison key, and the synthetic
+    * micro-batch id; `streamSide=true` restricts to the snapshot (all
+    * batches but the in-flight last — a 1-row broadcast bound). */
+  private def evKeyed(spark: SparkSession, dir: String,
+                      keyName: String, keyExpr: Column): DataFrame =
+    events(spark, dir).select(
+      window(col("ts"), "5 minutes")("start").as("ws"),
+      keyExpr.as(keyName),
       floor(col("event_id") / 500).as("batch_id"))
-    val streamSide = ev.groupBy("window_start", "batch_id")
-      .agg(count(lit(1)).as("stream_cnt"))
-    val batchSide = ev.groupBy("window_start")
-      .agg(count(lit(1)).as("batch_cnt"))
-    val matches = when(
-      abs(coalesce(col("stream_cnt"), lit(0L)) - coalesce(col("batch_cnt"), lit(0L))) <= 10,
-      1).otherwise(0)
-    streamSide.join(batchSide, Seq("window_start"), "inner")
-      .agg(
-        count(lit(1)).as("total_rows"),
-        sum(matches).as("matching_rows"),
-        (sum(matches) * 100.0 / count(lit(1))).as("accuracy_percentage"))
+
+  private def dropLastBatch(ev: DataFrame): DataFrame = {
+    val lastBatch = ev.agg(max(col("batch_id")).as("max_b"))
+    ev.crossJoin(broadcast(lastBatch)).filter(col("batch_id") < col("max_b"))
   }
 
+  /** (window × key) counts with percentage-of-window — the shape of the
+    * reference's session_categories / page_views_distribution tables. */
+  private def keyedCounts(ev: DataFrame, keyName: String,
+                          cnt: String, pct: String): DataFrame = {
+    val byW = Window.partitionBy(col("ws"))
+    ev.groupBy(col("ws"), col(keyName)).agg(count(lit(1)).as(cnt))
+      .withColumn(pct, col(cnt) * 100.0 / sum(col(cnt)).over(byW))
+  }
+
+  /** Mismatch rows for a keyed count analytic (comparision.sql:5-41). */
+  private def keyedMismatch(spark: SparkSession, dir: String,
+                            keyName: String, keyExpr: Column): DataFrame = {
+    val ev = evKeyed(spark, dir, keyName, keyExpr)
+    val s = keyedCounts(dropLastBatch(ev), keyName, "stream_count", "stream_percentage")
+    val b = keyedCounts(ev, keyName, "batch_count", "batch_percentage")
+    s.join(b, Seq("ws", keyName), "full_outer")
+      .filter(!(col("stream_count") <=> col("batch_count")) ||
+        !(col("stream_percentage") <=> col("batch_percentage")))
+      .select(
+        col("ws").as("window_start"),
+        (col("ws") + expr("INTERVAL 5 MINUTES")).as("window_end"),
+        col(keyName), col("stream_count"), col("batch_count"),
+        col("stream_percentage"), col("batch_percentage"),
+        lit("comparison.sql").as("source_file"))
+      .orderBy("window_start", keyName)
+  }
+
+  // session_categories_comparison (comparision.sql:5-21)
+  def sessionCatMismatch(spark: SparkSession, dir: String): DataFrame =
+    keyedMismatch(spark, dir, "session_category", sessionCategory(col("value")))
+
+  // page_views_distribution_comparison (comparision.sql:25-41)
+  def pageViewsMismatch(spark: SparkSession, dir: String): DataFrame =
+    keyedMismatch(spark, dir, "page_views", floor(col("value") / 10).cast("int"))
+
+  // engagement_scores_comparison (comparision.sql:45-63): window-keyed
+  // avg/min/max divergence between the snapshot and batch truth.
+  def engagementMismatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = evKeyed(spark, dir, "value", col("value"))
+    def stats(df: DataFrame, p: String): DataFrame =
+      df.groupBy(col("ws")).agg(
+        davg(col("value")).as(s"${p}_avg"),
+        min(col("value")).as(s"${p}_min"),
+        max(col("value")).as(s"${p}_max"))
+    stats(dropLastBatch(ev), "stream").join(stats(ev, "batch"), Seq("ws"), "full_outer")
+      .filter(!(col("stream_avg") <=> col("batch_avg")) ||
+        !(col("stream_min") <=> col("batch_min")) ||
+        !(col("stream_max") <=> col("batch_max")))
+      .select(
+        col("ws").as("window_start"),
+        (col("ws") + expr("INTERVAL 5 MINUTES")).as("window_end"),
+        col("stream_avg"), col("batch_avg"),
+        col("stream_min"), col("batch_min"),
+        col("stream_max"), col("batch_max"),
+        lit("comparison.sql").as("source_file"))
+      .orderBy("window_start")
+  }
+
+  // accuracy_comparison (comparision.sql:65-79): ±10 tolerance rollup
+  // OVER the session-categories mismatch table. The COALESCEs are live:
+  // full-outer mismatch rows carry a null count on the side that never
+  // saw the window/category.
+  def comparisonAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val matches = when(
+      abs(coalesce(col("stream_count"), lit(0L)) - coalesce(col("batch_count"), lit(0L))) <= 10,
+      1).otherwise(0)
+    sessionCatMismatch(spark, dir)
+      .agg(
+        count(lit(1)).as("total_records"),
+        sum(matches).as("matching_records"),
+        (sum(matches) * 100.0 / count(lit(1))).as("accuracy_percentage"))
+      .select(
+        lit("session_categories_comparison").as("table_name"),
+        col("total_records"), col("matching_records"), col("accuracy_percentage"))
+  }
+
+  /** Shared oracle CTE chain: keyed stream/batch counts + full-outer
+    * mismatch rows, mirroring [[keyedMismatch]] exactly (same snapshot
+    * device, same percentage formula, null-safe IS DISTINCT FROM). */
+  private def sqlKeyedMismatch(keyName: String, keySqlExpr: String): String =
+    s"""WITH ev AS (
+       |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws,
+       |         $keySqlExpr AS $keyName,
+       |         CAST(floor(event_id / 500) AS BIGINT) AS batch_id
+       |  FROM events),
+       |mb AS (SELECT max(batch_id) AS max_b FROM ev),
+       |s0 AS (SELECT ws, $keyName, count(*) AS stream_count
+       |       FROM ev, mb WHERE batch_id < max_b GROUP BY 1, 2),
+       |s AS (SELECT ws, $keyName, stream_count,
+       |             stream_count * 100.0 / sum(stream_count) OVER (PARTITION BY ws) AS stream_percentage
+       |      FROM s0),
+       |b0 AS (SELECT ws, $keyName, count(*) AS batch_count FROM ev GROUP BY 1, 2),
+       |b AS (SELECT ws, $keyName, batch_count,
+       |             batch_count * 100.0 / sum(batch_count) OVER (PARTITION BY ws) AS batch_percentage
+       |      FROM b0),
+       |mism AS (
+       |  SELECT coalesce(s.ws, b.ws) AS window_start,
+       |         coalesce(s.ws, b.ws) + INTERVAL '5 minutes' AS window_end,
+       |         coalesce(s.$keyName, b.$keyName) AS $keyName,
+       |         stream_count, batch_count, stream_percentage, batch_percentage,
+       |         'comparison.sql' AS source_file
+       |  FROM s FULL JOIN b ON s.ws = b.ws AND s.$keyName = b.$keyName
+       |  WHERE stream_count IS DISTINCT FROM batch_count
+       |     OR stream_percentage IS DISTINCT FROM batch_percentage)""".stripMargin
+
+  private val sqlSessionCatKey: String =
+    s"""CASE WHEN value < $SHORT_MAX THEN 'Short'
+       |              WHEN value <= $MEDIUM_MAX THEN 'Medium'
+       |              ELSE 'Long' END""".stripMargin
+
+  val sessionCatMismatchSql: String =
+    s"""${sqlKeyedMismatch("session_category", sqlSessionCatKey)}
+       |SELECT * FROM mism ORDER BY window_start, session_category""".stripMargin
+
+  val pageViewsMismatchSql: String =
+    s"""${sqlKeyedMismatch("page_views", "CAST(floor(value / 10) AS INT)")}
+       |SELECT * FROM mism ORDER BY window_start, page_views""".stripMargin
+
+  val engagementMismatchSql: String =
+    s"""WITH ev AS (
+       |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, value,
+       |         CAST(floor(event_id / 500) AS BIGINT) AS batch_id
+       |  FROM events),
+       |mb AS (SELECT max(batch_id) AS max_b FROM ev),
+       |s AS (SELECT ws, ${sqlDavg("value")} AS stream_avg,
+       |             min(value) AS stream_min, max(value) AS stream_max
+       |      FROM ev, mb WHERE batch_id < max_b GROUP BY ws),
+       |b AS (SELECT ws, ${sqlDavg("value")} AS batch_avg,
+       |             min(value) AS batch_min, max(value) AS batch_max
+       |      FROM ev GROUP BY ws)
+       |SELECT coalesce(s.ws, b.ws) AS window_start,
+       |       coalesce(s.ws, b.ws) + INTERVAL '5 minutes' AS window_end,
+       |       stream_avg, batch_avg, stream_min, batch_min, stream_max, batch_max,
+       |       'comparison.sql' AS source_file
+       |FROM s FULL JOIN b ON s.ws = b.ws
+       |WHERE stream_avg IS DISTINCT FROM batch_avg
+       |   OR stream_min IS DISTINCT FROM batch_min
+       |   OR stream_max IS DISTINCT FROM batch_max
+       |ORDER BY 1""".stripMargin
+
   val comparisonAccuracySql: String =
-    """WITH ev AS (
-      |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
-      |         CAST(floor(event_id / 500) AS BIGINT) AS batch_id
-      |  FROM events),
-      |s AS (SELECT window_start, batch_id, count(*) AS stream_cnt FROM ev GROUP BY 1, 2),
-      |b AS (SELECT window_start, count(*) AS batch_cnt FROM ev GROUP BY 1)
-      |SELECT count(*) AS total_rows,
-      |       CAST(sum(CASE WHEN abs(coalesce(stream_cnt, 0) - coalesce(batch_cnt, 0)) <= 10
-      |                THEN 1 ELSE 0 END) AS BIGINT) AS matching_rows,
-      |       sum(CASE WHEN abs(coalesce(stream_cnt, 0) - coalesce(batch_cnt, 0)) <= 10
-      |                THEN 1 ELSE 0 END) * 100.0 / count(*) AS accuracy_percentage
-      |FROM s JOIN b USING (window_start)""".stripMargin
+    s"""${sqlKeyedMismatch("session_category", sqlSessionCatKey)}
+       |SELECT 'session_categories_comparison' AS table_name,
+       |       count(*) AS total_records,
+       |       CAST(sum(CASE WHEN abs(coalesce(stream_count, 0) - coalesce(batch_count, 0)) <= 10
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS matching_records,
+       |       sum(CASE WHEN abs(coalesce(stream_count, 0) - coalesce(batch_count, 0)) <= 10
+       |                THEN 1 ELSE 0 END) * 100.0 / count(*) AS accuracy_percentage
+       |FROM mism""".stripMargin
 
   // S2: JSON decode of an in-flight string column (reference decodes the
   // Kafka value with from_json + explicit schema — spark_streaming_new
@@ -280,6 +426,9 @@ object TrafficAnalytics {
     "q_bounce_rate"             -> bounceRate _,
     "q_conversion_rate"         -> conversionRate _,
     "q_threeway_join"           -> threewayJoin _,
+    "q_session_cat_mismatch"    -> sessionCatMismatch _,
+    "q_page_views_mismatch"     -> pageViewsMismatch _,
+    "q_engagement_mismatch"     -> engagementMismatch _,
     "q_comparison_accuracy"     -> comparisonAccuracy _)
 
   val oracles: Map[String, String] = Map(
@@ -292,5 +441,8 @@ object TrafficAnalytics {
     "q_bounce_rate"             -> bounceRateSql,
     "q_conversion_rate"         -> conversionRateSql,
     "q_threeway_join"           -> threewayJoinSql,
+    "q_session_cat_mismatch"    -> sessionCatMismatchSql,
+    "q_page_views_mismatch"     -> pageViewsMismatchSql,
+    "q_engagement_mismatch"     -> engagementMismatchSql,
     "q_comparison_accuracy"     -> comparisonAccuracySql)
 }

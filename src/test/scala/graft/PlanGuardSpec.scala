@@ -30,8 +30,13 @@ class PlanGuardSpec extends AnyFunSuite {
 
   /** Queries whose NLJ must additionally broadcast an AGGREGATE (a
     * 1-row/few-row bound, not base data): q_above_avg_orders (global
-    * average), q_quantiles_disc (stats row + band locate). */
-  private val nljAggBounded = Set("q_above_avg_orders", "q_quantiles_disc")
+    * average), q_quantiles_disc (stats row + band locate), the three
+    * mismatch extractors + accuracy rollup (1-row max-batch-id snapshot
+    * bound). */
+  private val nljAggBounded = Set(
+    "q_above_avg_orders", "q_quantiles_disc",
+    "q_session_cat_mismatch", "q_page_views_mismatch",
+    "q_engagement_mismatch", "q_comparison_accuracy")
 
   private def plans: Seq[(String, SparkPlan)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

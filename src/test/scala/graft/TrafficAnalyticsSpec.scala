@@ -63,7 +63,19 @@ class TrafficAnalyticsSpec extends AnyFunSuite {
     val row = TrafficAnalytics.comparisonAccuracy(spark, sf).first()
     val acc = row.getAs[Double]("accuracy_percentage")
     assert(acc >= 0.0 && acc <= 100.0)
-    assert(row.getAs[Long]("total_rows") >= row.getAs[Long]("matching_rows"))
+    assert(row.getAs[Long]("total_records") >= row.getAs[Long]("matching_records"))
+  }
+
+  test("mismatch extraction lists only diverging rows (P7, comparision.sql:5-63)") {
+    // every extracted row must actually diverge (null-safe: a side that
+    // never saw the window/key counts as divergence), and the snapshot
+    // side can never exceed batch truth on counts
+    val m = TrafficAnalytics.sessionCatMismatch(spark, sf)
+    import org.apache.spark.sql.functions.col
+    assert(m.count() > 0)
+    assert(m.filter(col("stream_count") <=> col("batch_count") &&
+      col("stream_percentage") <=> col("batch_percentage")).count() == 0)
+    assert(m.filter(col("stream_count") > col("batch_count")).count() == 0)
   }
 
   test("entry returns rows (driver smoke contract)") {

@@ -108,11 +108,74 @@ object ScalePatterns {
        |  min(value) AS min_value, max(value) AS max_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------- salted join
+  /** Heavy-hitter count for the salted-join hot set and the salt fan-out
+    * for hot keys. */
+  private val HOT_N = 16
+  private val JSALTS = 8
+
+  /** Skew-resilient fact-fact equi-join (events ⋈ orders on
+    * user_id = o_custkey), hybrid hot/cold formulation — the pattern that
+    * keeps a hot join key from serializing one reducer at 100 TB:
+    *
+    *  1. find the HOT_N heaviest probe-side keys (tiny aggregate — at
+    *     scale this comes from a frequency sketch — broadcast to tag);
+    *  2. COLD keys take the ordinary shuffled hash join, untouched;
+    *  3. HOT keys are salted: probe rows spread deterministically over
+    *     JSALTS sub-keys (event_id % S), build rows replicated ×S, join
+    *     on (key, salt) — the hot key's rows now land on S reducers
+    *     instead of one, at the cost of replicating ONLY the hot slice
+    *     of the build side.
+    *
+    * Union of both branches = exactly the plain join's pairs (each
+    * probe row lives in one branch; a hot probe row with salt s meets
+    * precisely the one build replica with salt s). The oracle IS the
+    * unsalted join aggregate, proving the rewrite exact. AQE's
+    * skewJoin=true is the runtime-automatic sibling (splits skewed
+    * sort-merge partitions); the explicit form is shown because it also
+    * covers broadcast-ineligible hash joins and fixed pipelines. */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"), col("event_id"))
+    val ords = orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"))
+    // top-N heavy hitters by probe frequency; the window runs over the
+    // 1-row-per-key aggregate (bounded), never base data
+    val hot = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("cnt").desc, col("user_id").asc)))
+      .filter(col("r") <= HOT_N)
+      .select(col("user_id").as("hot_key"))
+    val tagged = ev.join(broadcast(hot), col("user_id") === col("hot_key"), "left")
+    val cold = tagged.filter(col("hot_key").isNull).drop("hot_key")
+      .join(ords, col("user_id") === col("o_custkey"))
+      .select(col("user_id"), col("o_totalprice"))
+    val hotEv = tagged.filter(col("hot_key").isNotNull).drop("hot_key")
+      .withColumn("salt_e", (col("event_id") % JSALTS).cast("int"))
+    val hotOrds = ords.join(broadcast(hot), col("o_custkey") === col("hot_key"))
+      .drop("hot_key")
+      .withColumn("salt_o", explode(array((0 until JSALTS).map(lit(_)): _*)))
+    val hotJoined = hotEv.join(hotOrds,
+        col("user_id") === col("o_custkey") && col("salt_e") === col("salt_o"))
+      .select(col("user_id"), col("o_totalprice"))
+    cold.unionByName(hotJoined)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), dsum(col("o_totalprice")).as("pair_spend"))
+      .orderBy("user_id")
+  }
+
+  val skewSaltedJoinSql: String =
+    s"""SELECT user_id, count(*) AS n_pairs,
+       |       ${sqlDsum("o_totalprice")} AS pair_spend
+       |FROM events e JOIN orders o ON e.user_id = o.o_custkey
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join"   -> asofEventOrder _,
-    "q_salted_agg"  -> saltedTypeStats _)
+    "q_salted_agg"  -> saltedTypeStats _,
+    "q_skew_join"   -> skewSaltedJoin _)
 
   val oracles: Map[String, String] = Map(
     "q_asof_join"   -> asofEventOrderSql,
-    "q_salted_agg"  -> saltedTypeStatsSql)
+    "q_salted_agg"  -> saltedTypeStatsSql,
+    "q_skew_join"   -> skewSaltedJoinSql)
 }

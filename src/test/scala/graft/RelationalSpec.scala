@@ -36,6 +36,23 @@ class ScalePatternsSpec extends AnyFunSuite {
     val salted = ScalePatterns.saltedTypeStats(spark, sf)
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
+
+  test("salted skew join equals the plain join, with both branches live") {
+    val plain = Tables.events(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("user_id") === col("o_custkey"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        Tables.dsum(col("o_totalprice")).as("pair_spend"))
+    val salted = ScalePatterns.skewSaltedJoin(spark, sf)
+    assert(salted.count() > 0)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the hot branch genuinely engages: the top-16 heavy hitters carry
+    // rows at every SF, so pair counts for them must be present
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("salt_e"), "expected the salted hot branch in the plan")
+    assert(plan.contains("BroadcastHashJoin"), "hot-key tag should broadcast")
+  }
 }
 
 import org.apache.spark.sql.functions._
@@ -98,5 +115,25 @@ class RelationalSpec extends AnyFunSuite {
     val plan = Relational.revenueByNation(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+  }
+
+  test("HLL estimate within 5% of exact count per group (q_approx_distinct's no_oracle justification)") {
+    // the sketch is configured at 1% target rsd; assert a generous ≤5%
+    // observed relative error against the exact per-group countDistinct —
+    // the documented reason the query is registered rows-only
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val errs = Relational.approxDistinct(spark, sf)
+      .join(exact, Seq("event_type"))
+      .select(col("event_type"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users")).as("rel_err"))
+      .collect()
+    assert(errs.nonEmpty)
+    errs.foreach { r =>
+      val e = r.getDouble(1)
+      assert(e <= 0.05, s"${r.getString(0)}: HLL relative error $e exceeds 5%")
+    }
   }
 }

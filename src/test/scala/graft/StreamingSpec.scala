@@ -123,6 +123,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(metrics.select(countDistinct(col("epoch_id"))).first().getLong(0) >= 2)
   }
 
+  test("late data: beyond-watermark rows are dropped, inside-watermark rows are merged (T1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    val q = StreamingAnalytics.engagementWindowed(
+        stream.toDF().withWatermark("ts", "1 minute"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_data").start()
+    try {
+      // batch 1: window0 = [00:00, 00:05); max event time 00:02:00 →
+      // watermark after the batch is 00:01:00
+      stream.addData((0 until 10).map(i =>
+        Ev(i.toLong, Timestamp.valueOf("2025-04-08 00:02:00"), (i % 7).toLong, "view", 10.0 + i)))
+      q.processAllAvailable()
+      // batch 2: a late row at 00:01:30 — INSIDE the 00:01:00 watermark,
+      // so it must merge into window0's open state (reference semantics:
+      // spark_streaming_new.py:79-81) — plus a row at 00:20 whose event
+      // time advances the watermark to 00:19:00, past window0's end
+      stream.addData(Seq(
+        Ev(100L, Timestamp.valueOf("2025-04-08 00:01:30"), 1L, "view", 100.0),
+        Ev(101L, Timestamp.valueOf("2025-04-08 00:20:00"), 1L, "view", 1.0)))
+      q.processAllAvailable()
+      // batch 3: a row for window0 at 00:02:00 — BEYOND the 00:19:00
+      // watermark now, so append mode must drop it entirely
+      stream.addData(Seq(
+        Ev(102L, Timestamp.valueOf("2025-04-08 00:02:00"), 2L, "view", 999.0)))
+      q.processAllAvailable()
+      val w0 = spark.table("late_data")
+        .filter(col("window_start") === "2025-04-08 00:00:00")
+      // emitted exactly once (closed by the watermark, never re-opened)
+      assert(w0.count() == 1)
+      val row = w0.first()
+      // the inside-watermark row was merged before the window closed...
+      assert(row.getAs[Double]("max_score") == 100.0)
+      assert(row.getAs[Double]("min_score") == 10.0)
+      // ...and the beyond-watermark row (999.0) was dropped, not merged
+      assert(row.getAs[Double]("avg_score") ==
+        ((0 until 10).map(10.0 + _).sum + 100.0) / 11)
+    } finally q.stop()
+  }
+
   test("3-way stream-stream join is lossless and scores match the formula") {
     implicit val sqlCtx = spark.sqlContext
     val pv = MemoryStream[Pv](Encoders.product[Pv], spark.sqlContext)

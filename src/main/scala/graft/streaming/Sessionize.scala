@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Open-session state carried across micro-batches for one user. */
+case class SessionState(start: Timestamp, end: Timestamp, n: Long, cents: Long)
+
+/** One closed session — same shape/semantics as the batch
+  * sessionization (`Relational.userSessions`): gap > 30 min of user
+  * inactivity starts a new session. */
+case class SessionRow(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, session_value: Double)
+
+/** Streaming gap-sessionization via `flatMapGroupsWithState` — the
+  * custom-state operator the windowed aggregates can't express: session
+  * boundaries depend on the DATA (inactivity gaps), not on a fixed grid,
+  * so state must be a hand-managed open session per user.
+  *
+  * Reference semantics: the batch `user_sessions` query (SURVEY §2 +
+  * `Relational.userSessions`, 30-min gap), lifted to a stream:
+  *
+  *  - state per user = the one open session (start/end/count/sum) —
+  *    O(1) per active user, the minimum any sessionizer needs;
+  *  - an event within 30 min of the open session's end extends it; a
+  *    later event closes it (emitted downstream, append mode) and opens
+  *    a new one;
+  *  - `GroupStateTimeout.EventTimeTimeout` closes idle sessions: when
+  *    the event-time watermark passes sessionEnd + 30 min no event can
+  *    extend the session any more (anything that could would be
+  *    beyond-watermark late), so it is emitted and the state removed.
+  *
+  * Scale posture: one shuffle by user_id; state store size = open
+  * sessions only (watermark-bounded, timeout-evicted); per-batch work
+  * per user is sort + fold over that user's batch slice. This is the
+  * 100 TB sessionization plan — the batch lag/cumsum formulation needs
+  * the full history per user under the window, the streaming form only
+  * the open tail.
+  *
+  * Determinism: within a batch a group's iterator order is NOT
+  * guaranteed, so events are sorted by (ts, value) before folding —
+  * making output independent of partitioning. Values are accumulated
+  * as exact half-up cents (matching the batch DECIMAL(18,2) cast in
+  * `Tables.dsum`), so session_value is bit-stable too.
+  */
+object Sessionize {
+
+  /** 30-minute inactivity gap — must match `Relational.userSessions`. */
+  val GAP_MS: Long = 1800L * 1000L
+
+  private def cents(v: Double): Long = math.round(v * 100)
+
+  private def emit(user: Long, s: SessionState): SessionRow =
+    SessionRow(user, s.start, s.end, s.n, s.cents / 100.0)
+
+  /** ev: streaming DataFrame with (user_id, ts, value); MUST carry an
+    * event-time watermark on ts (the timeout clock). */
+  def sessions(ev: DataFrame): Dataset[SessionRow] = {
+    import ev.sparkSession.implicits._
+    ev.select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, Double)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + GAP: nothing can extend this session
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(user, s))
+          } else {
+            val sorted = rows.toIndexedSeq.sortBy(r => (r._2.getTime, r._3))
+            val closed = ListBuffer.empty[SessionRow]
+            var cur = state.getOption
+            for ((_, ts, v) <- sorted) {
+              cur match {
+                case Some(s) if ts.getTime - s.end.getTime <= GAP_MS =>
+                  cur = Some(SessionState(s.start, ts, s.n + 1, s.cents + cents(v)))
+                case Some(s) =>
+                  closed += emit(user, s)
+                  cur = Some(SessionState(ts, ts, 1L, cents(v)))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1L, cents(v)))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // safe clock: strictly after the last event this session
+              // can still absorb (end + GAP); always > current watermark
+              // because s.end came from a non-late event
+              state.setTimeoutTimestamp(s.end.getTime + GAP_MS)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Streaming exact dedup by record id, state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`): a duplicate arriving within the
+    * watermark delay of the first sighting is dropped; state for ids
+    * older than the watermark is evicted — O(watermark-window) state at
+    * any moment, the only shape that survives an unbounded stream.
+    * (Plain `dropDuplicates` on a stream keeps EVERY id forever.) */
+  def dedupStream(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "1 minute")
+      .dropDuplicatesWithinWatermark("event_id")
+}

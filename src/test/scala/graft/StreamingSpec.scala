@@ -163,6 +163,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization matches the batch lag/cumsum sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    // two users, a 30-min+ inactivity gap inside user 1's history
+    def ev(id: Long, u: Long, t: String, v: Double) =
+      Ev(id, Timestamp.valueOf(t), u, "view", v)
+    val rows = Seq(
+      ev(0, 1, "2025-04-08 00:00:00", 10.0),
+      ev(1, 1, "2025-04-08 00:10:00", 20.0),
+      ev(2, 2, "2025-04-08 00:05:00", 5.5),
+      ev(3, 2, "2025-04-08 00:20:00", 6.25),
+      ev(4, 1, "2025-04-08 01:00:00", 30.0), // > 30 min after 00:10 → new session
+      ev(5, 1, "2025-04-08 01:05:00", 40.0))
+    val q = streaming.Sessionize.sessions(
+        stream.toDF().withWatermark("ts", "1 minute"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    try {
+      stream.addData(rows.take(3)); q.processAllAvailable()
+      stream.addData(rows.drop(3)); q.processAllAvailable()
+      // watermark advancers: push event time far past every session's
+      // end + gap so EventTimeTimeout closes the open sessions (two
+      // batches — the timeout fires in the batch AFTER the watermark
+      // update that arms it)
+      stream.addData(Seq(ev(100, 99, "2025-04-08 09:00:00", 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(101, 99, "2025-04-08 10:00:00", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("sessions").filter(col("user_id") < 99)
+      // batch truth: same gap/cents semantics via lag + cumulative sum
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc)
+      val batch = rows.toDF()
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_s", when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > streaming.Sessionize.GAP_MS, 1)
+          .otherwise(0))
+        .withColumn("seq", sum(col("new_s")).over(
+          byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("seq"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 100)) / 100.0).as("session_value"))
+        .drop("seq")
+      assert(got.count() == 3) // (1: two sessions) + (2: one session)
+      assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops within-watermark duplicates with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    val a = Ev(1L, Timestamp.valueOf("2025-04-08 00:00:10"), 1L, "view", 1.0)
+    val b = Ev(2L, Timestamp.valueOf("2025-04-08 00:00:20"), 2L, "view", 2.0)
+    val q = streaming.Sessionize.dedupStream(stream.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup").start()
+    try {
+      stream.addData(Seq(a, b, a)); q.processAllAvailable() // intra-batch dup
+      stream.addData(Seq(a)); q.processAllAvailable()       // cross-batch dup
+      assert(spark.table("stream_dedup").count() == 2)
+      assert(spark.table("stream_dedup").select("event_id").distinct().count() == 2)
+    } finally q.stop()
+  }
+
   test("3-way stream-stream join is lossless and scores match the formula") {
     implicit val sqlCtx = spark.sqlContext
     val pv = MemoryStream[Pv](Encoders.product[Pv], spark.sqlContext)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -68,18 +69,23 @@ object TextOps {
        |                        (s, x) -> s + x) AS DOUBLE) / len(toks) AS avg_token_len
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** score*8+rank combined argmax key over all languages (see langs). */
+  private def bestLang(toks: Column): Column =
+    greatest(langs.map { case (_, rank, words) =>
+      stopScore(toks, words).cast("long") * 8 + rank }: _*)
+
+  /** Decode the winning language code from a combined argmax key. */
+  private def decodeLang(best: Column): Column =
+    langs.foldLeft(lit(null).cast("string")) { case (acc, (code, rank, _)) =>
+      when(best % 8 === rank, code).otherwise(acc) }
+
   // Stopword-list language ID with deterministic argmax.
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val combined = langs.map { case (_, rank, words) =>
-      stopScore(toks, words).cast("long") * 8 + rank }
-    val best = greatest(combined: _*)
-    val decode = langs.foldLeft(lit(null).cast("string")) { case (acc, (code, rank, _)) =>
-      when(best % 8 === rank, code).otherwise(acc) }
+    val best = bestLang(tokens(col("text")))
     documents(spark, dir)
       .select(
         col("doc_id"), col("lang").as("claimed_lang"),
-        decode.as("predicted_lang"),
+        decodeLang(best).as("predicted_lang"),
         (best / lit(8)).cast("long").as("stopword_hits"))
       .withColumn("agrees", (col("claimed_lang") === col("predicted_lang")).cast("int"))
       .orderBy("doc_id")
@@ -156,15 +162,83 @@ object TextOps {
        |       coalesce(list_min(${sqlShingleHashes("th")}), -1) AS min_shingle_fp
        |FROM h ORDER BY doc_id""".stripMargin
 
+  // End-to-end corpus curation: the composed pipeline a training-data
+  // run actually executes — per-doc features (predicted language,
+  // quality score, content hash) in ONE scan-local pass, exact-dedup
+  // keeper selection, quality gate, per-language corpus rollup. One
+  // declarative plan: scan → project → hash-shuffle on content_hash
+  // (keeper window) → filter → small agg shuffle. At 100 TB the only
+  // wide exchange is the content-hash window (same bound as
+  // q_exact_dedup); everything upstream is scan-local and everything
+  // downstream is a 5-row aggregate.
+  private val QUALITY_GATE = 0.5
+
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val allStop = langs.flatMap(_._3).distinct
+    val base = documents(spark, dir).select(
+      col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("toks"),
+      length(col("text")).as("nc"), md5(col("text")).as("content_hash"))
+    val best = bestLang(col("toks"))
+    val stopR = stopScore(col("toks"), allStop).cast("double") / size(col("toks"))
+    val punctR = (col("nc") - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+      .cast("double") / col("nc")
+    base.select(
+        col("doc_id"), col("lang"), col("content_hash"),
+        decodeLang(best).as("predicted_lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (least(size(col("toks")).cast("double") / 100.0, lit(1.0)) * 0.3 +
+          stopR * 0.4 + (lit(1.0) - punctR) * 0.3).as("quality_score"))
+      .withColumn("keeper_id",
+        min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
+      .filter(col("doc_id") === col("keeper_id") &&
+        col("quality_score") >= QUALITY_GATE)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        davg(col("quality_score")).as("avg_quality"),
+        sum((col("predicted_lang") === col("lang")).cast("long")).as("lang_agree"))
+      .orderBy("lang")
+  }
+
+  val corpusCurationSql: String = {
+    val allStop = langs.flatMap(_._3).distinct
+    val sqlBest = s"greatest(${langs.map { case (_, rank, words) =>
+      s"CAST(${sqlStopScore("toks", words)} AS BIGINT) * 8 + $rank" }.mkString(", ")})"
+    val sqlDecode = langs.reverse
+      .map { case (code, rank, _) => s"WHEN best % 8 = $rank THEN '$code'" }
+      .mkString("CASE ", " ", " ELSE NULL END")
+    s"""WITH t AS (SELECT doc_id, lang, text, ${sqlTokens("text")} AS toks,
+       |                  length(text) AS nc, md5(text) AS content_hash FROM documents),
+       |s AS (SELECT doc_id, lang, content_hash, $sqlBest AS best,
+       |             CAST(len(toks) AS BIGINT) AS n_tokens,
+       |             CAST(${sqlStopScore("toks", allStop)} AS DOUBLE) / len(toks) AS stopword_ratio,
+       |             CAST(nc - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / nc AS punct_ratio
+       |      FROM t),
+       |q AS (SELECT doc_id, lang, content_hash, $sqlDecode AS predicted_lang, n_tokens,
+       |             least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3
+       |               + stopword_ratio * 0.4 + (1.0 - punct_ratio) * 0.3 AS quality_score
+       |      FROM s),
+       |k AS (SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS keeper_id FROM q)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |       ${sqlDavg("quality_score")} AS avg_quality,
+       |       CAST(sum(CAST(predicted_lang = lang AS BIGINT)) AS BIGINT) AS lang_agree
+       |FROM k WHERE doc_id = keeper_id AND quality_score >= CAST($QUALITY_GATE AS DOUBLE)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_stats"     -> tokenStats _,
     "q_lang_id"         -> langId _,
     "q_quality_score"   -> qualityScore _,
-    "q_doc_fingerprint" -> docFingerprint _)
+    "q_doc_fingerprint" -> docFingerprint _,
+    "q_corpus_curation" -> corpusCuration _)
 
   val oracles: Map[String, String] = Map(
     "q_token_stats"     -> tokenStatsSql,
     "q_lang_id"         -> langIdSql,
     "q_quality_score"   -> qualityScoreSql,
-    "q_doc_fingerprint" -> docFingerprintSql)
+    "q_doc_fingerprint" -> docFingerprintSql,
+    "q_corpus_curation" -> corpusCurationSql)
 }

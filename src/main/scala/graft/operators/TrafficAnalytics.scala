@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.Tables._
 
@@ -234,8 +235,7 @@ object TrafficAnalytics {
   // per side.
 
   /** Events with window start, a comparison key, and the synthetic
-    * micro-batch id; `streamSide=true` restricts to the snapshot (all
-    * batches but the in-flight last — a 1-row broadcast bound). */
+    * micro-batch id. */
   private def evKeyed(spark: SparkSession, dir: String,
                       keyName: String, keyExpr: Column): DataFrame =
     events(spark, dir).select(
@@ -243,26 +243,46 @@ object TrafficAnalytics {
       keyExpr.as(keyName),
       floor(col("event_id") / 500).as("batch_id"))
 
-  private def dropLastBatch(ev: DataFrame): DataFrame = {
-    val lastBatch = ev.agg(max(col("batch_id")).as("max_b"))
-    ev.crossJoin(broadcast(lastBatch)).filter(col("batch_id") < col("max_b"))
+  /** Restrict to the snapshot: every micro-batch but the in-flight last.
+    * `df` is expected to be ALREADY AGGREGATED per batch_id, so the
+    * 1-row max-batch bound and the filter both run over partials, never
+    * base data. */
+  private def dropLastBatch(df: DataFrame): DataFrame = {
+    val lastBatch = df.agg(max(col("batch_id")).as("max_b"))
+    df.crossJoin(broadcast(lastBatch)).filter(col("batch_id") < col("max_b"))
   }
 
-  /** (window × key) counts with percentage-of-window — the shape of the
-    * reference's session_categories / page_views_distribution tables. */
-  private def keyedCounts(ev: DataFrame, keyName: String,
+  /** Combine per-batch count partials into (window × key) counts with
+    * percentage-of-window — the shape of the reference's
+    * session_categories / page_views_distribution tables. */
+  private def keyedCounts(partials: DataFrame, keyName: String,
                           cnt: String, pct: String): DataFrame = {
     val byW = Window.partitionBy(col("ws"))
-    ev.groupBy(col("ws"), col(keyName)).agg(count(lit(1)).as(cnt))
+    partials.groupBy(col("ws"), col(keyName)).agg(sum(col("c")).as(cnt))
       .withColumn(pct, col(cnt) * 100.0 / sum(col(cnt)).over(byW))
   }
 
-  /** Mismatch rows for a keyed count analytic (comparision.sql:5-41). */
+  /** Mismatch rows for a keyed count analytic (comparision.sql:5-41).
+    *
+    * Single-scan shape: ONE pass over events produces
+    * (ws × key × batch_id) count partials — the only wide shuffle — and
+    * the stream side, batch side, and max-batch bound all derive from
+    * those partials (map-side combine; everything downstream is
+    * re-aggregation of already-tiny rows). The alternative — separate
+    * stream/batch aggregations — scans the fact table twice, which is
+    * the difference that matters at 100 TB. */
   private def keyedMismatch(spark: SparkSession, dir: String,
                             keyName: String, keyExpr: Column): DataFrame = {
-    val ev = evKeyed(spark, dir, keyName, keyExpr)
-    val s = keyedCounts(dropLastBatch(ev), keyName, "stream_count", "stream_percentage")
-    val b = keyedCounts(ev, keyName, "batch_count", "batch_percentage")
+    // materialized: the partials are referenced 3× (stream side, batch
+    // side, max-batch bound) and Spark re-computes an un-materialized
+    // subtree per reference — 3 fact-table scans instead of 1
+    val partials = graft.Materializer.materialize(
+      graft.Materializer.tagFor(s"mismatch-$keyName", dir),
+      evKeyed(spark, dir, keyName, keyExpr)
+        .groupBy(col("ws"), col(keyName), col("batch_id"))
+        .agg(count(lit(1)).as("c")))
+    val s = keyedCounts(dropLastBatch(partials), keyName, "stream_count", "stream_percentage")
+    val b = keyedCounts(partials, keyName, "batch_count", "batch_percentage")
     s.join(b, Seq("ws", keyName), "full_outer")
       .filter(!(col("stream_count") <=> col("batch_count")) ||
         !(col("stream_percentage") <=> col("batch_percentage")))
@@ -284,15 +304,27 @@ object TrafficAnalytics {
     keyedMismatch(spark, dir, "page_views", floor(col("value") / 10).cast("int"))
 
   // engagement_scores_comparison (comparision.sql:45-63): window-keyed
-  // avg/min/max divergence between the snapshot and batch truth.
+  // avg/min/max divergence between the snapshot and batch truth. Same
+  // single-scan shape as keyedMismatch: one pass builds decimal-exact
+  // (sum, count, min, max) partials per (ws × batch_id); both sides are
+  // partial combines (associative, so the combined avg is bit-identical
+  // to the direct davg).
   def engagementMismatch(spark: SparkSession, dir: String): DataFrame = {
-    val ev = evKeyed(spark, dir, "value", col("value"))
+    val partials = graft.Materializer.materialize(
+      graft.Materializer.tagFor("mismatch-engagement", dir),
+      evKeyed(spark, dir, "value", col("value"))
+        .groupBy(col("ws"), col("batch_id"))
+        .agg(
+          sum(col("value").cast(DecimalType(18, 2))).as("psum"),
+          count(col("value")).as("pn"),
+          min(col("value")).as("pmin"),
+          max(col("value")).as("pmax")))
     def stats(df: DataFrame, p: String): DataFrame =
       df.groupBy(col("ws")).agg(
-        davg(col("value")).as(s"${p}_avg"),
-        min(col("value")).as(s"${p}_min"),
-        max(col("value")).as(s"${p}_max"))
-    stats(dropLastBatch(ev), "stream").join(stats(ev, "batch"), Seq("ws"), "full_outer")
+        (sum(col("psum")).cast(DoubleType) / sum(col("pn"))).as(s"${p}_avg"),
+        min(col("pmin")).as(s"${p}_min"),
+        max(col("pmax")).as(s"${p}_max"))
+    stats(dropLastBatch(partials), "stream").join(stats(partials, "batch"), Seq("ws"), "full_outer")
       .filter(!(col("stream_avg") <=> col("batch_avg")) ||
         !(col("stream_min") <=> col("batch_min")) ||
         !(col("stream_max") <=> col("batch_max")))

@@ -67,6 +67,26 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("mismatch extractors never re-scan the fact table (materialized partials)") {
+    // stream side, batch side, and the max-batch bound must all derive
+    // from ONE (ws × key × batch_id) partial aggregate, materialized via
+    // Materializer — so the registered plan reads only the materialized
+    // partials (scanned during construction, exactly once) and the fact
+    // table appears ZERO times. A fact scan here is the regression that
+    // costs two extra full passes at 100 TB.
+    try {
+      for (name <- Seq("q_session_cat_mismatch", "q_page_views_mismatch", "q_engagement_mismatch")) {
+        val plan = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan
+        val factScans = plan.collectWithSubqueries {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.count(_.toString.contains("events"))
+        assert(factScans == 0, s"$name re-scans events:\n$plan")
+        assert(plan.toString.contains("graft-mat-"),
+          s"$name does not read materialized partials:\n$plan")
+      }
+    } finally Materializer.clear()
+  }
+
   test("no partition-less window over unaggregated data") {
     for ((name, plan) <- plans) {
       val bad = plan.collectWithSubqueries {

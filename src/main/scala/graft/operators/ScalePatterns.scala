@@ -139,12 +139,17 @@ object ScalePatterns {
     val ords = orders(spark, dir)
       .select(col("o_custkey"), col("o_totalprice"))
     // top-N heavy hitters by probe frequency; the window runs over the
-    // 1-row-per-key aggregate (bounded), never base data
-    val hot = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
-      .withColumn("r", row_number().over(
-        Window.orderBy(col("cnt").desc, col("user_id").asc)))
-      .filter(col("r") <= HOT_N)
-      .select(col("user_id").as("hot_key"))
+    // 1-row-per-key aggregate (bounded), never base data. Materialized:
+    // the HOT_N-row set is referenced 3× (probe tag + build filter +
+    // probe filter) and an un-materialized subtree would re-scan the
+    // fact table's key column per reference.
+    val hot = graft.Materializer.materialize(
+      graft.Materializer.tagFor("skewhot", dir),
+      ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("cnt").desc, col("user_id").asc)))
+        .filter(col("r") <= HOT_N)
+        .select(col("user_id").as("hot_key")))
     val tagged = ev.join(broadcast(hot), col("user_id") === col("hot_key"), "left")
     val cold = tagged.filter(col("hot_key").isNull).drop("hot_key")
       .join(ords, col("user_id") === col("o_custkey"))

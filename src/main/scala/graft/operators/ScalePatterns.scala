@@ -174,13 +174,64 @@ object ScalePatterns {
        |FROM events e JOIN orders o ON e.user_id = o.o_custkey
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------- range join
+  /** Interval half-width and bucket cell width. CELL_W = 2·RANGE_W so an
+    * interval overlaps at most 2 cells (replication factor ≤ 2). */
+  private val RANGE_W = 100.0
+  private val CELL_W = 200.0
+
+  /** Point-in-interval range join with NO equi-key (each customer
+    * matched to every supplier whose balance band ±RANGE_W contains the
+    * customer's balance), bucketed-cell formulation:
+    *
+    *  - each point lands in exactly one fixed-width cell
+    *    (floor(x / CELL_W));
+    *  - each interval is replicated to the ≤2 cells it overlaps;
+    *  - the join is then a plain EQUI-join on cell + an exact
+    *    containment post-filter.
+    *
+    * A point's cell is unique, so no pair is produced twice — no
+    * distinct needed. This turns the quadratic no-key range join into a
+    * shuffled hash join with bounded fan-out (the classic interval-
+    * bucketing pattern); Spark's own alternative is a
+    * BroadcastNestedLoopJoin, which PlanGuardSpec forbids for unbounded
+    * sides. At 100 TB the cell id is also the natural storage partition
+    * key for repeated range probes. */
+  def rangeJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val cust = customer(spark, dir).select(
+      col("c_custkey"), col("c_acctbal"),
+      floor(col("c_acctbal") / CELL_W).cast("long").as("cell"))
+    val supp = supplier(spark, dir).select(
+        col("s_suppkey"),
+        (col("s_acctbal") - RANGE_W).as("lo"),
+        (col("s_acctbal") + RANGE_W).as("hi"))
+      .withColumn("cell", explode(sequence(
+        floor(col("lo") / CELL_W).cast("long"),
+        floor(col("hi") / CELL_W).cast("long"))))
+    cust.join(supp, Seq("cell"))
+      .filter(col("c_acctbal") >= col("lo") && col("c_acctbal") <= col("hi"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_matches"), dsum(col("c_acctbal")).as("matched_bal"))
+      .orderBy("s_suppkey")
+  }
+
+  val rangeJoinBucketedSql: String =
+    s"""SELECT s_suppkey, count(*) AS n_matches,
+       |       ${sqlDsum("c_acctbal")} AS matched_bal
+       |FROM supplier s JOIN customer c
+       |  ON c.c_acctbal >= s.s_acctbal - CAST($RANGE_W AS DOUBLE)
+       | AND c.c_acctbal <= s.s_acctbal + CAST($RANGE_W AS DOUBLE)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join"   -> asofEventOrder _,
     "q_salted_agg"  -> saltedTypeStats _,
-    "q_skew_join"   -> skewSaltedJoin _)
+    "q_skew_join"   -> skewSaltedJoin _,
+    "q_range_join"  -> rangeJoinBucketed _)
 
   val oracles: Map[String, String] = Map(
     "q_asof_join"   -> asofEventOrderSql,
     "q_salted_agg"  -> saltedTypeStatsSql,
-    "q_skew_join"   -> skewSaltedJoinSql)
+    "q_skew_join"   -> skewSaltedJoinSql,
+    "q_range_join"  -> rangeJoinBucketedSql)
 }

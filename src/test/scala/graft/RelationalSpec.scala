@@ -37,6 +37,20 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
 
+  test("bucketed range join equals the direct interval filter") {
+    // truth: small-data cartesian + exact containment filter
+    val truth = Tables.customer(spark, sf)
+      .crossJoin(Tables.supplier(spark, sf))
+      .filter(col("c_acctbal") >= col("s_acctbal") - 100.0 &&
+        col("c_acctbal") <= col("s_acctbal") + 100.0)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_matches"),
+        Tables.dsum(col("c_acctbal")).as("matched_bal"))
+    val bucketed = ScalePatterns.rangeJoinBucketed(spark, sf)
+    assert(bucketed.count() > 0)
+    assert(bucketed.exceptAll(truth).isEmpty && truth.exceptAll(bucketed).isEmpty)
+  }
+
   test("salted skew join equals the plain join, with both branches live") {
     val plain = Tables.events(spark, sf)
       .join(Tables.orders(spark, sf),

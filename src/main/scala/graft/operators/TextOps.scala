@@ -196,7 +196,14 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        davg(col("quality_score")).as("avg_quality"),
+        // exact micro-unit mean, NOT davg: quality_score is a computed
+        // full-precision double, and casting one to DECIMAL(18,2) is
+        // engine-dependent at .xx5 ties (Spark rounds the shortest
+        // decimal repr, DuckDB the binary float — hit at sf0.001).
+        // floor(q*1e6 + 0.5) is pure IEEE arithmetic, identical in both
+        // engines; the long sum is order-proof.
+        (sum(floor(col("quality_score") * 1000000.0 + 0.5)).cast("double") /
+          count(lit(1)) / 1000000.0).as("avg_quality"),
         sum((col("predicted_lang") === col("lang")).cast("long")).as("lang_agree"))
       .orderBy("lang")
   }
@@ -222,7 +229,8 @@ object TextOps {
        |k AS (SELECT *, min(doc_id) OVER (PARTITION BY content_hash) AS keeper_id FROM q)
        |SELECT lang, count(*) AS n_docs,
        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       |       ${sqlDavg("quality_score")} AS avg_quality,
+       |       CAST(sum(CAST(floor(quality_score * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |         / count(*) / 1000000.0 AS avg_quality,
        |       CAST(sum(CAST(predicted_lang = lang AS BIGINT)) AS BIGINT) AS lang_agree
        |FROM k WHERE doc_id = keeper_id AND quality_score >= CAST($QUALITY_GATE AS DOUBLE)
        |GROUP BY 1 ORDER BY 1""".stripMargin

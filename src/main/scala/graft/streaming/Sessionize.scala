@@ -58,6 +58,29 @@ object Sessionize {
   private def emit(user: Long, s: SessionState): SessionRow =
     SessionRow(user, s.start, s.end, s.n, s.cents / 100.0)
 
+  /** Pure per-batch fold — the whole cross-batch merge logic, isolated
+    * so PropertySpec can fuzz it against the global sessionization
+    * without spinning up a streaming query per case: merge one user's
+    * SORTED batch slice into the optional open session, returning the
+    * sessions the slice closed plus the new open tail (if any). */
+  def foldBatch(user: Long, sorted: Seq[(Timestamp, Double)],
+      open: Option[SessionState]): (Seq[SessionRow], Option[SessionState]) = {
+    val closed = ListBuffer.empty[SessionRow]
+    var cur = open
+    for ((ts, v) <- sorted) {
+      cur match {
+        case Some(s) if ts.getTime - s.end.getTime <= GAP_MS =>
+          cur = Some(SessionState(s.start, ts, s.n + 1, s.cents + cents(v)))
+        case Some(s) =>
+          closed += emit(user, s)
+          cur = Some(SessionState(ts, ts, 1L, cents(v)))
+        case None =>
+          cur = Some(SessionState(ts, ts, 1L, cents(v)))
+      }
+    }
+    (closed.toSeq, cur)
+  }
+
   /** ev: streaming DataFrame with (user_id, ts, value); MUST carry an
     * event-time watermark on ts (the timeout clock). */
   def sessions(ev: DataFrame): Dataset[SessionRow] = {
@@ -75,20 +98,8 @@ object Sessionize {
             state.remove()
             Iterator.single(emit(user, s))
           } else {
-            val sorted = rows.toIndexedSeq.sortBy(r => (r._2.getTime, r._3))
-            val closed = ListBuffer.empty[SessionRow]
-            var cur = state.getOption
-            for ((_, ts, v) <- sorted) {
-              cur match {
-                case Some(s) if ts.getTime - s.end.getTime <= GAP_MS =>
-                  cur = Some(SessionState(s.start, ts, s.n + 1, s.cents + cents(v)))
-                case Some(s) =>
-                  closed += emit(user, s)
-                  cur = Some(SessionState(ts, ts, 1L, cents(v)))
-                case None =>
-                  cur = Some(SessionState(ts, ts, 1L, cents(v)))
-              }
-            }
+            val sorted = rows.map(r => (r._2, r._3)).toIndexedSeq.sortBy(r => (r._1.getTime, r._2))
+            val (closed, cur) = foldBatch(user, sorted, state.getOption)
             cur.foreach { s =>
               state.update(s)
               // safe clock: strictly after the last event this session

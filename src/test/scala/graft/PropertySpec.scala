@@ -61,6 +61,36 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("sessionize batch-fold ≡ global sessionization under every batch split") {
+    // in-order arrival split into arbitrary consecutive micro-batches
+    // must produce exactly the sessions of a single global scan (the
+    // cross-batch open-session carry is the logic under test)
+    import java.sql.Timestamp
+    import graft.streaming.{Sessionize, SessionRow, SessionState}
+    val gaps: Gen[List[(Long, Double)]] = Gen.listOf(
+      Gen.zip(Gen.chooseNum(0L, 3 * Sessionize.GAP_MS), Gen.chooseNum(0, 9999).map(_ / 100.0)))
+    check(Prop.forAll(gaps, Gen.chooseNum(1, 5)) { (deltas, nSplits) =>
+      val t0 = 1700000000000L
+      val evs = deltas.scanLeft((t0, 0.0)) { case ((t, _), (d, v)) => (t + d, v) }
+        .drop(1).map { case (t, v) => (new Timestamp(t), v) }
+      // reference: one global fold
+      val (refClosed, refOpen) = Sessionize.foldBatch(1L, evs, None)
+      val reference = refClosed ++ refOpen.map(s =>
+        SessionRow(1L, s.start, s.end, s.n, s.cents / 100.0)).toSeq
+      // split into consecutive batches at deterministic cut points
+      val cuts = if (evs.isEmpty) Seq(evs) else
+        evs.grouped(math.max(1, evs.size / nSplits)).toSeq
+      var open: Option[SessionState] = None
+      val out = scala.collection.mutable.ListBuffer.empty[SessionRow]
+      for (batch <- cuts) {
+        val (closed, next) = Sessionize.foldBatch(1L, batch, open)
+        out ++= closed; open = next
+      }
+      out ++= open.map(s => SessionRow(1L, s.start, s.end, s.n, s.cents / 100.0))
+      out.toList == reference.toList
+    })
+  }
+
   test("percentages per window sum to ~100 on generated data (W1)") {
     val rows = (0 until 500).map { i =>
       (i.toLong, java.sql.Timestamp.valueOf(f"2025-01-01 00:${i % 40}%02d:00"), (i % 13) * 7.0)

@@ -1,0 +1,116 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Count-Min Sketch as a custom Catalyst TYPED AGGREGATE — the piece of
+  * the extension surface the scalar expressions (TextHashExprs,
+  * VectorOps) don't cover: a mergeable aggregation state.
+  *
+  * Why an aggregate and not composition: the relational formulation
+  * (explode rows × D depths → groupBy cell → sum) shuffles |input| × D
+  * rows. As a `TypedImperativeAggregate` the partial state IS the D×W
+  * cell array — each map task folds its slice locally and the shuffle
+  * carries one fixed-size sketch per partition, the textbook mergeable-
+  * sketch shape (same reason HLL/datasketches aggregates exist). At
+  * 100 TB that is the difference between a TB-scale shuffle and a KB
+  * one.
+  *
+  * Determinism: unlike rank/sample sketches, CMS cells are exact integer
+  * SUMS — associative and partition-order-proof — and the row hashes are
+  * the repo's engine-neutral polynomial formulas. The DuckDB oracle
+  * rebuilds the identical sketch relationally, so `q_cms_heavy_hitters`
+  * is value-oracled end to end (the HLL query, by contrast, is
+  * rows-only: its sketch is engine-private).
+  *
+  * State/serialize format: flat long[D*W], row-major (cell (d,w) at
+  * d*W + w); `eval` emits the same layout as ARRAY<BIGINT> so probes are
+  * plain `element_at` arithmetic.
+  */
+case class CountMinSketchAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  import CountMinSketchAgg._
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](D * W)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      var d = 0
+      while (d < D) {
+        buf(d * W + (((A(d) * x + B(d)) % P) % W).toInt) += 1L
+        d += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_sketch expects BIGINT input, got ${child.dataType}")
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CountMinSketchAgg =
+    copy(child = newChild)
+}
+
+object CountMinSketchAgg {
+  /** Depth (independent hash rows) × width (cells per row). W=256 over
+    * ~1.5k keys guarantees collisions at test SF, so the overestimate
+    * property is actually exercised; error bound is the standard
+    * CMS ε = e/W at δ = e^-D. */
+  val D = 4
+  val W = 256
+  val P: Long = 1000000007L
+  /** Per-depth affine hash constants (a·x + b mod P mod W) — shared with
+    * the DuckDB oracle, which rebuilds the sketch from the same formula. */
+  val A: Array[Long] = Array(31L, 37L, 41L, 43L)
+  val B: Array[Long] = Array(7L, 11L, 13L, 17L)
+}
+
+object SketchAgg {
+  /** CMS over a BIGINT key column → flat ARRAY<BIGINT> of D×W cells. */
+  def cms(key: Column): Column =
+    Bridge.column(CountMinSketchAgg(Bridge.expression(key)).toAggregateExpression())
+}

@@ -446,11 +446,52 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  // Count-Min Sketch heavy hitters via the custom TypedImperativeAggregate
+  // (functions/SketchAgg.scala): ONE fixed-size sketch per map partition
+  // through the shuffle (vs an |input|×D row fan-out relationally), then
+  // the 1-row sketch is broadcast and probed per key with element_at
+  // arithmetic. Unlike the HLL query this IS value-oracled: CMS cells are
+  // exact integer sums over engine-neutral affine hashes, so DuckDB
+  // rebuilds the identical sketch relationally.
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMinSketchAgg.{A, B, D, P, W}
+    val ev = events(spark, dir)
+    val sketch = ev.agg(graft.functions.SketchAgg.cms(col("user_id")).as("sk"))
+    val est = (0 until D).map { d =>
+      element_at(col("sk"),
+        (((col("user_id") * A(d) + B(d)) % P) % W + d * W + 1).cast("int"))
+    }.reduce((a, b) => least(a, b))
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      .crossJoin(broadcast(sketch))
+      .select(col("user_id"), col("exact_n"), est.as("cms_estimate"))
+      .orderBy(col("exact_n").desc, col("user_id").asc)
+      .limit(20)
+  }
+
+  val cmsHeavyHittersSql: String = {
+    import graft.functions.CountMinSketchAgg.{A, B, D, P, W}
+    val params = (0 until D).map(d => s"(${d}, ${A(d)}, ${B(d)})").mkString(", ")
+    s"""WITH params(d, a, b) AS (VALUES $params),
+       |cells AS (
+       |  SELECT d, ((a * user_id + b) % $P) % $W AS w, count(*) AS c
+       |  FROM events, params GROUP BY 1, 2),
+       |exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1),
+       |probes AS (
+       |  SELECT e.user_id, e.exact_n, p.d, ((p.a * e.user_id + p.b) % $P) % $W AS w
+       |  FROM exact e CROSS JOIN params p),
+       |est AS (
+       |  SELECT user_id, exact_n, min(c) AS cms_estimate
+       |  FROM probes JOIN cells USING (d, w) GROUP BY 1, 2)
+       |SELECT user_id, exact_n, cms_estimate
+       |FROM est ORDER BY exact_n DESC, user_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_above_avg_orders"        -> aboveAvgOrders _,
     "q_cube_status"             -> cubeStatus _,
     "q_quantiles_disc"          -> quantilesDisc _,
     "q_approx_distinct"         -> approxDistinct _,
+    "q_cms_heavy_hitters"       -> cmsHeavyHitters _,
     "q1_pricing_summary"        -> q1PricingSummary _,
     "q_revenue_by_segment"      -> revenueBySegment _,
     "q_revenue_by_nation"       -> revenueByNation _,
@@ -468,6 +509,7 @@ object Relational {
     "q_cube_status"             -> cubeStatusSql,
     "q_quantiles_disc"          -> quantilesDiscSql,
     // q_approx_distinct: sketch — intentionally no oracle (rows-only)
+    "q_cms_heavy_hitters"       -> cmsHeavyHittersSql,
     "q1_pricing_summary"        -> q1PricingSummarySql,
     "q_revenue_by_segment"      -> revenueBySegmentSql,
     "q_revenue_by_nation"       -> revenueByNationSql,

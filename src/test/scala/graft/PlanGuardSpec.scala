@@ -36,7 +36,8 @@ class PlanGuardSpec extends AnyFunSuite {
   private val nljAggBounded = Set(
     "q_above_avg_orders", "q_quantiles_disc",
     "q_session_cat_mismatch", "q_page_views_mismatch",
-    "q_engagement_mismatch", "q_comparison_accuracy")
+    "q_engagement_mismatch", "q_comparison_accuracy",
+    "q_cms_heavy_hitters")
 
   private def plans: Seq[(String, SparkPlan)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

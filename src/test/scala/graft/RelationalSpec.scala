@@ -131,6 +131,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
   }
 
+  test("CMS estimates never undercount and the sketch merges across partitions") {
+    // the Count-Min invariant: estimate ≥ exact for every probed key,
+    // regardless of how map-side partial sketches were merged
+    val rows = Relational.cmsHeavyHitters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_n"); val est = r.getAs[Long]("cms_estimate")
+      assert(est >= exact, s"user ${r.getAs[Long]("user_id")}: CMS $est < exact $exact")
+    }
+    // partition-order independence: same result at a different parallelism
+    val once = Relational.cmsHeavyHitters(spark, sf)
+    val again = Relational.cmsHeavyHitters(spark, sf).repartition(7)
+    assert(once.exceptAll(again).isEmpty && again.exceptAll(once).isEmpty)
+  }
+
   test("HLL estimate within 5% of exact count per group (q_approx_distinct's no_oracle justification)") {
     // the sketch is configured at 1% target rsd; assert a generous ≤5%
     // observed relative error against the exact per-group countDistinct —

@@ -73,7 +73,10 @@ object Materializer {
   }
 
   private def deleteTree(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+    if (Files.exists(p)) {
+      val s = Files.walk(p) // stream holds directory handles until closed
+      try s.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
 }

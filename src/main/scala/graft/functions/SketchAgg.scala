@@ -52,7 +52,10 @@ case class CountMinSketchAgg(
       val x = v.asInstanceOf[Long]
       var d = 0
       while (d < D) {
-        buf(d * W + (((A(d) * x + B(d)) % P) % W).toInt) += 1L
+        // floorMod: Java % preserves the dividend's sign, so a negative
+        // key (or A(d)*x overflow past 2^63) would otherwise index
+        // negatively; floorMod keeps every cell index in [0, W)
+        buf(d * W + Math.floorMod(Math.floorMod(A(d) * x + B(d), P), W).toInt) += 1L
         d += 1
       }
     }

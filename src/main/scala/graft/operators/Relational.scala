@@ -457,9 +457,11 @@ object Relational {
     import graft.functions.CountMinSketchAgg.{A, B, D, P, W}
     val ev = events(spark, dir)
     val sketch = ev.agg(graft.functions.SketchAgg.cms(col("user_id")).as("sk"))
+    // pmod mirrors the aggregate's floorMod (plain % would probe a
+    // from-the-end element_at index for negative keys)
     val est = (0 until D).map { d =>
       element_at(col("sk"),
-        (((col("user_id") * A(d) + B(d)) % P) % W + d * W + 1).cast("int"))
+        (pmod(pmod(col("user_id") * A(d) + B(d), lit(P)), lit(W)) + d * W + 1).cast("int"))
     }.reduce((a, b) => least(a, b))
     ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
       .crossJoin(broadcast(sketch))

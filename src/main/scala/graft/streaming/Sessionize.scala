@@ -53,7 +53,14 @@ object Sessionize {
   /** 30-minute inactivity gap — must match `Relational.userSessions`. */
   val GAP_MS: Long = 1800L * 1000L
 
-  private def cents(v: Double): Long = math.round(v * 100)
+  /** Exact half-up cents via the double's SHORTEST DECIMAL repr
+    * (`BigDecimal.valueOf`) — the same path Spark's Decimal(double) cast
+    * takes, so session_value genuinely matches the batch
+    * `Tables.dsum` DECIMAL(18,2) semantics (math.round(v*100) does not:
+    * it rounds the binary expansion and differs at .xx5 values). */
+  private def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
 
   private def emit(user: Long, s: SessionState): SessionRow =
     SessionRow(user, s.start, s.end, s.n, s.cents / 100.0)
@@ -62,18 +69,34 @@ object Sessionize {
     * so PropertySpec can fuzz it against the global sessionization
     * without spinning up a streaming query per case: merge one user's
     * SORTED batch slice into the optional open session, returning the
-    * sessions the slice closed plus the new open tail (if any). */
+    * sessions the slice closed plus the new open tail (if any).
+    *
+    * Out-of-order tolerance: Spark admits events between the watermark
+    * and the open session's span, so a later BATCH can still deliver an
+    * event at-or-before the open session's end. Such an event MERGES
+    * (start/end extend by min/max — end never rewinds) when it falls
+    * within GAP of the open interval; an event more than GAP before the
+    * open start cannot attach to any unemitted session and is emitted
+    * directly as its own closed singleton (no retraction of
+    * already-emitted sessions — the inherent limit of append-mode
+    * sessionization). */
   def foldBatch(user: Long, sorted: Seq[(Timestamp, Double)],
       open: Option[SessionState]): (Seq[SessionRow], Option[SessionState]) = {
     val closed = ListBuffer.empty[SessionRow]
     var cur = open
     for ((ts, v) <- sorted) {
       cur match {
-        case Some(s) if ts.getTime - s.end.getTime <= GAP_MS =>
-          cur = Some(SessionState(s.start, ts, s.n + 1, s.cents + cents(v)))
-        case Some(s) =>
+        case Some(s) if ts.getTime >= s.start.getTime - GAP_MS &&
+            ts.getTime - s.end.getTime <= GAP_MS =>
+          val start = if (ts.getTime < s.start.getTime) ts else s.start
+          val end = if (ts.getTime > s.end.getTime) ts else s.end
+          cur = Some(SessionState(start, end, s.n + 1, s.cents + cents(v)))
+        case Some(s) if ts.getTime - s.end.getTime > GAP_MS =>
           closed += emit(user, s)
           cur = Some(SessionState(ts, ts, 1L, cents(v)))
+        case Some(_) =>
+          // > GAP before the open session's start: an isolated straggler
+          closed += SessionRow(user, ts, ts, 1L, cents(v) / 100.0)
         case None =>
           cur = Some(SessionState(ts, ts, 1L, cents(v)))
       }

@@ -140,10 +140,19 @@ class RelationalSpec extends AnyFunSuite {
       val exact = r.getAs[Long]("exact_n"); val est = r.getAs[Long]("cms_estimate")
       assert(est >= exact, s"user ${r.getAs[Long]("user_id")}: CMS $est < exact $exact")
     }
-    // partition-order independence: same result at a different parallelism
-    val once = Relational.cmsHeavyHitters(spark, sf)
-    val again = Relational.cmsHeavyHitters(spark, sf).repartition(7)
-    assert(once.exceptAll(again).isEmpty && again.exceptAll(once).isEmpty)
+    // partition-order independence of the MERGE: fold the same input at
+    // different parallelism and compare the raw sketch cells
+    val ev = Tables.events(spark, sf).select(col("user_id"))
+    def sketchAt(n: Int): Seq[Long] = ev.repartition(n)
+      .agg(graft.functions.SketchAgg.cms(col("user_id")).as("sk"))
+      .first().getSeq[Long](0)
+    assert(sketchAt(3) == sketchAt(11))
+    // negative keys must hash into [0, W) — no crash, never-undercount holds
+    import spark.implicits._
+    val negSketch = Seq(-1L, -42L, Long.MinValue).toDF("k")
+      .agg(graft.functions.SketchAgg.cms(col("k")).as("sk"))
+      .first().getSeq[Long](0)
+    assert(negSketch.sum == 3L * graft.functions.CountMinSketchAgg.D)
   }
 
   test("HLL estimate within 5% of exact count per group (q_approx_distinct's no_oracle justification)") {

@@ -212,6 +212,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize absorbs within-lateness out-of-order events without rewinding") {
+    import graft.streaming.{SessionState, Sessionize}
+    def ts(s: String) = Timestamp.valueOf(s)
+    // open session [10:00, 10:00]; a later batch delivers an event 30s
+    // EARLIER (admitted by the watermark) — must extend start, not
+    // rewind end
+    val (closed1, open1) = Sessionize.foldBatch(1L,
+      Seq((ts("2025-04-08 09:59:30"), 2.0)),
+      Some(SessionState(ts("2025-04-08 10:00:00"), ts("2025-04-08 10:00:00"), 1L, 100L)))
+    assert(closed1.isEmpty)
+    assert(open1.get.start == ts("2025-04-08 09:59:30"))
+    assert(open1.get.end == ts("2025-04-08 10:00:00")) // end NOT rewound
+    // a following gap-exceeding event closes a WELL-FORMED session
+    val (closed2, open2) = Sessionize.foldBatch(1L,
+      Seq((ts("2025-04-08 10:31:00"), 1.0)), open1)
+    assert(closed2.size == 1)
+    val s = closed2.head
+    assert(!s.session_end.before(s.session_start) && s.n_events == 2)
+    assert(open2.get.n == 1)
+    // a straggler > GAP before the open start becomes its own closed
+    // singleton; the open session is untouched
+    val (closed3, open3) = Sessionize.foldBatch(1L,
+      Seq((ts("2025-04-08 09:00:00"), 5.0)), open2)
+    assert(closed3 == Seq(graft.streaming.SessionRow(1L,
+      ts("2025-04-08 09:00:00"), ts("2025-04-08 09:00:00"), 1L, 5.0)))
+    assert(open3 == open2)
+  }
+
   test("streaming dedup drops within-watermark duplicates with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)

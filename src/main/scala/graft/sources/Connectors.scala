@@ -57,6 +57,13 @@ object Connectors {
       .option("topic", topic)
       .option("checkpointLocation", checkpointDir)
 
+  /** Columnar ORC source — the second columnar format next to parquet,
+    * with the same pushdown/pruning contract (predicates and column
+    * selection reach the ORC reader; the spec asserts both on the
+    * physical scan). Schema explicit, as everywhere: no inference pass. */
+  def orc(spark: SparkSession, schema: StructType): DataFrameReader =
+    spark.read.schema(schema).format("orc")
+
   /** S4: partitioned JDBC source — bounds REQUIRED so the read fans out
     * across executors instead of single-streaming the table. */
   def jdbcSource(spark: SparkSession, url: String, table: String,

@@ -77,6 +77,24 @@ class ConnectorsSpec extends AnyFunSuite {
     assert(one.exceptAll(o).isEmpty && o.exceptAll(one).isEmpty)
   }
 
+  test("ORC round-trip preserves values; filter and pruning reach the ORC scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    li.write.mode("overwrite").orc(dir)
+    val back = Connectors.orc(spark, li.schema).load(dir)
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+    // pushdown + pruning contract, same as parquet: the predicate and the
+    // 2-column projection must reach the physical ORC scan
+    val q = back.filter(org.apache.spark.sql.functions.col("l_quantity") > 49)
+      .select("l_orderkey", "l_quantity")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,49.0)]"),
+      s"no pushed filter in:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"projection not pruned in:\n$scan")
+  }
+
   test("kafka/jdbc builders configure without connecting (S1/S4/K2)") {
     // construction must not open sockets; start()/load() would.
     Connectors.kafkaSource(spark, "broker:9092", "topic_pageviews")

@@ -236,17 +236,48 @@ object TextOps {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // Winnowing fingerprints (the MOSS scheme): the minimum shingle hash
+  // of every w-length sliding window, deduplicated — selects ~2/(w+1) of
+  // all shingles yet guarantees any match of length ≥ w+2 tokens shares
+  // a fingerprint. The standard bounded-size document signature for
+  // index-based near-dup at scale: the posting list (fp → docs) plays
+  // the same role as Dedup's inverted index but is w× smaller. All
+  // array work is per-row scan-local; rows out = distinct fingerprints.
+  private val WINNOW_W = 8
+
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), shingleHashesFast(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(
+          sequence(lit(0), greatest(size(col("sh")) - WINNOW_W, lit(0))),
+          i => array_min(slice(col("sh"), i + 1, lit(WINNOW_W)))))).as("fp"))
+      .orderBy("doc_id", "fp")
+
+  val winnowFingerprintSql: String =
+    s"""WITH t AS (SELECT doc_id, ${sqlTokenHashes(sqlTokens("text"))} AS th FROM documents),
+       |h AS (SELECT doc_id, ${sqlShingleHashes("th")} AS sh FROM t)
+       |SELECT doc_id,
+       |       unnest(list_distinct(list_transform(
+       |         generate_series(0, greatest(len(sh) - $WINNOW_W, 0)),
+       |         i -> list_min(sh[i+1:i+$WINNOW_W])))) AS fp
+       |FROM h WHERE len(sh) > 0
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_token_stats"     -> tokenStats _,
-    "q_lang_id"         -> langId _,
-    "q_quality_score"   -> qualityScore _,
-    "q_doc_fingerprint" -> docFingerprint _,
-    "q_corpus_curation" -> corpusCuration _)
+    "q_token_stats"        -> tokenStats _,
+    "q_lang_id"            -> langId _,
+    "q_quality_score"      -> qualityScore _,
+    "q_doc_fingerprint"    -> docFingerprint _,
+    "q_winnow_fingerprint" -> winnowFingerprint _,
+    "q_corpus_curation"    -> corpusCuration _)
 
   val oracles: Map[String, String] = Map(
-    "q_token_stats"     -> tokenStatsSql,
-    "q_lang_id"         -> langIdSql,
-    "q_quality_score"   -> qualityScoreSql,
-    "q_doc_fingerprint" -> docFingerprintSql,
-    "q_corpus_curation" -> corpusCurationSql)
+    "q_token_stats"        -> tokenStatsSql,
+    "q_lang_id"            -> langIdSql,
+    "q_quality_score"      -> qualityScoreSql,
+    "q_doc_fingerprint"    -> docFingerprintSql,
+    "q_winnow_fingerprint" -> winnowFingerprintSql,
+    "q_corpus_curation"    -> corpusCurationSql)
 }

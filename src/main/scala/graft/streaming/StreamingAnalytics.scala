@@ -100,6 +100,15 @@ object StreamingAnalytics {
       .withColumn("latency_sec",
         unix_timestamp(col("processing_time")) - unix_timestamp(col("ts")))
 
+  /** Stream-static dimension enrichment: a streaming fact left-joined to
+    * a static (batch) dimension — stateless, no watermark needed, the
+    * planner broadcasts the dim per micro-batch. The standard pattern
+    * for attaching slowly-changing metadata to a stream; at scale the
+    * dim re-resolves per batch, so an updated dim table is picked up
+    * without restarting the query. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** J1: watermarked 3-way stream-stream inner equi-join on
     * (event_id, ts) + engagement score (spark_streaming_new.py:89-103). */
   def threewayJoin(pv: DataFrame, sd: DataFrame, tp: DataFrame): DataFrame = {

@@ -212,6 +212,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins every micro-batch row to the dim") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    val dim = (0L until 7L).map(u => (u, if (u % 2 == 0) "even" else "odd"))
+      .toDF("user_id", "tier")
+    val q = StreamingAnalytics.enrichWithDim(stream.toDF(), dim, Seq("user_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enriched").start()
+    try {
+      val rows = mkEvents(100)
+      stream.addData(rows.take(50)); q.processAllAvailable()
+      stream.addData(rows.drop(50)); q.processAllAvailable()
+      val out = spark.table("enriched")
+      assert(out.count() == 100) // left join: every stream row survives
+      assert(out.filter(col("tier").isNull).isEmpty) // all users covered
+      assert(out.filter(col("tier") === "even")
+        .filter(col("user_id") % 2 =!= 0).isEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize absorbs within-lateness out-of-order events without rewinding") {
     import graft.streaming.{SessionState, Sessionize}
     def ts(s: String) = Timestamp.valueOf(s)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF, PolyHashExpr, ShingleHashesExpr, TokenHashesExpr}
+import graft.functions.{CountMinSketchAgg, DotProductF, PolyHashExpr, ShingleHashesExpr, TokenHashesExpr}
 
 /** Library entry points: SQL function registration + a session builder
   * with the engine's recommended configuration.
@@ -38,7 +38,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => TokenHashesExpr(es.head)),
     ("shingle_hashes",
       new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
-      (es: Seq[Expression]) => ShingleHashesExpr(es.head)))
+      (es: Seq[Expression]) => ShingleHashesExpr(es.head)),
+    ("cms_sketch",
+      new ExpressionInfo(classOf[CountMinSketchAgg].getName, "cms_sketch"),
+      (es: Seq[Expression]) => CountMinSketchAgg(es.head).toAggregateExpression()))
 }
 
 object GraftSession {

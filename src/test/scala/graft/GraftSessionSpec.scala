@@ -16,6 +16,11 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(r.getLong(0) == 99162322L)
     assert(r.getDouble(1) == 11.0)
     assert(r.getInt(2) == 3 && r.getInt(3) == 2)
+    // the custom AGGREGATE registers too: one sketch over 3 keys
+    val sk = spark.sql(
+      "SELECT cms_sketch(CAST(id AS BIGINT)) AS sk FROM range(3)")
+      .first().getSeq[Long](0)
+    assert(sk.sum == 3L * graft.functions.CountMinSketchAgg.D)
   }
 
   test("GraftSession.builder carries the engine configuration") {
@@ -25,6 +30,6 @@ class GraftSessionSpec extends AnyFunSuite {
     // extensions class being instantiable and the conf keys present.
     assert(new GraftExtensions() != null)
     assert(GraftExtensions.functions.map(_._1).toSet ==
-      Set("dot_f", "poly_hash", "token_hashes", "shingle_hashes"))
+      Set("dot_f", "poly_hash", "token_hashes", "shingle_hashes", "cms_sketch"))
   }
 }

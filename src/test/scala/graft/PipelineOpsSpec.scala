@@ -77,6 +77,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("concurrent dedup queries share a materialized subtree safely") {
+    // both queries materialize the same "shingles" tag; racing them must
+    // produce exactly the sequential results (one thread writes inside
+    // Materializer's lock, the other reuses the finished copy)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val seqNgram = Dedup.ngramJaccard(spark, sf).collect().toSeq
+    val seqMinhash = Dedup.minhashLsh(spark, sf).collect().toSeq
+    Materializer.clear()
+    try {
+      val f1 = Future(Dedup.ngramJaccard(spark, sf).collect().toSeq)
+      val f2 = Future(Dedup.minhashLsh(spark, sf).collect().toSeq)
+      assert(Await.result(f1, 120.seconds) == seqNgram)
+      assert(Await.result(f2, 120.seconds) == seqMinhash)
+    } finally Materializer.clear()
+  }
+
   test("simhash recall on >=0.5-jaccard pairs is high (60-bit, hamming<=6)") {
     // SimHash is probabilistic: a 0.99-jaccard pair can still flip >6 of
     // 60 bits via token-multiplicity differences. Require >=90% recall.

@@ -206,19 +206,33 @@ object Similarity {
     * instead of the full corpus. All ranking is deterministic: cosine
     * desc, centroid/neighbor id asc tiebreak, so the DuckDB oracle
     * verifies ids AND scores. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(spark, dir)
-    val cents = e.filter(col("vec_id") % KMOD === CENT_RESIDUE)
+  private def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
+    withNorm(spark, dir).filter(col("vec_id") % KMOD === CENT_RESIDUE)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+
+  /** PUBLIC IVF assignment: (vec_id, embedding, nrm, cell) — the
+    * write-time pass whose `cell` is the storage partition key at scale
+    * (see `AnnStorageSpec` for the partitioned-write + pruned-probe
+    * proof). */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentroids(spark, dir)
     val wVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("cent_id").asc)
-    val assigned = e.crossJoin(broadcast(cents))
+    withNorm(spark, dir).crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
         cosine(col("embedding"), col("nrm"), col("ce"), col("cn")).as("cos_c"))
       .withColumn("rk", row_number().over(wVec))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
-    val probes = e.filter(col("vec_id") % QUERY_MOD === 0)
+  }
+
+  /** Probe-side cell ranking for one query subset: (query_id, qe, qn,
+    * cell) for the NPROBE nearest cells of each query. */
+  def ivfProbeCells(spark: SparkSession, dir: String): DataFrame = {
+    val cents = ivfCentroids(spark, dir)
+    val wVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id").asc)
+    withNorm(spark, dir).filter(col("vec_id") % QUERY_MOD === 0)
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
         cosine(col("embedding"), col("nrm"), col("ce"), col("cn")).as("cos_c"))
@@ -226,6 +240,11 @@ object Similarity {
       .filter(col("rk") <= NPROBE)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cent_id").as("cell"))
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssign(spark, dir)
+    val probes = ivfProbeCells(spark, dir)
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     broadcast(probes)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.Materializer
 import graft.Tables._
 
 /** Operators Spark lacks natively plus skew patterns, built
@@ -143,8 +144,8 @@ object ScalePatterns {
     // the HOT_N-row set is referenced 3× (probe tag + build filter +
     // probe filter) and an un-materialized subtree would re-scan the
     // fact table's key column per reference.
-    val hot = graft.Materializer.materialize(
-      graft.Materializer.tagFor("skewhot", dir),
+    val hot = Materializer.materialize(
+      Materializer.tagFor("skewhot", dir),
       ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
         .withColumn("r", row_number().over(
           Window.orderBy(col("cnt").desc, col("user_id").asc)))

@@ -210,37 +210,34 @@ object Similarity {
     withNorm(spark, dir).filter(col("vec_id") % KMOD === CENT_RESIDUE)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
 
+  /** Rank every vector of `src` against the broadcast centroid set and
+    * keep its `maxRank` nearest cells — the shared core of assignment
+    * (maxRank=1) and probing (maxRank=NPROBE). */
+  private def rankCells(src: DataFrame, cents: DataFrame, maxRank: Int): DataFrame = {
+    val wVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cent_id").asc)
+    src.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
+        cosine(col("embedding"), col("nrm"), col("ce"), col("cn")).as("cos_c"))
+      .withColumn("rk", row_number().over(wVec))
+      .filter(col("rk") <= maxRank)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+  }
+
   /** PUBLIC IVF assignment: (vec_id, embedding, nrm, cell) — the
     * write-time pass whose `cell` is the storage partition key at scale
     * (see `AnnStorageSpec` for the partitioned-write + pruned-probe
     * proof). */
-  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
-    val cents = ivfCentroids(spark, dir)
-    val wVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cent_id").asc)
-    withNorm(spark, dir).crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
-        cosine(col("embedding"), col("nrm"), col("ce"), col("cn")).as("cos_c"))
-      .withColumn("rk", row_number().over(wVec))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
-  }
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+    rankCells(withNorm(spark, dir), ivfCentroids(spark, dir), 1)
 
   /** Probe-side cell ranking for one query subset: (query_id, qe, qn,
     * cell) for the NPROBE nearest cells of each query. */
-  def ivfProbeCells(spark: SparkSession, dir: String): DataFrame = {
-    val cents = ivfCentroids(spark, dir)
-    val wVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cent_id").asc)
-    withNorm(spark, dir).filter(col("vec_id") % QUERY_MOD === 0)
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
-        cosine(col("embedding"), col("nrm"), col("ce"), col("cn")).as("cos_c"))
-      .withColumn("rk", row_number().over(wVec))
-      .filter(col("rk") <= NPROBE)
+  def ivfProbeCells(spark: SparkSession, dir: String): DataFrame =
+    rankCells(withNorm(spark, dir).filter(col("vec_id") % QUERY_MOD === 0),
+        ivfCentroids(spark, dir), NPROBE)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("cent_id").as("cell"))
-  }
+        col("nrm").as("qn"), col("cell"))
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val assigned = ivfAssign(spark, dir)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
+import graft.Materializer
 import graft.Tables._
 
 /** Reference-parity web-traffic analytics, re-expressed over the testbed
@@ -276,8 +277,8 @@ object TrafficAnalytics {
     // materialized: the partials are referenced 3× (stream side, batch
     // side, max-batch bound) and Spark re-computes an un-materialized
     // subtree per reference — 3 fact-table scans instead of 1
-    val partials = graft.Materializer.materialize(
-      graft.Materializer.tagFor(s"mismatch-$keyName", dir),
+    val partials = Materializer.materialize(
+      Materializer.tagFor(s"mismatch-$keyName", dir),
       evKeyed(spark, dir, keyName, keyExpr)
         .groupBy(col("ws"), col(keyName), col("batch_id"))
         .agg(count(lit(1)).as("c")))
@@ -310,8 +311,8 @@ object TrafficAnalytics {
   // partial combines (associative, so the combined avg is bit-identical
   // to the direct davg).
   def engagementMismatch(spark: SparkSession, dir: String): DataFrame = {
-    val partials = graft.Materializer.materialize(
-      graft.Materializer.tagFor("mismatch-engagement", dir),
+    val partials = Materializer.materialize(
+      Materializer.tagFor("mismatch-engagement", dir),
       evKeyed(spark, dir, "value", col("value"))
         .groupBy(col("ws"), col("batch_id"))
         .agg(

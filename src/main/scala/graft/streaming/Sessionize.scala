@@ -96,7 +96,7 @@ object Sessionize {
           cur = Some(SessionState(ts, ts, 1L, cents(v)))
         case Some(_) =>
           // > GAP before the open session's start: an isolated straggler
-          closed += SessionRow(user, ts, ts, 1L, cents(v) / 100.0)
+          closed += emit(user, SessionState(ts, ts, 1L, cents(v)))
         case None =>
           cur = Some(SessionState(ts, ts, 1L, cents(v)))
       }

@@ -255,15 +255,22 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  val annIvfSql: String = {
+  /** Shared oracle prefix: norms, centroid set, and the rk=1 IVF
+    * assignment — used by annIvfSql and ivfRefineSql. */
+  private val sqlIvfAssignCtes: String = {
     val cosNC = sqlCosine("n.embedding", "n.nrm", "c.ce", "c.cn")
-    s"""WITH n AS ($sqlWithNorm),
+    s"""n AS ($sqlWithNorm),
        |c AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM n
        |      WHERE vec_id % $KMOD = $CENT_RESIDUE),
        |a AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
        |  SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
        |         row_number() OVER (PARTITION BY n.vec_id ORDER BY $cosNC DESC, c.cent_id ASC) AS rk
-       |  FROM n, c) WHERE rk = 1),
+       |  FROM n, c) WHERE rk = 1)""".stripMargin
+  }
+
+  val annIvfSql: String = {
+    val cosNC = sqlCosine("n.embedding", "n.nrm", "c.ce", "c.cn")
+    s"""WITH $sqlIvfAssignCtes,
        |p AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cent_id AS cell FROM (
        |  SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
        |         row_number() OVER (PARTITION BY n.vec_id ORDER BY $cosNC DESC, c.cent_id ASC) AS rk
@@ -279,6 +286,51 @@ object Similarity {
        |QUALIFY rnk <= $TOPK
        |ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** One deterministic Lloyd refinement iteration over the IVF
+    * assignment — the training step the coarse quantizer's scaladoc
+    * promises ("a k-means refinement would train offline and broadcast
+    * the same way"): per cell, the element-wise mean of all member
+    * embeddings, aggregated in exact integer micro-units
+    * (floor(x·1e6 + 0.5) — pure IEEE, identical cross-engine; long sums
+    * are partition-order-proof) so the refined centroids are
+    * bit-reproducible under any parallelism. Shape: one posexplode over
+    * the assignment (|corpus|·DIM narrow rows), one hash-shuffle on
+    * (cell, dim) with map-side combine, then a K-row rollup. Output:
+    * member count + the first four refined components per cell (the
+    * verifiable training summary; the full vector is the same column
+    * set wider). Iterating = feeding the refined centroids back as the
+    * next round's broadcast set. */
+  def ivfRefine(spark: SparkSession, dir: String): DataFrame = {
+    val dims = ivfAssign(spark, dir)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d"))
+      .agg(
+        sum(floor(col("x") * 1000000.0 + lit(0.5))).as("sum_micro"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("d"), col("n"),
+        (col("sum_micro").cast("double") / col("n") / 1000000.0).as("c"))
+    val aggs = max(col("n")).as("n_members") +:
+      (0 until 4).map(i => max(when(col("d") === i, col("c"))).as(s"c$i"))
+    dims.groupBy(col("cell"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("cell")
+  }
+
+  val ivfRefineSql: String =
+    s"""WITH $sqlIvfAssignCtes,
+       |e AS (SELECT cell, i AS d, CAST(embedding[i+1] AS DOUBLE) AS x
+       |      FROM a, (SELECT unnest(generate_series(0, ${DIM - 1})) AS i) dims),
+       |m AS (SELECT cell, d, count(*) AS n,
+       |             CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |               / count(*) / 1000000.0 AS c
+       |      FROM e GROUP BY 1, 2)
+       |SELECT cell, max(n) AS n_members,
+       |       max(CASE WHEN d = 0 THEN c END) AS c0,
+       |       max(CASE WHEN d = 1 THEN c END) AS c1,
+       |       max(CASE WHEN d = 2 THEN c END) AS c2,
+       |       max(CASE WHEN d = 3 THEN c END) AS c3
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Round 1's exact all-pairs form — kept (unregistered) as the recall
     * reference for AnnRecallSpec at tiny SF. Quadratic BY DESIGN; never
@@ -298,11 +350,13 @@ object Similarity {
     "q_ann_bruteforce"    -> annBruteforce _,
     "q_ann_lsh"           -> annLsh _,
     "q_ann_ivf"           -> annIvf _,
+    "q_ivf_refine"        -> ivfRefine _,
     "q_embedding_neardup" -> embeddingNeardup _)
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce"    -> annBruteforceSql,
     "q_ann_lsh"           -> annLshSql,
     "q_ann_ivf"           -> annIvfSql,
+    "q_ivf_refine"        -> ivfRefineSql,
     "q_embedding_neardup" -> embeddingNeardupSql)
 }

@@ -24,9 +24,10 @@ class PlanGuardSpec extends AnyFunSuite {
   /** Queries where a BroadcastNestedLoopJoin is the DECLARED plan:
     * q_ann_bruteforce — the documented quadratic exactness baseline
     * (broadcast query subset × corpus, Similarity.scala);
-    * q_ann_ivf — corpus × broadcast centroid set: the defining O(N·K)
-    * IVF assignment cost, linear in the corpus for fixed K. */
-  private val nljAllowed = Set("q_ann_bruteforce", "q_ann_ivf")
+    * q_ann_ivf / q_ivf_refine — corpus × broadcast centroid set: the
+    * defining O(N·K) IVF assignment cost, linear in the corpus for
+    * fixed K. */
+  private val nljAllowed = Set("q_ann_bruteforce", "q_ann_ivf", "q_ivf_refine")
 
   /** Queries whose NLJ must additionally broadcast an AGGREGATE (a
     * 1-row/few-row bound, not base data): q_above_avg_orders (global

@@ -245,15 +245,28 @@ object TextOps {
   // array work is per-row scan-local; rows out = distinct fingerprints.
   private val WINNOW_W = 8
 
-  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir)
-      .select(col("doc_id"), shingleHashesFast(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), explode(array_distinct(
-        transform(
-          sequence(lit(0), greatest(size(col("sh")) - WINNOW_W, lit(0))),
-          i => array_min(slice(col("sh"), i + 1, lit(WINNOW_W)))))).as("fp"))
+  // Relational formulation, NOT array-land transform/slice/array_min +
+  // array_distinct: those are interpreted (CodegenFallback) and the
+  // distinct is O(windows²) PER ROW — the exact trap Dedup.scala
+  // documents and replaced. Here: explode once, sliding window-frame min
+  // (codegen'd, one shuffle by doc_id), relational distinct — linear in
+  // shingles regardless of document length.
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val exploded = documents(spark, dir)
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), posexplode(shingleHashesFast(col("text"))).as(Seq("pos", "h")))
+    val wFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    val byDoc = Window.partitionBy(col("doc_id"))
+    exploded
+      .withColumn("wmin", min(col("h")).over(wFrame))
+      .withColumn("nsh", count(lit(1)).over(byDoc))
+      .filter(col("pos") <= greatest(col("nsh") - WINNOW_W, lit(0)))
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
       .orderBy("doc_id", "fp")
+  }
 
   val winnowFingerprintSql: String =
     s"""WITH t AS (SELECT doc_id, ${sqlTokenHashes(sqlTokens("text"))} AS th FROM documents),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Materializer
 import graft.Tables._
 import graft.functions.TextHash._
 
@@ -251,7 +252,9 @@ object TextOps {
   // documents and replaced. Here: explode once, sliding window-frame min
   // (codegen'd, one shuffle by doc_id), relational distinct — linear in
   // shingles regardless of document length.
-  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+  /** The distinct (doc_id, fp) winnow posting list — shared by the
+    * fingerprint dump and the near-dup candidate join. */
+  private def winnowPostings(spark: SparkSession, dir: String): DataFrame = {
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val exploded = documents(spark, dir)
       .repartition(n, col("doc_id"))
@@ -265,18 +268,74 @@ object TextOps {
       .filter(col("pos") <= greatest(col("nsh") - WINNOW_W, lit(0)))
       .select(col("doc_id"), col("wmin").as("fp"))
       .distinct()
-      .orderBy("doc_id", "fp")
   }
 
-  val winnowFingerprintSql: String =
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    winnowPostings(spark, dir).orderBy("doc_id", "fp")
+
+  /** Shared oracle CTEs producing the winnow posting list `w`. */
+  private val sqlWinnowPostings: String =
     s"""WITH t AS (SELECT doc_id, ${sqlTokenHashes(sqlTokens("text"))} AS th FROM documents),
-       |h AS (SELECT doc_id, ${sqlShingleHashes("th")} AS sh FROM t)
-       |SELECT doc_id,
+       |h AS (SELECT doc_id, ${sqlShingleHashes("th")} AS sh FROM t),
+       |w AS (SELECT doc_id,
        |       unnest(list_distinct(list_transform(
        |         generate_series(0, greatest(len(sh) - $WINNOW_W, 0)),
        |         i -> list_min(sh[i+1:i+$WINNOW_W])))) AS fp
-       |FROM h WHERE len(sh) > 0
-       |ORDER BY 1, 2""".stripMargin
+       |      FROM h WHERE len(sh) > 0)""".stripMargin
+
+  val winnowFingerprintSql: String =
+    s"""$sqlWinnowPostings
+       |SELECT doc_id, fp FROM w ORDER BY 1, 2""".stripMargin
+
+  // Winnow-based near-dup: the point of winnowing — the posting list is
+  // ~2/(w+1) the size of the full shingle inverted index, so the
+  // candidate self-join (the expensive step of index-based dedup) runs
+  // over a w×-smaller relation while any match of ≥ w+2 tokens is still
+  // guaranteed to share a fingerprint. Same df-cap treatment as
+  // Dedup.DF_CAP: min-selection biases fingerprints toward small hash
+  // values, so a globally-minimal shingle can land in MANY documents'
+  // windows — capping candidate-generation df bounds that fan-out at
+  // DF_CAP² exactly like the stop-shingle cap (mirrored in the oracle).
+  private val WDF_CAP = 20
+  private val WJACCARD_T = 0.5
+
+  def winnowNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // materialized: referenced 3× (sizes + both self-join sides)
+    val capped = Materializer.materialize(
+      Materializer.tagFor("winnowcap", dir),
+      winnowPostings(spark, dir)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("df") <= WDF_CAP)
+        .drop("df"))
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    capped.as("a").join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), col("common"),
+        (col("common").cast("double") / (col("s1.n") + col("s2.n") - col("common")))
+          .as("winnow_jaccard"))
+      .filter(col("winnow_jaccard") >= WJACCARD_T)
+      .orderBy("d1", "d2")
+  }
+
+  val winnowNearDupSql: String =
+    s"""$sqlWinnowPostings,
+       |wc AS (SELECT doc_id, fp FROM (
+       |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM w)
+       |  WHERE df <= $WDF_CAP),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM wc GROUP BY 1),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       |  FROM wc a JOIN wc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, common,
+       |       CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS winnow_jaccard
+       |FROM cand JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+       |WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= $WJACCARD_T
+       |ORDER BY d1, d2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_stats"        -> tokenStats _,
@@ -284,6 +343,7 @@ object TextOps {
     "q_quality_score"      -> qualityScore _,
     "q_doc_fingerprint"    -> docFingerprint _,
     "q_winnow_fingerprint" -> winnowFingerprint _,
+    "q_winnow_neardup"     -> winnowNearDup _,
     "q_corpus_curation"    -> corpusCuration _)
 
   val oracles: Map[String, String] = Map(
@@ -292,5 +352,6 @@ object TextOps {
     "q_quality_score"      -> qualityScoreSql,
     "q_doc_fingerprint"    -> docFingerprintSql,
     "q_winnow_fingerprint" -> winnowFingerprintSql,
+    "q_winnow_neardup"     -> winnowNearDupSql,
     "q_corpus_curation"    -> corpusCurationSql)
 }

@@ -57,6 +57,13 @@ object PipelineDemo {
         ()
       }
       .start()
+    // custom-state sessionization over the same stream (30-min gaps)
+    val q3 = Sessionize.sessions(stream.withWatermark("ts", "1 minute"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$work/ckpt3")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet").option("path", s"$work/sessions")
+      .start()
     StreamingAnalytics.awaitAllGracefully(spark)
 
     // differential comparison vs the batch path (comparision.sql shape)
@@ -73,6 +80,12 @@ object PipelineDemo {
       .filter(!(streamedSums("cnt") <=> batchCounts("cnt")))
     println(s"[pipeline] stateful windows: ${spark.read.parquet(s"$work/stateful").count()}")
     println(s"[pipeline] per-batch rows:   ${spark.read.parquet(s"$work/perbatch").count()}")
+    // AvailableNow drains then stops: sessions still open at the final
+    // watermark stay in (discarded) state, so this counts CLOSED sessions
+    val closedSessions =
+      try spark.read.parquet(s"$work/sessions").count()
+      catch { case _: Exception => 0L } // no session closed before drain
+    println(s"[pipeline] closed sessions:  $closedSessions")
     println(s"[pipeline] stream-vs-batch mismatching buckets: ${mismatches.count()} (expect 0)")
     spark.stop()
   }

@@ -291,11 +291,15 @@ object TextOps {
   // ~2/(w+1) the size of the full shingle inverted index, so the
   // candidate self-join (the expensive step of index-based dedup) runs
   // over a w×-smaller relation while any match of ≥ w+2 tokens is still
-  // guaranteed to share a fingerprint. Same df-cap treatment as
-  // Dedup.DF_CAP: min-selection biases fingerprints toward small hash
-  // values, so a globally-minimal shingle can land in MANY documents'
-  // windows — capping candidate-generation df bounds that fan-out at
-  // DF_CAP² exactly like the stop-shingle cap (mirrored in the oracle).
+  // guaranteed to share a fingerprint. Hot fingerprints (df > WDF_CAP)
+  // are REMOVED from the whole computation — sizes and intersections
+  // alike, the same stop-word-removal semantics as Dedup.ngramJaccard's
+  // filtered space (NOT the candidate-only cap of minhashLsh, whose
+  // verification re-scores on the full index): min-selection biases
+  // fingerprints toward small hash values, so a globally-minimal shingle
+  // lands in MANY documents' windows and would fan out at df² per hot
+  // fp. Scores are therefore winnow-jaccard over the capped posting
+  // space, mirrored exactly in the oracle.
   private val WDF_CAP = 20
   private val WJACCARD_T = 0.5
 

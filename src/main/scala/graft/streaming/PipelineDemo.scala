@@ -83,8 +83,10 @@ object PipelineDemo {
     // AvailableNow drains then stops: sessions still open at the final
     // watermark stay in (discarded) state, so this counts CLOSED sessions
     val closedSessions =
+      // empty-sink read fails schema inference with AnalysisException —
+      // anything else (corrupt footer, IO) should still surface
       try spark.read.parquet(s"$work/sessions").count()
-      catch { case _: Exception => 0L } // no session closed before drain
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     println(s"[pipeline] closed sessions:  $closedSessions")
     println(s"[pipeline] stream-vs-batch mismatching buckets: ${mismatches.count()} (expect 0)")
     spark.stop()

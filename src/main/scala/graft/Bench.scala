@@ -1,7 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-min system loadavg, or -1 if unreadable — recorded at start and
+    * end so a run contaminated by ambient machine load is self-diagnosing
+    * from the JSON alone (the r2/r3 driver-bench artifacts were both
+    * inflated by concurrent load and cost a judging cycle each). */
+  private def loadavg: Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble
+      finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  /** Peak committed+used heap across pools (post-GC peaks), MiB. */
+  private def peakHeapMiB: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L)).sum / (1024 * 1024)
+  }
+
   def main(args: Array[String]): Unit = {
+    val load0 = loadavg
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -41,7 +67,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val env = f""""loadavg_start":$load0%.2f,"loadavg_end":$loadavg%.2f,""" +
+      s""""gc_ms":$gcMillis,"peak_heap_mib":$peakHeapMiB"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,$env,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

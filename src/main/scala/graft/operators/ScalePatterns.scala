@@ -115,6 +115,21 @@ object ScalePatterns {
   private val HOT_N = 16
   private val JSALTS = 8
 
+  /** Top-HOT_N heaviest probe-side keys by frequency, via
+    * orderBy().limit() — plans as a distributed TakeOrderedAndProject:
+    * each partition of the per-key aggregate keeps its local top-HOT_N
+    * and only those reach the driver. No partition-less ranking window
+    * anywhere, even over the aggregate (|distinct keys| is itself huge at
+    * 100 TB; at that scale this set would come from a frequency sketch —
+    * see `functions.SketchAgg` — but the TakeOrdered form is already
+    * single-task-free). Exposed for PlanGuardSpec's shape assertion. */
+  def hotKeysPlan(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(col("user_id"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("user_id").asc)
+      .limit(HOT_N)
+      .select(col("user_id").as("hot_key"))
+
   /** Skew-resilient fact-fact equi-join (events ⋈ orders on
     * user_id = o_custkey), hybrid hot/cold formulation — the pattern that
     * keeps a hot join key from serializing one reducer at 100 TB:
@@ -139,18 +154,11 @@ object ScalePatterns {
     val ev = events(spark, dir).select(col("user_id"), col("event_id"))
     val ords = orders(spark, dir)
       .select(col("o_custkey"), col("o_totalprice"))
-    // top-N heavy hitters by probe frequency; the window runs over the
-    // 1-row-per-key aggregate (bounded), never base data. Materialized:
-    // the HOT_N-row set is referenced 3× (probe tag + build filter +
-    // probe filter) and an un-materialized subtree would re-scan the
-    // fact table's key column per reference.
+    // Materialized: the HOT_N-row set is referenced 3× (probe tag + build
+    // filter + probe filter) and an un-materialized subtree would re-scan
+    // the fact table's key column per reference.
     val hot = Materializer.materialize(
-      Materializer.tagFor("skewhot", dir),
-      ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
-        .withColumn("r", row_number().over(
-          Window.orderBy(col("cnt").desc, col("user_id").asc)))
-        .filter(col("r") <= HOT_N)
-        .select(col("user_id").as("hot_key")))
+      Materializer.tagFor("skewhot", dir), hotKeysPlan(spark, dir))
     val tagged = ev.join(broadcast(hot), col("user_id") === col("hot_key"), "left")
     val cold = tagged.filter(col("hot_key").isNull).drop("hot_key")
       .join(ords, col("user_id") === col("o_custkey"))

@@ -89,14 +89,44 @@ class PlanGuardSpec extends AnyFunSuite {
     } finally Materializer.clear()
   }
 
-  test("no partition-less window over unaggregated data") {
-    for ((name, plan) <- plans) {
+  /** Queries allowed a partition-less window: q_quantiles_disc's
+    * cumulative count runs over the band-count aggregate, whose size is
+    * the CONSTANT NBANDS (not |distinct keys|) — a bounded single-task
+    * frame by construction. Everything else must either partition the
+    * window or use orderBy().limit() (TakeOrderedAndProject), which is
+    * distributed: a ranking window over a per-key aggregate still funnels
+    * |distinct keys| rows through one task at 100 TB (the r3 q_skew_join
+    * weak mark). */
+  private val globalWindowAllowed = Set("q_quantiles_disc")
+
+  test("no partition-less window outside the declared constant-size cases") {
+    for ((name, plan) <- plans if !globalWindowAllowed(name)) {
       val bad = plan.collectWithSubqueries {
-        case w: WindowExec if w.partitionSpec.isEmpty && !hasAggBelow(w.child) => w
-        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty && !hasAggBelow(w.child) => w
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
       }
       assert(bad.isEmpty,
-        s"$name plans a global-sort window over unaggregated data:\n${bad.headOption}")
+        s"$name plans a partition-less window (global single-task sort):\n${bad.headOption}")
     }
+  }
+
+  test("q_skew_join hot-key detection plans a distributed TakeOrderedAndProject") {
+    val plan = SparkEntry.queries("q_skew_join")(spark, sf).queryExecution
+    try {
+      val top = plan.analyzed.toString
+      // the registered plan reads the materialized hot set; the detection
+      // subtree ran at construction — assert the construction-side shape
+      // directly on the builder expression instead.
+      val hotPlan = graft.operators.ScalePatterns.hotKeysPlan(spark, sf)
+        .queryExecution.sparkPlan
+      assert(hotPlan.collectFirst {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.isDefined, s"hot-key detection is not TakeOrderedAndProject:\n$hotPlan")
+      assert(hotPlan.collectWithSubqueries {
+        case w: WindowExec => w
+        case w: WindowGroupLimitExec => w
+      }.isEmpty, s"hot-key detection still plans a window:\n$hotPlan")
+      assert(top.nonEmpty)
+    } finally Materializer.clear()
   }
 }

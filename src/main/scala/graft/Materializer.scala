@@ -32,7 +32,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Materializer {
 
-  private val live = scala.collection.mutable.Map[String, String]()
+  private val live = new java.util.concurrent.ConcurrentHashMap[String, String]()
   @volatile private var rootDir: Path = _
 
   private def root: Path = synchronized {
@@ -45,31 +45,42 @@ object Materializer {
 
   /** Stable per-(subtree, input-dir) key: the same logical content always
     * maps to the same tag, so repeated builds within one query (or one
-    * test suite) reuse one on-disk copy instead of re-deriving it. */
-  def tagFor(name: String, dir: String): String =
-    s"$name-${Integer.toHexString(dir.hashCode)}"
+    * test suite) reuse one on-disk copy instead of re-deriving it. The
+    * dir is folded in as a full MD5 hex digest — a 32-bit String.hashCode
+    * would let two distinct input dirs collide within one session and
+    * silently serve the wrong dataset's materialization. */
+  def tagFor(name: String, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$name-$hex"
+  }
 
   /** Materialize `df` under `tag` — eager parquet write on first call,
     * reuse on subsequent calls — and return a scan of the on-disk copy.
     * Values are preserved exactly (long/double/string columns round-trip
-    * bit-identically through parquet); only physical lineage changes. */
+    * bit-identically through parquet); only physical lineage changes.
+    * Locking is per tag (`computeIfAbsent`): same-tag callers block on
+    * the one writer, distinct tags write concurrently — a parallel-query
+    * embedding never serializes unrelated materializations behind one
+    * global lock. */
   def materialize(tag: String, df: DataFrame): DataFrame = {
-    val path = synchronized {
-      live.getOrElse(tag, {
-        val p = root.resolve(tag).toString
-        df.write.mode(SaveMode.Overwrite).parquet(p)
-        live.update(tag, p)
-        p
-      })
-    }
+    val path = live.computeIfAbsent(tag, _ => {
+      val p = root.resolve(tag).toString
+      df.write.mode(SaveMode.Overwrite).parquet(p)
+      p
+    })
     df.sparkSession.read.parquet(path)
   }
 
   /** Drop every materialized copy. Safe to call between queries; the next
     * `materialize` for a tag simply recomputes. */
-  def clear(): Unit = synchronized {
-    live.values.foreach(p => deleteTree(java.nio.file.Paths.get(p)))
-    live.clear()
+  def clear(): Unit = {
+    val it = live.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      it.remove()
+      deleteTree(java.nio.file.Paths.get(e.getValue))
+    }
   }
 
   private def deleteTree(p: Path): Unit =

@@ -40,6 +40,10 @@ object TextHash {
     Bridge.column(TokenHashesExpr(Bridge.expression(s)))
   def shingleHashesFast(s: Column): Column =
     Bridge.column(ShingleHashesExpr(Bridge.expression(s)))
+  def tokenCountFast(s: Column): Column =
+    Bridge.column(TokenCountExpr(Bridge.expression(s)))
+  def stopCountFast(s: Column, words: Seq[String]): Column =
+    Bridge.column(StopCountExpr(Bridge.expression(s), words))
 
   /** 1..n as an array, empty when n < 1 (matches generate_series). */
   private def idx(n: Column): Column =

@@ -77,6 +77,44 @@ object TextHashImpl {
     }
     out
   }
+
+  /** Whitespace-delimited token count (empty tokens dropped) — the
+    * `size(tokens(s))` value in one pass, no array materialized. */
+  def tokenCount(s: String): Long = {
+    var cnt = 0L
+    var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (isWs(cp)) {
+        if (inTok) { cnt += 1; inTok = false }
+      } else inTok = true
+      i += Character.charCount(cp)
+    }
+    if (inTok) cnt += 1
+    cnt
+  }
+
+  /** Count of whitespace-delimited tokens present in `words` (exact
+    * match, multiplicity counted) — the stop-score formula
+    * `size(filter(tokens(s), t -> t IN words))` in one pass. */
+  def stopCount(s: String, words: java.util.HashSet[String]): Long = {
+    var cnt = 0L
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (isWs(cp)) {
+        if (sb.length > 0) {
+          if (words.contains(sb.toString)) cnt += 1
+          sb.setLength(0)
+        }
+      } else sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0 && words.contains(sb.toString)) cnt += 1
+    cnt
+  }
 }
 
 /** charHash as a native expression: string → BIGINT. */
@@ -104,6 +142,46 @@ case class TokenHashesExpr(child: Expression) extends UnaryExpression {
       "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.functions.TextHashImpl.tokenHashes($c.toString()))")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** size(tokens(s)) as a native expression: string → BIGINT. */
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  // input: StringType (checked by analyzer binding)
+  override def prettyName: String = "token_count"
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.tokenCount(v.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashImpl.tokenCount($c.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Stop-word token count as a native expression: string → BIGINT. The
+  * word list is folded into a HashSet carried as a codegen reference
+  * object — one set per expression instance, shared across rows (the
+  * HOF form re-built an array-literal membership scan per token).
+  * Replaces the interpreted `filter` lambda whose CodegenFallback both
+  * cost ~100× per element AND disabled whole-stage common-subexpression
+  * elimination, so `bestLang`'s five scores were re-evaluated per decode
+  * branch (~5× extra — the round-3 VERDICT defect #2). */
+case class StopCountExpr(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  // input: StringType (checked by analyzer binding)
+  override def prettyName: String = "stop_count"
+  @transient private lazy val wordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]
+    words.foreach(s.add)
+    s
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.stopCount(v.asInstanceOf[UTF8String].toString, wordSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopWords", wordSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashImpl.stopCount($c.toString(), $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** shingleHashes(tokenHashes(tokens(s))) fused: string → ARRAY<BIGINT>. */

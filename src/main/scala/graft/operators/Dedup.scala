@@ -109,29 +109,13 @@ object Dedup {
     s"""SELECT DISTINCT doc_id, unnest(${sqlShingleHashes("th")}) AS sh
        |FROM (SELECT doc_id, ${sqlTokenHashes(sqlTokens("text"))} AS th FROM documents)""".stripMargin
 
-  /** Stop-shingle document-frequency cap (candidate generation only).
-    * Calibrated at sf0.1: max df = 25, 59 of 27k shingles above 20 — the
-    * cap engages without dropping any planted near-dup pair (those share
-    * hundreds of low-df shingles). At 100 TB this is the bound that
-    * keeps a stop-shingle shared by k docs from emitting O(k²)
-    * candidates between dissimilar documents. */
+  /** Stop-shingle document-frequency cap. Calibrated at sf0.1: max
+    * df = 25, 59 of 27k shingles above 20 — the cap engages without
+    * dropping any planted near-dup pair (those share hundreds of low-df
+    * shingles). At 100 TB this is the bound that keeps a stop-shingle
+    * shared by k docs from emitting O(k²) candidates between dissimilar
+    * documents. */
   private val DF_CAP = 20
-
-  /** The shingle index restricted to shingles with document frequency
-    * ≤ DF_CAP — the inverted index used for candidate generation. One
-    * shuffle by sh (window count). Materialized: referenced 3× by
-    * ngramJaccard (both self-join sides + sizes). */
-  private def candidateIndex(spark: SparkSession, dir: String): DataFrame =
-    Materializer.materialize(Materializer.tagFor("candidx", dir),
-      shingleIndex(spark, dir)
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-        .filter(col("df") <= DF_CAP)
-        .drop("df"))
-
-  private val sqlCandidateIndex: String =
-    s"""SELECT doc_id, sh FROM (
-       |  SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM ex)
-       |WHERE df <= $DF_CAP""".stripMargin
 
   /** Exact Jaccard for candidate pairs (d1 < d2) given the inverted index:
     * |A∩B| from the shingle equi-join, sizes from a groupBy. */
@@ -152,42 +136,20 @@ object Dedup {
   // ------------------------------------------------------- n-gram Jaccard
   // Near-dup via the inverted index (no LSH), computed over the
   // STOP-SHINGLE-FILTERED space: shingles with df > DF_CAP are excluded
-  // from sizes AND intersections — standard stop-word-removal semantics.
-  // This keeps everything inside ONE self-join → groupBy (intersection
-  // counts fall out of the join itself; a pair never multiplies by its
-  // full shingle list), and the cap bounds per-shingle join fan-out at
-  // DF_CAP² — without it one stop-shingle in k docs costs O(k²) rows at
-  // scale. Planted near-dups share hundreds of low-df shingles, so the
-  // filtered jaccard is within noise of the unfiltered one.
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val ci = candidateIndex(spark, dir)
-    val sizes = ci.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    ci.as("a").join(ci.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-      .select(col("d1"), col("d2"), col("common"),
-        (col("common").cast("double") / (col("s1.n") + col("s2.n") - col("common")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= JACCARD_T)
-      .orderBy("d1", "d2")
-  }
+  // from sizes AND intersections — standard stop-word-removal semantics
+  // (NOT the candidate-only cap of minhashLsh, whose verification
+  // re-scores on the full index). Planted near-dups share hundreds of
+  // low-df shingles, so the filtered jaccard is within noise of the
+  // unfiltered one. The cap/join/score core is the shared
+  // [[NearDup.cappedJaccardPairs]].
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    NearDup.cappedJaccardPairs(shingleIndex(spark, dir), "sh", DF_CAP,
+      JACCARD_T, "jaccard", Materializer.tagFor("candidx", dir))
 
   val ngramJaccardSql: String =
     s"""WITH ex AS ($sqlShingleIndex),
-       |exc AS ($sqlCandidateIndex),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM exc GROUP BY 1),
-       |cand AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-       |  FROM exc a JOIN exc b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT d1, d2, common,
-       |       CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS jaccard
-       |FROM cand JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-       |WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= $JACCARD_T
-       |ORDER BY d1, d2""".stripMargin
+       |${NearDup.sqlCappedJaccardPairs("ex", "sh", DF_CAP, JACCARD_T, "jaccard")}"""
+      .stripMargin
 
   // --------------------------------------------------------- MinHash+LSH
   // Signature in array land per doc → band signatures → bucket self-join

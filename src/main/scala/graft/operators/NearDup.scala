@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Materializer
+
+/** Shared candidate-join core for posting-list near-duplicate detection.
+  *
+  * Both index-based near-dup variants — [[Dedup.ngramJaccard]] (full
+  * shingle inverted index) and [[TextOps.winnowNearDup]] (winnowed
+  * fingerprint posting list) — are the SAME operator over different
+  * posting lists: drop hot keys (document frequency above a cap, the
+  * stop-word-removal bound that keeps one key shared by k docs from
+  * emitting O(k²) candidate rows at scale), then a self-equi-join on the
+  * key yields intersection counts, per-doc totals yield sizes, and
+  * jaccard = |A∩B| / (|A|+|B|-|A∩B|) gates at a threshold. One Scala
+  * body and one oracle-SQL template keep the two (and any future
+  * posting-list variant) from drifting apart.
+  */
+object NearDup {
+
+  /** df-capped jaccard near-dup pairs over a `(doc_id, key)` posting
+    * list. The capped list is materialized under `tag` — it is
+    * referenced three times (sizes + both self-join sides) and Spark has
+    * no cross-reference subtree reuse. Output: (d1, d2, common,
+    * `scoreName`) for pairs with score ≥ `threshold`, d1 < d2.
+    *
+    * Scale shape: one window shuffle on key (df cap), one self-join on
+    * key with per-key fan-out bounded by dfCap², one aggregate on the
+    * pair key — never the O(n²) pair space. */
+  def cappedJaccardPairs(postings: DataFrame, key: String, dfCap: Int,
+                         threshold: Double, scoreName: String, tag: String): DataFrame = {
+    val capped = Materializer.materialize(tag,
+      postings
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col(key))))
+        .filter(col("df") <= dfCap)
+        .drop("df"))
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    capped.as("a").join(capped.as("b"),
+        col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), col("common"),
+        (col("common").cast("double") / (col("s1.n") + col("s2.n") - col("common")))
+          .as(scoreName))
+      .filter(col(scoreName) >= threshold)
+      .orderBy("d1", "d2")
+  }
+
+  /** Oracle-SQL twin of [[cappedJaccardPairs]]: CTE suffix + final
+    * SELECT, given the name of a prior CTE holding the `(doc_id, key)`
+    * posting list. Callers append it after `WITH <src> AS (...),`. */
+  def sqlCappedJaccardPairs(src: String, key: String, dfCap: Int,
+                            threshold: Double, scoreName: String): String =
+    s"""capped AS (SELECT doc_id, $key FROM (
+       |  SELECT doc_id, $key, count(*) OVER (PARTITION BY $key) AS df FROM $src)
+       |  WHERE df <= $dfCap),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       |  FROM capped a JOIN capped b ON a.$key = b.$key AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, common,
+       |       CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS $scoreName
+       |FROM cand JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+       |WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= $threshold
+       |ORDER BY d1, d2""".stripMargin
+}

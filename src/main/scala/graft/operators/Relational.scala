@@ -470,16 +470,22 @@ object Relational {
       .limit(20)
   }
 
+  // Oracle hash mirrors the aggregate's floorMod exactly:
+  // ((x % P) + P) % P is non-negative, so the outer % W then agrees with
+  // pmod for NEGATIVE keys too (DuckDB's bare % is sign-preserving).
+  // Remaining precondition: |a*user_id + b| must fit in BIGINT — Spark
+  // silently wraps Long overflow while DuckDB errors; keys beyond
+  // ~2^63/max(A) (≈ 5e17 here) are out of contract for the oracle.
   val cmsHeavyHittersSql: String = {
     import graft.functions.CountMinSketchAgg.{A, B, D, P, W}
     val params = (0 until D).map(d => s"(${d}, ${A(d)}, ${B(d)})").mkString(", ")
     s"""WITH params(d, a, b) AS (VALUES $params),
        |cells AS (
-       |  SELECT d, ((a * user_id + b) % $P) % $W AS w, count(*) AS c
+       |  SELECT d, (((a * user_id + b) % $P + $P) % $P) % $W AS w, count(*) AS c
        |  FROM events, params GROUP BY 1, 2),
        |exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1),
        |probes AS (
-       |  SELECT e.user_id, e.exact_n, p.d, ((p.a * e.user_id + p.b) % $P) % $W AS w
+       |  SELECT e.user_id, e.exact_n, p.d, (((p.a * e.user_id + p.b) % $P + $P) % $P) % $W AS w
        |  FROM exact e CROSS JOIN params p),
        |est AS (
        |  SELECT user_id, exact_n, min(c) AS cms_estimate

@@ -33,8 +33,13 @@ object TextOps {
     ("fr", 2, Seq("le", "la", "et", "les", "un", "est")),
     ("zh", 1, Seq("的", "是", "在", "了", "和", "有")))
 
-  private def stopScore(toks: Column, words: Seq[String]): Column =
+  /** HOF form of the stop score — kept as the executable spec / oracle
+    * mirror; hot paths use the codegen'd `stopCountFast` (identical
+    * values, asserted in PipelineOpsSpec). */
+  private[graft] def stopScore(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  private[graft] def stopWordsAll: Seq[String] = langs.flatMap(_._3).distinct
 
   private def sqlStopScore(toks: String, words: Seq[String]): String =
     s"len(list_filter($toks, t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t)))"
@@ -70,10 +75,15 @@ object TextOps {
        |                        (s, x) -> s + x) AS DOUBLE) / len(toks) AS avg_token_len
        |FROM t ORDER BY doc_id""".stripMargin
 
-  /** score*8+rank combined argmax key over all languages (see langs). */
-  private def bestLang(toks: Column): Column =
+  /** score*8+rank combined argmax key over all languages (see langs),
+    * over the raw text via the codegen'd stop-count expression. All five
+    * scores are whole-stage-codegen participants, so common-subexpression
+    * elimination computes each ONCE per row however many decode branches
+    * reference the key (the interpreted HOF form re-evaluated all five
+    * per reference). */
+  private def bestLang(text: Column): Column =
     greatest(langs.map { case (_, rank, words) =>
-      stopScore(toks, words).cast("long") * 8 + rank }: _*)
+      stopCountFast(text, words) * 8 + rank }: _*)
 
   /** Decode the winning language code from a combined argmax key. */
   private def decodeLang(best: Column): Column =
@@ -82,7 +92,7 @@ object TextOps {
 
   // Stopword-list language ID with deterministic argmax.
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val best = bestLang(tokens(col("text")))
+    val best = bestLang(col("text"))
     documents(spark, dir)
       .select(
         col("doc_id"), col("lang").as("claimed_lang"),
@@ -111,24 +121,21 @@ object TextOps {
 
   // Quality scoring: length/stopword/punctuation heuristics combined in a
   // fixed-order double formula (bit-stable across engines).
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val allStop = langs.flatMap(_._3).distinct
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"),
-        length(col("text")).as("nc"))
+      .select(col("doc_id"), col("text"), length(col("text")).as("nc"))
       .select(
         col("doc_id"),
         col("nc").cast("long").as("n_chars"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        (stopScore(col("toks"), allStop).cast("double") / size(col("toks")))
-          .as("stopword_ratio"),
+        tokenCountFast(col("text")).as("n_tokens"),
+        (stopCountFast(col("text"), stopWordsAll).cast("double") /
+          tokenCountFast(col("text"))).as("stopword_ratio"),
         ((col("nc") - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
           .cast("double") / col("nc")).as("punct_ratio"))
       .withColumn("quality_score",
         least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3 +
           col("stopword_ratio") * 0.4 + (lit(1.0) - col("punct_ratio")) * 0.3)
       .orderBy("doc_id")
-  }
 
   val qualityScoreSql: String = {
     val allStop = langs.flatMap(_._3).distinct
@@ -175,19 +182,19 @@ object TextOps {
   private val QUALITY_GATE = 0.5
 
   def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
-    val allStop = langs.flatMap(_._3).distinct
     val base = documents(spark, dir).select(
-      col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("toks"),
+      col("doc_id"), col("lang"), col("text"),
       length(col("text")).as("nc"), md5(col("text")).as("content_hash"))
-    val best = bestLang(col("toks"))
-    val stopR = stopScore(col("toks"), allStop).cast("double") / size(col("toks"))
+    val best = bestLang(col("text"))
+    val stopR = stopCountFast(col("text"), stopWordsAll).cast("double") /
+      tokenCountFast(col("text"))
     val punctR = (col("nc") - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
       .cast("double") / col("nc")
     base.select(
         col("doc_id"), col("lang"), col("content_hash"),
         decodeLang(best).as("predicted_lang"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        (least(size(col("toks")).cast("double") / 100.0, lit(1.0)) * 0.3 +
+        tokenCountFast(col("text")).as("n_tokens"),
+        (least(tokenCountFast(col("text")).cast("double") / 100.0, lit(1.0)) * 0.3 +
           stopR * 0.4 + (lit(1.0) - punctR) * 0.3).as("quality_score"))
       .withColumn("keeper_id",
         min(col("doc_id")).over(Window.partitionBy(col("content_hash"))))
@@ -299,47 +306,19 @@ object TextOps {
   // fingerprints toward small hash values, so a globally-minimal shingle
   // lands in MANY documents' windows and would fan out at df² per hot
   // fp. Scores are therefore winnow-jaccard over the capped posting
-  // space, mirrored exactly in the oracle.
+  // space, mirrored exactly in the oracle. The cap/join/score core is
+  // the shared [[NearDup.cappedJaccardPairs]].
   private val WDF_CAP = 20
   private val WJACCARD_T = 0.5
 
-  def winnowNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // materialized: referenced 3× (sizes + both self-join sides)
-    val capped = Materializer.materialize(
-      Materializer.tagFor("winnowcap", dir),
-      winnowPostings(spark, dir)
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
-        .filter(col("df") <= WDF_CAP)
-        .drop("df"))
-    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    capped.as("a").join(capped.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-      .select(col("d1"), col("d2"), col("common"),
-        (col("common").cast("double") / (col("s1.n") + col("s2.n") - col("common")))
-          .as("winnow_jaccard"))
-      .filter(col("winnow_jaccard") >= WJACCARD_T)
-      .orderBy("d1", "d2")
-  }
+  def winnowNearDup(spark: SparkSession, dir: String): DataFrame =
+    NearDup.cappedJaccardPairs(winnowPostings(spark, dir), "fp", WDF_CAP,
+      WJACCARD_T, "winnow_jaccard", Materializer.tagFor("winnowcap", dir))
 
   val winnowNearDupSql: String =
     s"""$sqlWinnowPostings,
-       |wc AS (SELECT doc_id, fp FROM (
-       |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM w)
-       |  WHERE df <= $WDF_CAP),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM wc GROUP BY 1),
-       |cand AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-       |  FROM wc a JOIN wc b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT d1, d2, common,
-       |       CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS winnow_jaccard
-       |FROM cand JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-       |WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= $WJACCARD_T
-       |ORDER BY d1, d2""".stripMargin
+       |${NearDup.sqlCappedJaccardPairs("w", "fp", WDF_CAP, WJACCARD_T, "winnow_jaccard")}"""
+      .stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_stats"        -> tokenStats _,

@@ -75,32 +75,53 @@ object Sessionize {
     * and the open session's span, so a later BATCH can still deliver an
     * event at-or-before the open session's end. Such an event MERGES
     * (start/end extend by min/max — end never rewinds) when it falls
-    * within GAP of the open interval; an event more than GAP before the
-    * open start cannot attach to any unemitted session and is emitted
-    * directly as its own closed singleton (no retraction of
-    * already-emitted sessions — the inherent limit of append-mode
-    * sessionization). */
+    * within GAP of the open interval. Events more than GAP before the
+    * open start accumulate into their own PENDING session — two
+    * stragglers within GAP of each other form ONE session, exactly as
+    * the batch semantics would group them — which closes when the next
+    * event jumps > GAP past it (or the slice ends). What append mode
+    * cannot do is retract: a straggler chain that would, under full
+    * batch semantics, bridge INTO an already-emitted or open session is
+    * still emitted separately (unreachable while the watermark delay is
+    * smaller than GAP, since such stragglers are late-dropped upstream). */
   def foldBatch(user: Long, sorted: Seq[(Timestamp, Double)],
       open: Option[SessionState]): (Seq[SessionRow], Option[SessionState]) = {
     val closed = ListBuffer.empty[SessionRow]
     var cur = open
+    // straggler accumulator (events > GAP before the open session start)
+    var pending: Option[SessionState] = None
+    def closePending(): Unit = {
+      pending.foreach(p => closed += emit(user, p))
+      pending = None
+    }
     for ((ts, v) <- sorted) {
       cur match {
         case Some(s) if ts.getTime >= s.start.getTime - GAP_MS &&
             ts.getTime - s.end.getTime <= GAP_MS =>
+          closePending()
           val start = if (ts.getTime < s.start.getTime) ts else s.start
           val end = if (ts.getTime > s.end.getTime) ts else s.end
           cur = Some(SessionState(start, end, s.n + 1, s.cents + cents(v)))
         case Some(s) if ts.getTime - s.end.getTime > GAP_MS =>
+          closePending()
           closed += emit(user, s)
           cur = Some(SessionState(ts, ts, 1L, cents(v)))
         case Some(_) =>
-          // > GAP before the open session's start: an isolated straggler
-          closed += emit(user, SessionState(ts, ts, 1L, cents(v)))
+          // > GAP before the open session's start: attach to the pending
+          // straggler session when within GAP of its end (ts ≥ pending
+          // end — the slice is sorted), else close it and open a new one
+          pending match {
+            case Some(p) if ts.getTime - p.end.getTime <= GAP_MS =>
+              pending = Some(SessionState(p.start, ts, p.n + 1, p.cents + cents(v)))
+            case _ =>
+              closePending()
+              pending = Some(SessionState(ts, ts, 1L, cents(v)))
+          }
         case None =>
           cur = Some(SessionState(ts, ts, 1L, cents(v)))
       }
     }
+    closePending()
     (closed.toSeq, cur)
   }
 

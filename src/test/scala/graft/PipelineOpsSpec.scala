@@ -40,6 +40,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bad.isEmpty)
   }
 
+  test("native token/stop counts equal the HOF formulas on real data") {
+    val stops = TextOps.stopWordsAll
+    // a mixed-language probe set exercises the multi-byte (zh) tokens too
+    val bad = Tables.documents(spark, sf).select(
+      (TextHash.tokenCountFast(col("text")) =!=
+        size(TextHash.tokens(col("text"))).cast("long")).as("c1"),
+      (TextHash.stopCountFast(col("text"), stops) =!=
+        TextOps.stopScore(TextHash.tokens(col("text")), stops).cast("long")).as("c2"),
+      (TextHash.stopCountFast(col("text"), Seq("the", "的")) =!=
+        TextOps.stopScore(TextHash.tokens(col("text")), Seq("the", "的")).cast("long")).as("c3"))
+      .filter(col("c1") || col("c2") || col("c3"))
+    assert(bad.isEmpty)
+    // edge cases: empty string, all-whitespace, stop word at both ends
+    val df = Seq("", "  \t\n", "the cat the", "der  die\tund", "x").toDF("t")
+    val got = df.select(TextHash.tokenCountFast(col("t")).as("n"),
+      TextHash.stopCountFast(col("t"), Seq("the", "der", "und")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 0L), (0L, 0L), (3L, 2L), (3L, 2L), (1L, 0L)))
+  }
+
   // ------------------------------------------------------------- TextOps
   test("every text/dedup/similarity query runs and returns rows on sf0.001") {
     (TextOps.queries ++ Dedup.queries ++ Similarity.queries).foreach {

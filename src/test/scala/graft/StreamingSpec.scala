@@ -259,6 +259,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed3 == Seq(graft.streaming.SessionRow(1L,
       ts("2025-04-08 09:00:00"), ts("2025-04-08 09:00:00"), 1L, 5.0)))
     assert(open3 == open2)
+    // TWO stragglers within GAP of each other form ONE closed session
+    // (batch semantics), not two singletons; a third > GAP past them
+    // closes the pair and starts a second straggler session
+    val (closed4, open4) = Sessionize.foldBatch(1L,
+      Seq((ts("2025-04-08 08:00:00"), 1.0), (ts("2025-04-08 08:10:00"), 2.0),
+        (ts("2025-04-08 09:00:00"), 4.0)), open2)
+    assert(closed4 == Seq(
+      graft.streaming.SessionRow(1L,
+        ts("2025-04-08 08:00:00"), ts("2025-04-08 08:10:00"), 2L, 3.0),
+      graft.streaming.SessionRow(1L,
+        ts("2025-04-08 09:00:00"), ts("2025-04-08 09:00:00"), 1L, 4.0)))
+    assert(open4 == open2)
   }
 
   test("streaming dedup drops within-watermark duplicates with bounded state") {

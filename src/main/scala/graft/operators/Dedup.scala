@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -150,6 +150,26 @@ object Dedup {
     s"""WITH ex AS ($sqlShingleIndex),
        |${NearDup.sqlCappedJaccardPairs("ex", "sh", DF_CAP, JACCARD_T, "jaccard")}"""
       .stripMargin
+
+  /** Scan-local (band, sig) signature array for ONE document's shingle-
+    * hash array — the same (A, B, POW31) signature algebra as
+    * [[minhashLsh]], for contexts where the relational groupBy
+    * formulation isn't available (pre-watermark streaming rows). NULL
+    * when the document has no shingles (< 3 tokens): such a document has
+    * no signature and cannot participate in signature dedup. The
+    * per-element HOF cost here is per-document scan-local work on the
+    * streaming ingest path, not a batch-join hot path. */
+  def bandSigs(sh: Column): Column = {
+    val mins = A.indices.map(i =>
+      array_min(transform(sh, x => (x * A(i) + B(i)) % P)))
+    val sigs = (0 until BANDS).map { b =>
+      val s = (0 until ROWS_PER_BAND)
+        .map(r => mins(b * ROWS_PER_BAND + r) * POW31(r))
+        .reduce(_ + _) % P
+      struct(lit(b).as("band"), s.as("sig"))
+    }
+    when(size(sh) > 0, array(sigs: _*))
+  }
 
   // --------------------------------------------------------- MinHash+LSH
   // Signature in array land per doc → band signatures → bucket self-join

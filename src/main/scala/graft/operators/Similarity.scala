@@ -67,7 +67,12 @@ object Similarity {
 
   // Exact brute-force cosine top-k for the query subset. Queries are
   // broadcast; the corpus side streams through a codegen'd projection.
-  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame =
+    annBruteforceAt(spark, dir, TOPK)
+
+  /** Brute-force with an explicit k — the ground truth AnnRecallSpec
+    * sweeps the IVF probe curve against. */
+  def annBruteforceAt(spark: SparkSession, dir: String, topk: Int): DataFrame = {
     val e = withNorm(spark, dir)
     val q = e.filter(col("vec_id") % QUERY_MOD === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -77,7 +82,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TOPK)
+      .filter(col("rnk") <= topk)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
       .orderBy("query_id", "rnk")
   }
@@ -232,16 +237,23 @@ object Similarity {
     rankCells(withNorm(spark, dir), ivfCentroids(spark, dir), 1)
 
   /** Probe-side cell ranking for one query subset: (query_id, qe, qn,
-    * cell) for the NPROBE nearest cells of each query. */
-  def ivfProbeCells(spark: SparkSession, dir: String): DataFrame =
+    * cell) for the `nprobe` nearest cells of each query. */
+  def ivfProbeCells(spark: SparkSession, dir: String, nprobe: Int = NPROBE): DataFrame =
     rankCells(withNorm(spark, dir).filter(col("vec_id") % QUERY_MOD === 0),
-        ivfCentroids(spark, dir), NPROBE)
+        ivfCentroids(spark, dir), nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cell"))
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfAt(spark, dir, NPROBE, TOPK)
+
+  /** annIvf with explicit probe width / k — the recall/cost knob the
+    * 100 TB IVF design rests on (probes touch `nprobe` storage
+    * partitions instead of the corpus). AnnRecallSpec measures
+    * recall@k against [[annBruteforceAt]] across nprobe values. */
+  def annIvfAt(spark: SparkSession, dir: String, nprobe: Int, topk: Int): DataFrame = {
     val assigned = ivfAssign(spark, dir)
-    val probes = ivfProbeCells(spark, dir)
+    val probes = ivfProbeCells(spark, dir, nprobe)
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     broadcast(probes)
@@ -250,7 +262,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
       .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= TOPK)
+      .filter(col("rnk") <= topk)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
       .orderBy("query_id", "rnk")
   }
@@ -301,8 +313,10 @@ object Similarity {
     * verifiable training summary; the full vector is the same column
     * set wider). Iterating = feeding the refined centroids back as the
     * next round's broadcast set. */
-  def ivfRefine(spark: SparkSession, dir: String): DataFrame = {
-    val dims = ivfAssign(spark, dir)
+  /** (cell, d, n, c): per-cell per-dimension refined mean in exact
+    * micro-units — the Lloyd update step over any assignment. */
+  private def refineDims(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy(col("cell"), col("d"))
       .agg(
@@ -310,11 +324,75 @@ object Similarity {
         count(lit(1)).as("n"))
       .select(col("cell"), col("d"), col("n"),
         (col("sum_micro").cast("double") / col("n") / 1000000.0).as("c"))
+
+  /** The verifiable training summary of one Lloyd step: member count +
+    * first four refined components per cell. */
+  private def refineSummary(assigned: DataFrame): DataFrame = {
     val aggs = max(col("n")).as("n_members") +:
       (0 until 4).map(i => max(when(col("d") === i, col("c"))).as(s"c$i"))
-    dims.groupBy(col("cell"))
+    refineDims(assigned).groupBy(col("cell"))
       .agg(aggs.head, aggs.tail: _*)
       .orderBy("cell")
+  }
+
+  /** Refined centroids as the NEXT iteration's broadcast relation
+    * (cent_id, ce: ARRAY<FLOAT>, cn) — the feedback edge that makes
+    * refinement iterable. Means are computed in exact micro-units then
+    * rounded double→float (IEEE round-to-nearest in both engines), so
+    * a re-assignment against them is still bit-deterministic
+    * cross-engine. Array assembly is array-land over K·DIM rows (K
+    * cells, not corpus data) — interpreted cost is bounded by the
+    * centroid count, never the corpus. */
+  private def refinedCentroids(assigned: DataFrame): DataFrame =
+    refineDims(assigned)
+      .select(col("cell"),
+        struct(col("d"), col("c").cast("float").as("cf")).as("dc"))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(col("dc"))).as("dcs"))
+      .select(col("cell").as("cent_id"),
+        transform(col("dcs"), s => s.getField("cf")).as("ce"))
+      .withColumn("cn", normSq(col("ce")))
+
+  def ivfRefine(spark: SparkSession, dir: String): DataFrame =
+    refineSummary(ivfAssign(spark, dir))
+
+  /** SECOND Lloyd iteration, end-to-end in one declarative plan: seed
+    * assignment → refined centroids (broadcast back) → re-assignment of
+    * the corpus → second refinement summary. Same output shape as
+    * [[ivfRefine]]; a cell that loses all members in the re-assignment
+    * drops out (both engines agree). At 100 TB each iteration is one
+    * corpus pass + a K-row broadcast — the standard distributed k-means
+    * loop, here verified value-exactly against the oracle through TWO
+    * chained iterations. */
+  def ivfRefine2(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val c1 = refinedCentroids(ivfAssign(spark, dir))
+    refineSummary(rankCells(e, c1, 1))
+  }
+
+  /** Training-harness loop: run `iters` Lloyd iterations, materializing
+    * each assignment (Materializer round-trip — the between-iterations
+    * barrier a real training driver would have), and return per-iteration
+    * (iteration, vectors whose cell changed vs the previous assignment).
+    * This is a DRIVER loop by design — iterative refinement is a chain
+    * of distributed jobs with a tiny per-step driver decision, exactly
+    * like MLlib's KMeans; each iteration's data work is fully
+    * distributed. Used by AnnRecallSpec's convergence assertion. */
+  def lloydConvergence(spark: SparkSession, dir: String, iters: Int): Seq[(Int, Long)] = {
+    val e = withNorm(spark, dir)
+    var assigned = graft.Materializer.materialize(
+      graft.Materializer.tagFor("lloyd0", dir), ivfAssign(spark, dir))
+    (1 to iters).map { k =>
+      val next = graft.Materializer.materialize(
+        graft.Materializer.tagFor(s"lloyd$k", dir),
+        rankCells(e, refinedCentroids(assigned), 1))
+      val changed = next.select(col("vec_id"), col("cell").as("new_cell"))
+        .join(assigned.select(col("vec_id"), col("cell").as("old_cell")), "vec_id")
+        .filter(col("new_cell") =!= col("old_cell"))
+        .count()
+      assigned = next
+      k -> changed
+    }
   }
 
   val ivfRefineSql: String =
@@ -331,6 +409,36 @@ object Similarity {
        |       max(CASE WHEN d = 2 THEN c END) AS c2,
        |       max(CASE WHEN d = 3 THEN c END) AS c3
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val ivfRefine2Sql: String = {
+    val cosNC1 = sqlCosine("n.embedding", "n.nrm", "c1n.ce", "c1n.cn")
+    s"""WITH $sqlIvfAssignCtes,
+       |e1 AS (SELECT cell, i AS d, CAST(embedding[i+1] AS DOUBLE) AS x
+       |       FROM a, (SELECT unnest(generate_series(0, ${DIM - 1})) AS i) dims),
+       |m1 AS (SELECT cell, d, count(*) AS n,
+       |              CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |                / count(*) / 1000000.0 AS c
+       |       FROM e1 GROUP BY 1, 2),
+       |c1 AS (SELECT cell AS cent_id, list(CAST(c AS REAL) ORDER BY d) AS ce
+       |       FROM m1 GROUP BY 1),
+       |c1n AS (SELECT cent_id, ce, ${sqlDot("ce", "ce")} AS cn FROM c1),
+       |a2 AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
+       |  SELECT n.vec_id, n.embedding, n.nrm, c1n.cent_id,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY $cosNC1 DESC, c1n.cent_id ASC) AS rk
+       |  FROM n, c1n) WHERE rk = 1),
+       |e2 AS (SELECT cell, i AS d, CAST(embedding[i+1] AS DOUBLE) AS x
+       |       FROM a2, (SELECT unnest(generate_series(0, ${DIM - 1})) AS i) dims2),
+       |m2 AS (SELECT cell, d, count(*) AS n,
+       |              CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |                / count(*) / 1000000.0 AS c
+       |       FROM e2 GROUP BY 1, 2)
+       |SELECT cell, max(n) AS n_members,
+       |       max(CASE WHEN d = 0 THEN c END) AS c0,
+       |       max(CASE WHEN d = 1 THEN c END) AS c1,
+       |       max(CASE WHEN d = 2 THEN c END) AS c2,
+       |       max(CASE WHEN d = 3 THEN c END) AS c3
+       |FROM m2 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** Round 1's exact all-pairs form — kept (unregistered) as the recall
     * reference for AnnRecallSpec at tiny SF. Quadratic BY DESIGN; never
@@ -351,6 +459,7 @@ object Similarity {
     "q_ann_lsh"           -> annLsh _,
     "q_ann_ivf"           -> annIvf _,
     "q_ivf_refine"        -> ivfRefine _,
+    "q_ivf_refine2"       -> ivfRefine2 _,
     "q_embedding_neardup" -> embeddingNeardup _)
 
   val oracles: Map[String, String] = Map(
@@ -358,5 +467,6 @@ object Similarity {
     "q_ann_lsh"           -> annLshSql,
     "q_ann_ivf"           -> annIvfSql,
     "q_ivf_refine"        -> ivfRefineSql,
+    "q_ivf_refine2"       -> ivfRefine2Sql,
     "q_embedding_neardup" -> embeddingNeardupSql)
 }

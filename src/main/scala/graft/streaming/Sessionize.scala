@@ -165,4 +165,28 @@ object Sessionize {
   def dedupStream(ev: DataFrame): DataFrame =
     ev.withWatermark("ts", "1 minute")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming NEAR-dup suppression — the streaming face of the batch
+    * minhash/LSH dedup ([[graft.operators.Dedup.minhashLsh]]): each
+    * document expands to its BANDS (band, sig) LSH signature rows
+    * (identical algebra to the batch path, via `Dedup.bandSigs`), and
+    * `dropDuplicatesWithinWatermark` keeps only the FIRST sighting of
+    * each signature within the watermark. Output = the surviving band
+    * rows; a document ALL of whose band rows are suppressed collided
+    * with a recently-seen document on every band — i.e. a near-duplicate
+    * under exactly the batch candidate-generation rule. Documents with
+    * no shingles (< 3 tokens) have no signature and are not emitted.
+    *
+    * State is (band, sig) keys inside the watermark window — bounded,
+    * the only shape an unbounded stream admits; the batch equivalence on
+    * a deterministic replay is asserted differentially in StreamingSpec.
+    *
+    * docs: streaming (doc_id, ts, text). */
+  def nearDupDedupStream(docs: DataFrame, delay: String = "10 minutes"): DataFrame =
+    docs.withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"),
+        explode(graft.operators.Dedup.bandSigs(
+          graft.functions.TextHash.shingleHashesFast(col("text")))).as("bs"))
+      .select(col("doc_id"), col("ts"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .dropDuplicatesWithinWatermark("band", "sig")
 }

@@ -27,7 +27,7 @@ class PlanGuardSpec extends AnyFunSuite {
     * q_ann_ivf / q_ivf_refine — corpus × broadcast centroid set: the
     * defining O(N·K) IVF assignment cost, linear in the corpus for
     * fixed K. */
-  private val nljAllowed = Set("q_ann_bruteforce", "q_ann_ivf", "q_ivf_refine")
+  private val nljAllowed = Set("q_ann_bruteforce", "q_ann_ivf", "q_ivf_refine", "q_ivf_refine2")
 
   /** Queries whose NLJ must additionally broadcast an AGGREGATE (a
     * 1-row/few-row bound, not base data): q_above_avg_orders (global

@@ -11,6 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamingAnalytics
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
 case class Pv(event_id: Long, ts: Timestamp, page_views: Int)
 case class Sd(event_id: Long, ts: Timestamp, session_duration: Double)
 case class Tp(event_id: Long, ts: Timestamp, time_on_page: Double)
@@ -271,6 +272,44 @@ class StreamingSpec extends AnyFunSuite {
       graft.streaming.SessionRow(1L,
         ts("2025-04-08 09:00:00"), ts("2025-04-08 09:00:00"), 1L, 4.0)))
     assert(open4 == open2)
+  }
+
+  test("streaming near-dup suppression equals batch first-occurrence on the same replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Doc](Encoders.product[Doc], spark.sqlContext)
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val docs = Seq(
+      Doc(1L, Timestamp.valueOf("2025-04-08 00:00:10"), base),
+      // batch 2: exact near-dup of doc 1 (all 4 band sigs collide) + a
+      // genuinely novel doc + a no-shingle doc (2 tokens, no signature)
+      Doc(2L, Timestamp.valueOf("2025-04-08 00:00:40"), base),
+      Doc(3L, Timestamp.valueOf("2025-04-08 00:00:50"),
+        "completely different words describing an unrelated subject matter entirely now"),
+      Doc(4L, Timestamp.valueOf("2025-04-08 00:00:55"), "too short"))
+    val q = streaming.Sessionize.nearDupDedupStream(stream.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_dedup").start()
+    try {
+      stream.addData(docs.take(1)); q.processAllAvailable()
+      stream.addData(docs.drop(1)); q.processAllAvailable()
+      val out = spark.table("neardup_dedup")
+        .select("doc_id", "band", "sig").as[(Long, Int, Long)].collect().toSet
+      // batch reference: first occurrence of each (band, sig) over the
+      // SAME replay order (docs 2-4 arrive after doc 1)
+      val sigs = docs.toDF()
+        .select(col("doc_id"), explode(operators.Dedup.bandSigs(
+          functions.TextHash.shingleHashesFast(col("text")))).as("bs"))
+        .select(col("doc_id"), col("bs.band"), col("bs.sig"))
+        .as[(Long, Int, Long)].collect()
+      val expected = sigs.groupBy(t => (t._2, t._3))
+        .map { case (_, hits) => hits.minBy(_._1) }.toSet
+      assert(out == expected, s"stream kept $out, batch first-occurrence is $expected")
+      // semantics: doc 2 fully suppressed (near-dup), doc 3 fully kept,
+      // doc 4 absent (no signature)
+      assert(!out.exists(_._1 == 2L))
+      assert(out.count(_._1 == 3L) == 4)
+      assert(!out.exists(_._1 == 4L))
+    } finally q.stop()
   }
 
   test("streaming dedup drops within-watermark duplicates with bounded state") {

@@ -330,15 +330,95 @@ object Dedup {
        |FROM pairs WHERE bit_count(xor(h1, h2)) <= $HAMMING_T
        |ORDER BY d1, d2""".stripMargin
 
+  // ------------------------------------------------- near-dup clustering
+  /** Connected components over the near-dup pair graph + keeper choice —
+    * the step that turns PAIRS into the dedup DECISION: near-duplication
+    * is transitive in practice (A≈B, B≈C ⇒ keep one of {A,B,C}), so the
+    * pair list must be closed into clusters before a keeper (min doc_id)
+    * is picked per cluster.
+    *
+    * Distributed shape: iterative min-label propagation — init every
+    * endpoint's label to itself; each round, every node takes the min of
+    * its own and its neighbors' labels (one equi-join + min-aggregate,
+    * both plain shuffles); converged when no label changes. Rounds ≤
+    * graph diameter (near-dup clusters are small and dense: at sf0.1 all
+    * 233 components have diameter 1, so the folded-init round below
+    * already converges and only the verification round runs). Each
+    * round's labels are materialized (Materializer) so lineage stays
+    * flat — the same chain-of-jobs shape a real cluster would run, and
+    * the simple sibling of the large-star/small-star CC algorithm. The
+    * driver sees only the per-round change COUNT (a scalar), never data.
+    *
+    * Output: (doc_id, cluster_id = min reachable doc_id, is_keeper) for
+    * every doc in at least one near-dup pair; singleton docs are their
+    * own trivial cluster and are omitted. Oracle: the same closure via a
+    * DuckDB recursive CTE. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // pairs materialized FIRST: the union below references the subtree
+    // twice (forward + reversed), and the jaccard pipeline must not run
+    // per reference; the union itself is then two scans of a tiny
+    // parquet and needs no copy of its own
+    val pairs = Materializer.materialize(Materializer.tagFor("ndpairs", dir),
+      ngramJaccard(spark, dir).select(col("d1"), col("d2")))
+    val edges = pairs
+      .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .toDF("a", "b")
+    // init = min(self, direct neighbors): the first propagation round
+    // folded into the same aggregate job that enumerates the nodes —
+    // pair-shaped clusters (the common case) converge here and pay only
+    // the single verification round below
+    var labels = Materializer.materialize(Materializer.tagFor("ndlbl0", dir),
+      edges.select(col("a").as("d"), col("b").as("lbl"))
+        .unionByName(edges.select(col("a").as("d"), col("a").as("lbl")))
+        .groupBy(col("d")).agg(min(col("lbl")).as("lbl")))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < 15) {
+      iter += 1
+      // labels/prop are |cluster nodes|-sized — broadcast them so each
+      // round is one shuffle-free job; the `chg` flag rides along in the
+      // materialized output, so convergence detection is a scan of the
+      // just-written tiny parquet, not an extra join job
+      val prop = edges.join(broadcast(labels), col("b") === col("d"))
+        .groupBy(col("a")).agg(min(col("lbl")).as("nlbl"))
+      val next = Materializer.materialize(Materializer.tagFor(s"ndlbl$iter", dir),
+        labels.join(broadcast(prop), col("d") === col("a"), "left")
+          .select(col("d"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+            (coalesce(col("nlbl"), col("lbl")) < col("lbl")).cast("long").as("chg")))
+      changed = next.agg(sum(col("chg"))).head().getLong(0)
+      labels = next.select(col("d"), col("lbl"))
+    }
+    require(changed == 0, s"label propagation did not converge in $iter rounds")
+    labels.select(col("d").as("doc_id"), col("lbl").as("cluster_id"),
+      (col("d") === col("lbl")).cast("int").as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($ngramJaccardSql)),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+       |          UNION ALL SELECT d2, d1 FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS d FROM edges),
+       |reach(d, r) AS (
+       |  SELECT d, d FROM nodes
+       |  UNION
+       |  SELECT reach.d, e.b FROM reach JOIN edges e ON reach.r = e.a)
+       |SELECT d AS doc_id, min(r) AS cluster_id,
+       |       CAST(d = min(r) AS INT) AS is_keeper
+       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_exact_dedup"   -> exactDedup _,
-    "q_ngram_jaccard" -> ngramJaccard _,
-    "q_minhash_lsh"   -> minhashLsh _,
-    "q_simhash_pairs" -> simhashPairs _)
+    "q_exact_dedup"    -> exactDedup _,
+    "q_ngram_jaccard"  -> ngramJaccard _,
+    "q_minhash_lsh"    -> minhashLsh _,
+    "q_simhash_pairs"  -> simhashPairs _,
+    "q_dedup_clusters" -> dedupClusters _)
 
   val oracles: Map[String, String] = Map(
-    "q_exact_dedup"   -> exactDedupSql,
-    "q_ngram_jaccard" -> ngramJaccardSql,
-    "q_minhash_lsh"   -> minhashLshSql,
-    "q_simhash_pairs" -> simhashPairsSql)
+    "q_exact_dedup"    -> exactDedupSql,
+    "q_ngram_jaccard"  -> ngramJaccardSql,
+    "q_minhash_lsh"    -> minhashLshSql,
+    "q_simhash_pairs"  -> simhashPairsSql,
+    "q_dedup_clusters" -> dedupClustersSql)
 }

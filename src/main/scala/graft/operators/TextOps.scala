@@ -320,6 +320,108 @@ object TextOps {
        |${NearDup.sqlCappedJaccardPairs("w", "fp", WDF_CAP, WJACCARD_T, "winnow_jaccard")}"""
       .stripMargin
 
+  // Repetition quality signals (the Gopher/C4 family): how much of a
+  // document is the same thing said again. Two scan-derived measures per
+  // doc — dup_token_frac = 1 - |distinct tokens|/|tokens| and
+  // top_trigram_frac = (count of the most frequent 3-gram)/|3-grams|
+  // (deterministic across engines: counts are integers, the fraction one
+  // double division). Relational shape: ONE explode of the native
+  // shingle-hash array, a (doc, sh) count, a per-doc max/sum rollup —
+  // two doc-keyed shuffles, linear in corpus size, no array-land
+  // distinct (the O(n²)-per-row trap). A repetition gate is the
+  // standard pre-training filter next to the quality score; at 100 TB
+  // this is scan + two partial-agg exchanges.
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val perTrigram = documents(spark, dir)
+      .select(col("doc_id"), explode(shingleHashesFast(col("text"))).as("sh"))
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("cnt"))
+    val trigram = perTrigram.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("n_trigrams"),
+      max(col("cnt")).as("top_cnt"))
+    val toks = documents(spark, dir).select(
+      col("doc_id"),
+      tokenCountFast(col("text")).as("n_tokens"),
+      size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"))
+    toks.join(trigram, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        (coalesce(col("top_cnt"), lit(0L)).cast("double") /
+          coalesce(col("n_trigrams"), lit(1L))).as("top_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |sh AS (SELECT doc_id, unnest(${sqlShingleHashes(sqlTokenHashes("toks"))}) AS sh FROM t),
+       |pt AS (SELECT doc_id, sh, count(*) AS cnt FROM sh GROUP BY 1, 2),
+       |tg AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_trigrams,
+       |              CAST(max(cnt) AS BIGINT) AS top_cnt
+       |       FROM pt GROUP BY 1),
+       |tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |              CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+       |       FROM t)
+       |SELECT tk.doc_id, n_tokens,
+       |       1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+       |       coalesce(n_trigrams, 0) AS n_trigrams,
+       |       CAST(coalesce(top_cnt, 0) AS DOUBLE) / coalesce(n_trigrams, 1) AS top_trigram_frac
+       |FROM tk LEFT JOIN tg ON tk.doc_id = tg.doc_id
+       |ORDER BY 1""".stripMargin
+
+  // Deterministic hash split: the train/val/test assignment every
+  // pipeline needs, derived from CONTENT (polynomial char hash mod 10 →
+  // 0-7 train / 8 val / 9 test) so the split is stable under re-shuffles,
+  // re-partitions, and re-runs, and near-dup copies of a document land in
+  // the same split (leakage hygiene). Scan-local projection + 3-row
+  // rollup; at 100 TB the split column is also the natural storage
+  // partition for downstream per-split reads.
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(charHashFast(col("text")), lit(10)).as("h"),
+        tokenCountFast(col("text")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("h") <= 7, "train").when(col("h") === 8, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("split")
+
+  val hashSplitSql: String =
+    s"""WITH h AS (SELECT doc_id, ${sqlCharHash("text")} % 10 AS h,
+       |                  CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens
+       |           FROM documents)
+       |SELECT CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val' ELSE 'test' END AS split,
+       |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       min(doc_id) AS first_doc
+       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // Corpus-level top-k tokens — the vocabulary head (tokenizer/vocab
+  // audits, stop-list discovery). Explode is codegen'd (split + explode +
+  // relational length filter, NO interpreted lambda); the count is one
+  // hash-shuffle with map-side combine; top-k is orderBy().limit() =
+  // distributed TakeOrderedAndProject. Ties broken on the token string
+  // (binary UTF-8 order in both engines).
+  private val VOCAB_TOPK = 20
+
+  def tokenTopk(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(explode(split(trim(col("text")), WS_CLASS)).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(VOCAB_TOPK)
+
+  val tokenTopkSql: String =
+    s"""SELECT token, count(*) AS cnt FROM (
+       |  SELECT unnest(string_split_regex(trim(text), '$WS_CLASS')) AS token
+       |  FROM documents)
+       |WHERE length(token) > 0
+       |GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT $VOCAB_TOPK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_stats"        -> tokenStats _,
     "q_lang_id"            -> langId _,
@@ -327,7 +429,10 @@ object TextOps {
     "q_doc_fingerprint"    -> docFingerprint _,
     "q_winnow_fingerprint" -> winnowFingerprint _,
     "q_winnow_neardup"     -> winnowNearDup _,
-    "q_corpus_curation"    -> corpusCuration _)
+    "q_corpus_curation"    -> corpusCuration _,
+    "q_repetition_stats"   -> repetitionStats _,
+    "q_hash_split"         -> hashSplit _,
+    "q_token_topk"         -> tokenTopk _)
 
   val oracles: Map[String, String] = Map(
     "q_token_stats"        -> tokenStatsSql,
@@ -336,5 +441,8 @@ object TextOps {
     "q_doc_fingerprint"    -> docFingerprintSql,
     "q_winnow_fingerprint" -> winnowFingerprintSql,
     "q_winnow_neardup"     -> winnowNearDupSql,
-    "q_corpus_curation"    -> corpusCurationSql)
+    "q_corpus_curation"    -> corpusCurationSql,
+    "q_repetition_stats"   -> repetitionStatsSql,
+    "q_hash_split"         -> hashSplitSql,
+    "q_token_topk"         -> tokenTopkSql)
 }

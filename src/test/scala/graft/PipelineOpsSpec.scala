@@ -89,6 +89,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(d.filter(col("doc_id") === col("keeper_id") && col("is_dup") === 1).isEmpty)
   }
 
+  test("dedup clusters close the pair graph with one min-keeper per cluster") {
+    try {
+      val rows = Dedup.dedupClusters(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(rows.nonEmpty)
+      val byCluster = rows.groupBy(_._2)
+      byCluster.foreach { case (cid, members) =>
+        assert(members.map(_._1).min == cid, s"cluster $cid label is not its min doc")
+        assert(members.count(_._3 == 1) == 1, s"cluster $cid keeper count != 1")
+        assert(members.find(_._3 == 1).get._1 == cid, s"cluster $cid keeper != label")
+      }
+      // closure: both endpoints of every near-dup pair share a cluster
+      val lbl = rows.map(r => r._1 -> r._2).toMap
+      Dedup.ngramJaccard(spark, sf).select("d1", "d2")
+        .collect().foreach { p =>
+          val (a, b) = (p.getLong(0), p.getLong(1))
+          assert(lbl(a) == lbl(b), s"pair ($a,$b) split across clusters")
+        }
+    } finally Materializer.clear()
+  }
+
   test("minhash-LSH finds the same near-dup pairs as exact n-gram Jaccard") {
     // LSH with 4x4 bands at jaccard~0.99 has ~1 - (1-.99^4)^4 recall; on
     // the planted pairs this must equal the exact inverted-index result

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CountMinSketchAgg, DotProductF, PolyHashExpr, ShingleHashesExpr, TokenHashesExpr}
+import graft.functions.{CountMinSketchAgg, DotProductF, PolyHashExpr, ShingleHashesExpr, StopCountExpr, TokenCountExpr, TokenHashesExpr}
 
 /** Library entry points: SQL function registration + a session builder
   * with the engine's recommended configuration.
@@ -41,7 +41,18 @@ object GraftExtensions {
       (es: Seq[Expression]) => ShingleHashesExpr(es.head)),
     ("cms_sketch",
       new ExpressionInfo(classOf[CountMinSketchAgg].getName, "cms_sketch"),
-      (es: Seq[Expression]) => CountMinSketchAgg(es.head).toAggregateExpression()))
+      (es: Seq[Expression]) => CountMinSketchAgg(es.head).toAggregateExpression()),
+    ("token_count",
+      new ExpressionInfo(classOf[TokenCountExpr].getName, "token_count"),
+      (es: Seq[Expression]) => TokenCountExpr(es.head)),
+    // stop_count(text, 'w1', 'w2', ...) — trailing args must be string
+    // literals (the word set is folded into the expression instance)
+    ("stop_count",
+      new ExpressionInfo(classOf[StopCountExpr].getName, "stop_count"),
+      (es: Seq[Expression]) => StopCountExpr(es.head, es.tail.map { e =>
+        require(e.foldable, "stop_count words must be string literals")
+        String.valueOf(e.eval(null))
+      })))
 }
 
 object GraftSession {

@@ -330,6 +330,62 @@ object Dedup {
        |FROM pairs WHERE bit_count(xor(h1, h2)) <= $HAMMING_T
        |ORDER BY d1, d2""".stripMargin
 
+  // ----------------------------------------------------- decontamination
+  /** Held-out residue of the content-hash split — MUST match
+    * `TextOps.hashSplit`'s 'test' bucket, so the eval set here is
+    * exactly the split a training run would hold out. */
+  private val EVAL_RESIDUE = 9
+  private val CONTAM_T = 0.8
+
+  /** Eval-set decontamination — the n-gram-overlap check every training
+    * pipeline runs before a data release: for each TRAINING document,
+    * the fraction of its distinct shingles that also occur anywhere in
+    * the held-out eval split (the `hashSplit` 'test' bucket). A training
+    * doc above the threshold is a contamination leak (e.g. a near-copy
+    * of an eval doc) and gets flagged.
+    *
+    * Scale shape: the (materialized) distinct shingle index is scanned
+    * once; eval doc-ids and the eval shingle set are BROADCAST (an eval
+    * set is small by definition — benchmarks, not corpora), so the train
+    * side never shuffles for the membership probe; the only wide
+    * exchange is the per-doc count aggregate. Docs with < 3 tokens have
+    * no shingles and no row (both engines agree). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    val evalIds = documents(spark, dir)
+      .filter(pmod(charHashFast(col("text")), lit(10)) === EVAL_RESIDUE)
+      .select(col("doc_id").as("eval_id"))
+    val evalSh = sh.join(broadcast(evalIds), col("doc_id") === col("eval_id"))
+      .select(col("sh")).distinct()
+    val frac = col("n_hit").cast("double") / col("n_shingles")
+    sh.join(broadcast(evalIds), col("doc_id") === col("eval_id"), "left_anti")
+      .join(broadcast(evalSh.withColumn("hit", lit(1L))), Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        frac.as("contamination_frac"),
+        (frac >= CONTAM_T).cast("int").as("is_contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH ex AS ($sqlShingleIndex),
+       |ev AS (SELECT doc_id AS eval_id FROM documents
+       |       WHERE ${sqlCharHash("text")} % 10 = $EVAL_RESIDUE),
+       |evs AS (SELECT DISTINCT sh FROM ex JOIN ev ON ex.doc_id = ev.eval_id),
+       |tr AS (SELECT ex.doc_id, ex.sh FROM ex
+       |       WHERE ex.doc_id NOT IN (SELECT eval_id FROM ev)),
+       |c AS (SELECT tr.doc_id, count(*) AS n_shingles,
+       |             sum(CASE WHEN evs.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+       |      FROM tr LEFT JOIN evs ON tr.sh = evs.sh GROUP BY 1)
+       |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       |       CAST(n_hit AS BIGINT) AS n_hit,
+       |       CAST(n_hit AS DOUBLE) / n_shingles AS contamination_frac,
+       |       CAST(CAST(n_hit AS DOUBLE) / n_shingles >= CAST($CONTAM_T AS DOUBLE) AS INT)
+       |         AS is_contaminated
+       |FROM c ORDER BY 1""".stripMargin
+
   // ------------------------------------------------- near-dup clustering
   /** Connected components over the near-dup pair graph + keeper choice —
     * the step that turns PAIRS into the dedup DECISION: near-duplication
@@ -413,12 +469,14 @@ object Dedup {
     "q_ngram_jaccard"  -> ngramJaccard _,
     "q_minhash_lsh"    -> minhashLsh _,
     "q_simhash_pairs"  -> simhashPairs _,
-    "q_dedup_clusters" -> dedupClusters _)
+    "q_dedup_clusters" -> dedupClusters _,
+    "q_decontaminate"  -> decontaminate _)
 
   val oracles: Map[String, String] = Map(
     "q_exact_dedup"    -> exactDedupSql,
     "q_ngram_jaccard"  -> ngramJaccardSql,
     "q_minhash_lsh"    -> minhashLshSql,
     "q_simhash_pairs"  -> simhashPairsSql,
-    "q_dedup_clusters" -> dedupClustersSql)
+    "q_dedup_clusters" -> dedupClustersSql,
+    "q_decontaminate"  -> decontaminateSql)
 }

@@ -119,6 +119,20 @@ object TextOps {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** The full quality formula over raw text as ONE Column — the same
+    * expression the batch query materializes stepwise, exposed so the
+    * STREAMING quality gate (`Sessionize.qualityGateStream`) applies the
+    * identical formula; the stream-vs-batch differential in
+    * StreamingSpec pins the two together. */
+  private[graft] def qualityScoreOf(text: Column): Column = {
+    val nc = length(text)
+    val stopR = stopCountFast(text, stopWordsAll).cast("double") / tokenCountFast(text)
+    val punctR = (nc - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+      .cast("double") / nc
+    least(tokenCountFast(text).cast("double") / 100.0, lit(1.0)) * 0.3 +
+      stopR * 0.4 + (lit(1.0) - punctR) * 0.3
+  }
+
   // Quality scoring: length/stopword/punctuation heuristics combined in a
   // fixed-order double formula (bit-stable across engines).
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
@@ -422,6 +436,43 @@ object TextOps {
        |WHERE length(token) > 0
        |GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT $VOCAB_TOPK""".stripMargin
 
+  // Deterministic stratified sampling — domain-mixing weights: each
+  // language stratum keeps a configured fraction of its docs, selected
+  // by content hash (pmod(charHash, 1000) < rate‰) so the sample is
+  // stable under re-runs and re-partitionings and needs NO global
+  // coordination — pure scan-local predicate, the only shape that
+  // samples 100 TB without a shuffle. Output is the per-stratum audit
+  // (population, sample size, sampled tokens).
+  private val MIX_PERMILLE: Seq[(String, Int)] =
+    Seq("de" -> 1000, "en" -> 500, "es" -> 500, "fr" -> 250, "zh" -> 100)
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = MIX_PERMILLE.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, r).otherwise(acc) }
+    documents(spark, dir)
+      .select(col("lang"),
+        (pmod(charHashFast(col("text")), lit(1000)) < rate).cast("long").as("take"),
+        tokenCountFast(col("text")).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("take")).as("n_sampled"),
+        sum(col("take") * col("n_tokens")).as("sampled_tokens"))
+      .orderBy("lang")
+  }
+
+  val stratifiedSampleSql: String = {
+    val rateCase = MIX_PERMILLE
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH d AS (SELECT lang,
+       |  CAST(${sqlCharHash("text")} % 1000 < ($rateCase) AS BIGINT) AS take,
+       |  CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs, CAST(sum(take) AS BIGINT) AS n_sampled,
+       |       CAST(sum(take * n_tokens) AS BIGINT) AS sampled_tokens
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_stats"        -> tokenStats _,
     "q_lang_id"            -> langId _,
@@ -432,7 +483,8 @@ object TextOps {
     "q_corpus_curation"    -> corpusCuration _,
     "q_repetition_stats"   -> repetitionStats _,
     "q_hash_split"         -> hashSplit _,
-    "q_token_topk"         -> tokenTopk _)
+    "q_token_topk"         -> tokenTopk _,
+    "q_stratified_sample"  -> stratifiedSample _)
 
   val oracles: Map[String, String] = Map(
     "q_token_stats"        -> tokenStatsSql,
@@ -444,5 +496,6 @@ object TextOps {
     "q_corpus_curation"    -> corpusCurationSql,
     "q_repetition_stats"   -> repetitionStatsSql,
     "q_hash_split"         -> hashSplitSql,
-    "q_token_topk"         -> tokenTopkSql)
+    "q_token_topk"         -> tokenTopkSql,
+    "q_stratified_sample"  -> stratifiedSampleSql)
 }

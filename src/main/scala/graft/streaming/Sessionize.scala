@@ -189,4 +189,15 @@ object Sessionize {
           graft.functions.TextHash.shingleHashesFast(col("text")))).as("bs"))
       .select(col("doc_id"), col("ts"), col("bs.band").as("band"), col("bs.sig").as("sig"))
       .dropDuplicatesWithinWatermark("band", "sig")
+
+  /** Streaming quality gate: the batch quality formula
+    * (`TextOps.qualityScoreOf` — the SAME Column expression, codegen'd
+    * stop/token counts included) applied to a document stream.
+    * Stateless scan-local projection + filter: the ingest-time face of
+    * the curation pipeline's quality step, bounded purely by stream
+    * throughput. */
+  def qualityGateStream(docs: DataFrame, minQuality: Double): DataFrame =
+    docs.select(col("doc_id"), col("ts"), col("text"),
+        graft.operators.TextOps.qualityScoreOf(col("text")).as("quality_score"))
+      .filter(col("quality_score") >= minQuality)
 }

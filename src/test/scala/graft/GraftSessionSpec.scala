@@ -12,10 +12,13 @@ class GraftSessionSpec extends AnyFunSuite {
         |       dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
         |             array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
         |       size(token_hashes('a b c')) AS nt,
-        |       size(shingle_hashes('a b c d')) AS ns""".stripMargin).first()
+        |       size(shingle_hashes('a b c d')) AS ns,
+        |       token_count(' a  b c ') AS tc,
+        |       stop_count('the cat the dog', 'the', 'cat') AS sc""".stripMargin).first()
     assert(r.getLong(0) == 99162322L)
     assert(r.getDouble(1) == 11.0)
     assert(r.getInt(2) == 3 && r.getInt(3) == 2)
+    assert(r.getLong(4) == 3L && r.getLong(5) == 3L)
     // the custom AGGREGATE registers too: one sketch over 3 keys
     val sk = spark.sql(
       "SELECT cms_sketch(CAST(id AS BIGINT)) AS sk FROM range(3)")
@@ -30,6 +33,7 @@ class GraftSessionSpec extends AnyFunSuite {
     // extensions class being instantiable and the conf keys present.
     assert(new GraftExtensions() != null)
     assert(GraftExtensions.functions.map(_._1).toSet ==
-      Set("dot_f", "poly_hash", "token_hashes", "shingle_hashes", "cms_sketch"))
+      Set("dot_f", "poly_hash", "token_hashes", "shingle_hashes", "cms_sketch",
+        "token_count", "stop_count"))
   }
 }

@@ -312,6 +312,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality gate equals the batch quality filter on the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Doc](Encoders.product[Doc], spark.sqlContext)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").as[(Long, String)]
+      .collect().take(50)
+      .map { case (id, t) => Doc(id, Timestamp.valueOf("2025-04-08 00:00:10"), t) }
+    val q = streaming.Sessionize.qualityGateStream(stream.toDF(), 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("quality_gate").start()
+    try {
+      stream.addData(docs.toSeq); q.processAllAvailable()
+      val streamed = spark.table("quality_gate")
+        .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+      val batch = operators.TextOps.qualityScore(spark, sf)
+        .filter(col("quality_score") >= 0.5)
+        .filter(col("doc_id").isin(docs.map(_.doc_id): _*))
+        .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+      assert(streamed == batch) // identical doc set AND bit-identical scores
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops within-watermark duplicates with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)

@@ -330,6 +330,34 @@ object Dedup {
        |FROM pairs WHERE bit_count(xor(h1, h2)) <= $HAMMING_T
        |ORDER BY d1, d2""".stripMargin
 
+  // -------------------------------------------------- incremental dedup
+  /** The "new batch" membership predicate: doc_id ≡ NEW_RESIDUE mod 10 —
+    * a stand-in for the day's ingest partition. */
+  private val NEW_RESIDUE = 7
+
+  /** Incremental (delta-batch) near-dup — the production maintenance
+    * shape: a NEW ingest batch is scored against the EXISTING corpus
+    * only, never existing×existing (that work was done when those docs
+    * arrived). Same df-capped posting-list candidate join as
+    * [[ngramJaccard]] (shared [[NearDup.cappedJaccardJoin]] core) with
+    * an asymmetric pair condition: candidates are (new doc, existing
+    * doc) sharing a capped shingle. At 100 TB the existing side is the
+    * STORED posting-list index (partitioned by shingle) and only the
+    * delta's postings probe it — cost scales with the delta, not the
+    * corpus. */
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame =
+    NearDup.cappedJaccardJoin(shingleIndex(spark, dir), "sh", DF_CAP,
+      JACCARD_T, "jaccard", Materializer.tagFor("inccap", dir),
+      pmod(col("a.doc_id"), lit(10)) === NEW_RESIDUE &&
+        pmod(col("b.doc_id"), lit(10)) =!= NEW_RESIDUE,
+      "new_doc", "old_doc")
+
+  val incrementalNearDupSql: String =
+    s"""WITH ex AS ($sqlShingleIndex),
+       |${NearDup.sqlCappedJaccardJoin("ex", "sh", DF_CAP, JACCARD_T, "jaccard",
+          s"a.doc_id % 10 = $NEW_RESIDUE AND b.doc_id % 10 != $NEW_RESIDUE",
+          "new_doc", "old_doc")}""".stripMargin
+
   // ----------------------------------------------------- decontamination
   /** Held-out residue of the content-hash split — MUST match
     * `TextOps.hashSplit`'s 'test' bucket, so the eval set here is
@@ -470,7 +498,8 @@ object Dedup {
     "q_minhash_lsh"    -> minhashLsh _,
     "q_simhash_pairs"  -> simhashPairs _,
     "q_dedup_clusters" -> dedupClusters _,
-    "q_decontaminate"  -> decontaminate _)
+    "q_decontaminate"  -> decontaminate _,
+    "q_incremental_neardup" -> incrementalNearDup _)
 
   val oracles: Map[String, String] = Map(
     "q_exact_dedup"    -> exactDedupSql,
@@ -478,5 +507,6 @@ object Dedup {
     "q_minhash_lsh"    -> minhashLshSql,
     "q_simhash_pairs"  -> simhashPairsSql,
     "q_dedup_clusters" -> dedupClustersSql,
-    "q_decontaminate"  -> decontaminateSql)
+    "q_decontaminate"  -> decontaminateSql,
+    "q_incremental_neardup" -> incrementalNearDupSql)
 }

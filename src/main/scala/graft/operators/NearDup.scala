@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,7 +31,18 @@ object NearDup {
     * key with per-key fan-out bounded by dfCap², one aggregate on the
     * pair key — never the O(n²) pair space. */
   def cappedJaccardPairs(postings: DataFrame, key: String, dfCap: Int,
-                         threshold: Double, scoreName: String, tag: String): DataFrame = {
+                         threshold: Double, scoreName: String, tag: String): DataFrame =
+    cappedJaccardJoin(postings, key, dfCap, threshold, scoreName, tag,
+      col("a.doc_id") < col("b.doc_id"), "d1", "d2")
+
+  /** The general form: pair space = self-join on key restricted by
+    * `pairCond` over aliases `a`/`b` (symmetric dedup passes
+    * a.doc_id < b.doc_id; incremental dedup passes a membership split
+    * new-side × existing-side). Output (`c1`, `c2`, common,
+    * `scoreName`), ordered by (c1, c2). */
+  def cappedJaccardJoin(postings: DataFrame, key: String, dfCap: Int,
+                        threshold: Double, scoreName: String, tag: String,
+                        pairCond: Column, c1: String, c2: String): DataFrame = {
     val capped = Materializer.materialize(tag,
       postings
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col(key))))
@@ -39,16 +50,16 @@ object NearDup {
         .drop("df"))
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     capped.as("a").join(capped.as("b"),
-        col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        col(s"a.$key") === col(s"b.$key") && pairCond)
+      .groupBy(col("a.doc_id").as(c1), col("b.doc_id").as(c2))
       .agg(count(lit(1)).as("common"))
-      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
-      .select(col("d1"), col("d2"), col("common"),
+      .join(sizes.as("s1"), col(c1) === col("s1.doc_id"))
+      .join(sizes.as("s2"), col(c2) === col("s2.doc_id"))
+      .select(col(c1), col(c2), col("common"),
         (col("common").cast("double") / (col("s1.n") + col("s2.n") - col("common")))
           .as(scoreName))
       .filter(col(scoreName) >= threshold)
-      .orderBy("d1", "d2")
+      .orderBy(c1, c2)
   }
 
   /** Oracle-SQL twin of [[cappedJaccardPairs]]: CTE suffix + final
@@ -56,17 +67,24 @@ object NearDup {
     * posting list. Callers append it after `WITH <src> AS (...),`. */
   def sqlCappedJaccardPairs(src: String, key: String, dfCap: Int,
                             threshold: Double, scoreName: String): String =
+    sqlCappedJaccardJoin(src, key, dfCap, threshold, scoreName,
+      "a.doc_id < b.doc_id", "d1", "d2")
+
+  /** Oracle-SQL twin of [[cappedJaccardJoin]]. */
+  def sqlCappedJaccardJoin(src: String, key: String, dfCap: Int,
+                           threshold: Double, scoreName: String,
+                           pairWhere: String, c1: String, c2: String): String =
     s"""capped AS (SELECT doc_id, $key FROM (
        |  SELECT doc_id, $key, count(*) OVER (PARTITION BY $key) AS df FROM $src)
        |  WHERE df <= $dfCap),
        |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
        |cand AS (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-       |  FROM capped a JOIN capped b ON a.$key = b.$key AND a.doc_id < b.doc_id
+       |  SELECT a.doc_id AS $c1, b.doc_id AS $c2, count(*) AS common
+       |  FROM capped a JOIN capped b ON a.$key = b.$key AND ($pairWhere)
        |  GROUP BY 1, 2)
-       |SELECT d1, d2, common,
+       |SELECT $c1, $c2, common,
        |       CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS $scoreName
-       |FROM cand JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+       |FROM cand JOIN sizes s1 ON $c1 = s1.doc_id JOIN sizes s2 ON $c2 = s2.doc_id
        |WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= $threshold
-       |ORDER BY d1, d2""".stripMargin
+       |ORDER BY $c1, $c2""".stripMargin
 }

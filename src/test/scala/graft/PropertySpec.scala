@@ -91,6 +91,46 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("sessionize conserves events and emits well-formed sessions under ANY arrival order") {
+    // append-mode semantics under out-of-order delivery diverge from the
+    // global batch fold BY DESIGN (no retraction of emitted sessions),
+    // but two invariants must hold for every arrival permutation and
+    // every batch split — no event is lost or double-counted, and every
+    // emitted session is internally consistent (start ≤ end, n ≥ 1,
+    // value = sum of exact cents). This covers the straggler paths
+    // (incl. straggler-to-straggler merge) the in-order property can't
+    // reach.
+    import java.sql.Timestamp
+    import graft.streaming.{Sessionize, SessionRow, SessionState}
+    val gaps: Gen[List[(Long, Double)]] = Gen.listOf(
+      Gen.zip(Gen.chooseNum(0L, 3 * Sessionize.GAP_MS), Gen.chooseNum(0, 9999).map(_ / 100.0)))
+    val seedGen = Gen.chooseNum(0L, Long.MaxValue)
+    check(Prop.forAll(gaps, Gen.chooseNum(1, 5), seedGen) { (deltas, nSplits, seed) =>
+      val t0 = 1700000000000L
+      val evs = deltas.scanLeft((t0, 0.0)) { case ((t, _), (d, v)) => (t + d, v) }
+        .drop(1).map { case (t, v) => (new Timestamp(t), v) }
+      val shuffled = new scala.util.Random(seed).shuffle(evs)
+      val cuts = if (shuffled.isEmpty) Seq(shuffled) else
+        shuffled.grouped(math.max(1, shuffled.size / nSplits)).toSeq
+      var open: Option[SessionState] = None
+      val out = scala.collection.mutable.ListBuffer.empty[SessionRow]
+      for (batch <- cuts) {
+        // the operator sorts each micro-batch slice before folding
+        val (closed, next) = Sessionize.foldBatch(1L,
+          batch.sortBy(r => (r._1.getTime, r._2)), open)
+        out ++= closed; open = next
+      }
+      out ++= open.map(s => SessionRow(1L, s.start, s.end, s.n, s.cents / 100.0))
+      val conserved = out.map(_.n_events).sum == evs.size
+      val wellFormed = out.forall(s =>
+        !s.session_end.before(s.session_start) && s.n_events >= 1)
+      val centsExact = math.abs(out.map(_.session_value).sum -
+        evs.map(_._2).map(v => java.math.BigDecimal.valueOf(v)
+          .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue).sum) < 1e-6
+      conserved && wellFormed && centsExact
+    })
+  }
+
   test("percentages per window sum to ~100 on generated data (W1)") {
     val rows = (0 until 500).map { i =>
       (i.toLong, java.sql.Timestamp.valueOf(f"2025-01-01 00:${i % 40}%02d:00"), (i % 13) * 7.0)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter}
 import org.apache.spark.sql.types.StructType
@@ -82,4 +82,38 @@ object Connectors {
   def jdbcSinkOptions(url: String, table: String): Map[String, String] =
     Map("url" -> url, "dbtable" -> table,
       "truncate" -> "false", "isolationLevel" -> "READ_COMMITTED")
+
+  /** Small-file compaction — the storage-maintenance pass every
+    * streaming/incremental pipeline needs: micro-batch sinks and
+    * per-partition writers leave thousands of KB-sized files whose
+    * per-file open/footer cost dominates later scans. Rewrites `inDir`
+    * into ceil(totalBytes / targetFileBytes) files.
+    *
+    *  - default: `coalesce(n)` — merges read tasks with NO shuffle (the
+    *    cheap pure-compaction path);
+    *  - `clusterBy` non-empty: `repartitionByRange(n, keys)` — pays one
+    *    range shuffle and additionally sorts the data into disjoint key
+    *    ranges per file, so later range/point scans prune whole files
+    *    via parquet min/max stats (verified in ConnectorsSpec).
+    *
+    * Returns the target file count n. */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetFileBytes: Long, clusterBy: Seq[String] = Nil): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(conf)
+    val it = fs.listFiles(path, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    val n = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inDir)
+    val out =
+      if (clusterBy.nonEmpty) df.repartitionByRange(n, clusterBy.map(col): _*)
+      else df.coalesce(n)
+    out.write.mode(SaveMode.Overwrite).parquet(outDir)
+    n
+  }
 }

@@ -95,6 +95,36 @@ class ConnectorsSpec extends AnyFunSuite {
       s"projection not pruned in:\n$scan")
   }
 
+  test("compaction merges small files; clustered variant yields disjoint file ranges") {
+    val frag = Files.createTempDirectory("graft_frag").toString
+    val flat = Files.createTempDirectory("graft_flat").toString
+    val clus = Files.createTempDirectory("graft_clus").toString
+    val src = Tables.orders(spark, sf)
+    src.repartition(16).write.mode("overwrite").parquet(frag) // fragmented sink
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag).length == 16)
+    // plain compaction: coalesce to ~2 files, rows preserved exactly
+    val total = parquetFiles(frag).map(_.length).sum
+    val n = Connectors.compactParquet(spark, frag, flat, (total + 1) / 2)
+    assert(n == 2 && parquetFiles(flat).length == 2)
+    val back = spark.read.parquet(flat)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // clustered compaction: per-file o_custkey ranges must be DISJOINT,
+    // the property that lets parquet min/max stats prune whole files
+    Connectors.compactParquet(spark, frag, clus, (total + 1) / 2, Seq("o_custkey"))
+    val ranges = parquetFiles(clus).map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("o_custkey"), max("o_custkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlapping file ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+  }
+
   test("kafka/jdbc builders configure without connecting (S1/S4/K2)") {
     // construction must not open sockets; start()/load() would.
     Connectors.kafkaSource(spark, "broker:9092", "topic_pageviews")

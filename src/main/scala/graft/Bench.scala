@@ -41,7 +41,10 @@ object Bench {
     // timed query doesn't absorb one-time JVM costs
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
-    // optional args = subset of query names (driver passes none)
+    // optional args = subset of query names (driver passes none); a
+    // typo'd name must fail loudly, not produce an empty green bench
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val subset = SparkEntry.queries.toSeq
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
     val results = subset.sortBy(_._1).map { case (name, fn) =>
@@ -67,7 +70,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val env = f""""loadavg_start":$load0%.2f,"loadavg_end":$loadavg%.2f,""" +
+    // Locale.ROOT: the default-locale f-interpolator would print a
+    // comma decimal separator under e.g. de_DE and break the JSON line
+    def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val env = s""""loadavg_start":${f2(load0)},"loadavg_end":${f2(loadavg)},""" +
       s""""gc_ms":$gcMillis,"peak_heap_mib":$peakHeapMiB"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,$env,"sf":"$sfDir"}""")
     spark.stop()

@@ -50,8 +50,12 @@ object GraftExtensions {
     ("stop_count",
       new ExpressionInfo(classOf[StopCountExpr].getName, "stop_count"),
       (es: Seq[Expression]) => StopCountExpr(es.head, es.tail.map { e =>
-        require(e.foldable, "stop_count words must be string literals")
-        String.valueOf(e.eval(null))
+        require(e.foldable &&
+          e.dataType == org.apache.spark.sql.types.StringType,
+          "stop_count words must be string literals")
+        val v = e.eval(null)
+        require(v != null, "stop_count words must be non-null string literals")
+        v.toString
       })))
 }
 

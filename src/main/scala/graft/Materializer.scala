@@ -32,7 +32,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Materializer {
 
-  private val live = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val live =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.FutureTask[String]]()
   @volatile private var rootDir: Path = _
 
   private def root: Path = synchronized {
@@ -59,27 +60,42 @@ object Materializer {
     * reuse on subsequent calls — and return a scan of the on-disk copy.
     * Values are preserved exactly (long/double/string columns round-trip
     * bit-identically through parquet); only physical lineage changes.
-    * Locking is per tag (`computeIfAbsent`): same-tag callers block on
-    * the one writer, distinct tags write concurrently — a parallel-query
-    * embedding never serializes unrelated materializations behind one
-    * global lock. */
+    * Locking is genuinely per tag: the map holds a FutureTask per tag
+    * (registration via `putIfAbsent` is O(1), never blocking a bin for
+    * the write's duration), the WINNING caller runs the parquet write
+    * OUTSIDE any map lock, same-tag callers await that one future, and
+    * distinct tags write fully concurrently. A failed write removes its
+    * task so a later call can retry. */
   def materialize(tag: String, df: DataFrame): DataFrame = {
-    val path = live.computeIfAbsent(tag, _ => {
+    val task = new java.util.concurrent.FutureTask[String](() => {
       val p = root.resolve(tag).toString
       df.write.mode(SaveMode.Overwrite).parquet(p)
       p
     })
+    val prior = live.putIfAbsent(tag, task)
+    val winner = if (prior == null) { task.run(); task } else prior
+    val path =
+      try winner.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          live.remove(tag, winner)
+          throw e.getCause
+      }
     df.sparkSession.read.parquet(path)
   }
 
   /** Drop every materialized copy. Safe to call between queries; the next
-    * `materialize` for a tag simply recomputes. */
+    * `materialize` for a tag simply recomputes. Completed copies are
+    * deleted; an in-flight or failed write is just unregistered. */
   def clear(): Unit = {
     val it = live.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       it.remove()
-      deleteTree(java.nio.file.Paths.get(e.getValue))
+      if (e.getValue.isDone) {
+        try deleteTree(java.nio.file.Paths.get(e.getValue.get()))
+        catch { case _: Exception => () } // failed write: nothing on disk
+      }
     }
   }
 

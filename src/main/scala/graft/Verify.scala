@@ -6,8 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [query names...] — trailing names restrict
-    // the run to a subset (driver passes none → full registry)
+    // the run to a subset (driver passes none → full registry); a typo'd
+    // name must fail loudly, not silently produce an empty dump
     val (Array(sfDir, outDir), subsetNames) = args.splitAt(2)
+    val unknown = subsetNames.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -336,27 +336,32 @@ object Dedup {
   private val NEW_RESIDUE = 7
 
   /** Incremental (delta-batch) near-dup — the production maintenance
-    * shape: a NEW ingest batch is scored against the EXISTING corpus
-    * only, never existing×existing (that work was done when those docs
-    * arrived). Same df-capped posting-list candidate join as
-    * [[ngramJaccard]] (shared [[NearDup.cappedJaccardJoin]] core) with
-    * an asymmetric pair condition: candidates are (new doc, existing
-    * doc) sharing a capped shingle. At 100 TB the existing side is the
-    * STORED posting-list index (partitioned by shingle) and only the
-    * delta's postings probe it — cost scales with the delta, not the
-    * corpus. */
-  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame =
+    * shape: a NEW ingest batch is scored against (existing ∪ delta),
+    * never existing×existing (that work was done when those docs
+    * arrived). The pair condition keeps every pair with a new LEFT
+    * side: new×existing pairs, plus new×new pairs once (a < b) — so two
+    * near-dups arriving in the same delta are still caught, and no pair
+    * is ever scored twice across batches. Same df-capped posting-list
+    * candidate join as [[ngramJaccard]] (shared
+    * [[NearDup.cappedJaccardJoin]] core). At 100 TB the existing side
+    * is the STORED posting-list index (partitioned by shingle) and only
+    * the delta's postings probe it — cost scales with the delta, not
+    * the corpus. */
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val newA = pmod(col("a.doc_id"), lit(10)) === NEW_RESIDUE
+    val newB = pmod(col("b.doc_id"), lit(10)) === NEW_RESIDUE
     NearDup.cappedJaccardJoin(shingleIndex(spark, dir), "sh", DF_CAP,
       JACCARD_T, "jaccard", Materializer.tagFor("inccap", dir),
-      pmod(col("a.doc_id"), lit(10)) === NEW_RESIDUE &&
-        pmod(col("b.doc_id"), lit(10)) =!= NEW_RESIDUE,
-      "new_doc", "old_doc")
+      newA && (!newB || col("a.doc_id") < col("b.doc_id")),
+      "new_doc", "other_doc")
+  }
 
   val incrementalNearDupSql: String =
     s"""WITH ex AS ($sqlShingleIndex),
        |${NearDup.sqlCappedJaccardJoin("ex", "sh", DF_CAP, JACCARD_T, "jaccard",
-          s"a.doc_id % 10 = $NEW_RESIDUE AND b.doc_id % 10 != $NEW_RESIDUE",
-          "new_doc", "old_doc")}""".stripMargin
+          s"a.doc_id % 10 = $NEW_RESIDUE AND " +
+            s"(b.doc_id % 10 != $NEW_RESIDUE OR a.doc_id < b.doc_id)",
+          "new_doc", "other_doc")}""".stripMargin
 
   // ----------------------------------------------------- decontamination
   /** Held-out residue of the content-hash split — MUST match
@@ -470,7 +475,8 @@ object Dedup {
           .select(col("d"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
             (coalesce(col("nlbl"), col("lbl")) < col("lbl")).cast("long").as("chg")))
-      changed = next.agg(sum(col("chg"))).head().getLong(0)
+      // coalesce: sum over ZERO rows (empty pair graph) is NULL
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
       labels = next.select(col("d"), col("lbl"))
     }
     require(changed == 0, s"label propagation did not converge in $iter rounds")

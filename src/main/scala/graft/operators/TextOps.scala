@@ -352,10 +352,20 @@ object TextOps {
     val trigram = perTrigram.groupBy(col("doc_id")).agg(
       sum(col("cnt")).as("n_trigrams"),
       max(col("cnt")).as("top_cnt"))
+    // distinct-token count relationally (codegen'd explode + distinct
+    // aggregate) — array_distinct is the interpreted O(n²)-per-row trap
+    // this file's own docs warn about, worst exactly on the long
+    // repetitive documents this query targets
+    val distinctToks = documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), WS_CLASS)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("tok")).as("n_distinct"))
     val toks = documents(spark, dir).select(
-      col("doc_id"),
-      tokenCountFast(col("text")).as("n_tokens"),
-      size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"))
+        col("doc_id"),
+        tokenCountFast(col("text")).as("n_tokens"))
+      .join(distinctToks, Seq("doc_id"), "left")
+      .withColumn("n_distinct", coalesce(col("n_distinct"), lit(0L)))
     toks.join(trigram, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_tokens"),

@@ -90,30 +90,37 @@ object Connectors {
     * into ceil(totalBytes / targetFileBytes) files.
     *
     *  - default: `coalesce(n)` — merges read tasks with NO shuffle (the
-    *    cheap pure-compaction path);
+    *    cheap pure-compaction path); coalesce cannot INCREASE the read
+    *    partition count, so the output may have fewer than n files when
+    *    the scan already packs the input into fewer splits — compaction
+    *    only ever reduces file count, never fragments;
     *  - `clusterBy` non-empty: `repartitionByRange(n, keys)` — pays one
     *    range shuffle and additionally sorts the data into disjoint key
     *    ranges per file, so later range/point scans prune whole files
     *    via parquet min/max stats (verified in ConnectorsSpec).
     *
-    * Returns the target file count n. */
+    * Returns the number of data files actually written (≤ the
+    * ceil(total/target) goal for the coalesce path). */
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
                      targetFileBytes: Long, clusterBy: Seq[String] = Nil): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val path = new org.apache.hadoop.fs.Path(inDir)
-    val fs = path.getFileSystem(conf)
-    val it = fs.listFiles(path, true)
-    var total = 0L
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    def list(dir: String): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val it = p.getFileSystem(conf).listFiles(p, true)
+      val out = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) out += f
+      }
+      out.result()
     }
+    val total = list(inDir).map(_.getLen).sum
     val n = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(inDir)
     val out =
       if (clusterBy.nonEmpty) df.repartitionByRange(n, clusterBy.map(col): _*)
       else df.coalesce(n)
     out.write.mode(SaveMode.Overwrite).parquet(outDir)
-    n
+    list(outDir).size
   }
 }

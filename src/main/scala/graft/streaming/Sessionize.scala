@@ -77,13 +77,20 @@ object Sessionize {
     * (start/end extend by min/max — end never rewinds) when it falls
     * within GAP of the open interval. Events more than GAP before the
     * open start accumulate into their own PENDING session — two
-    * stragglers within GAP of each other form ONE session, exactly as
-    * the batch semantics would group them — which closes when the next
-    * event jumps > GAP past it (or the slice ends). What append mode
-    * cannot do is retract: a straggler chain that would, under full
-    * batch semantics, bridge INTO an already-emitted or open session is
-    * still emitted separately (unreachable while the watermark delay is
-    * smaller than GAP, since such stragglers are late-dropped upstream). */
+    * stragglers within GAP of each other IN THE SAME SLICE form ONE
+    * session, as batch semantics would group them — which closes when
+    * the next event jumps > GAP past it or the slice ends. Two
+    * remaining divergences from full batch semantics, both confined to
+    * the straggler path (unreachable while the watermark delay is
+    * smaller than GAP, since such stragglers are late-dropped
+    * upstream): a pending straggler session is NOT carried across
+    * micro-batches (state holds only the open session), so stragglers
+    * split across batches emit separately; and append mode cannot
+    * retract, so a straggler chain that would bridge INTO an
+    * already-emitted or open session is emitted separately. The
+    * PropertySpec arrival-order fuzz pins the invariants that DO hold
+    * under any delivery order: event conservation, session
+    * well-formedness, exact value totals. */
   def foldBatch(user: Long, sorted: Seq[(Timestamp, Double)],
       open: Option[SessionState]): (Seq[SessionRow], Option[SessionState]) = {
     val closed = ListBuffer.empty[SessionRow]

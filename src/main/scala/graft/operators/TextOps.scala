@@ -483,6 +483,47 @@ object TextOps {
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // Fixed-stride document chunking — the pre-training sharding step:
+  // long documents become overlapping CHUNK_N-token windows every
+  // CHUNK_S tokens (8-token overlap preserves cross-boundary context).
+  // Scan-local: one Generate per doc with fan-out ~n/CHUNK_S; the token
+  // array is computed once below the Generate and sliced per chunk
+  // (slice/array_join are codegen'd collection ops). Chunk-count
+  // arithmetic is integer and clamp-guarded so Spark's truncating `div`
+  // and DuckDB's flooring `//` agree on every n.
+  private val CHUNK_N = 32
+  private val CHUNK_S = 24
+
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("nk",
+        greatest(expr(s"(n - $CHUNK_N + ${CHUNK_S - 1}) div $CHUNK_S") + 1, lit(1)))
+    base
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), col("nk") - 1)).as(Seq("p", "k")))
+      .select(col("doc_id"), col("k").cast("int").as("chunk_id"),
+        slice(col("toks"), col("k") * CHUNK_S + 1, lit(CHUNK_N)).as("ct"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ct")).cast("long").as("n_chunk_tokens"),
+        array_join(col("ct"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val docChunksSql: String =
+    s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+       |k AS (SELECT doc_id, toks,
+       |             greatest((n - $CHUNK_N + ${CHUNK_S - 1}) // $CHUNK_S + 1, 1) AS nk
+       |      FROM b),
+       |c AS (SELECT doc_id, unnest(generate_series(0, nk - 1)) AS k, toks FROM k)
+       |SELECT doc_id, CAST(k AS INT) AS chunk_id,
+       |       CAST(len(toks[k*$CHUNK_S+1 : k*$CHUNK_S+$CHUNK_N]) AS BIGINT) AS n_chunk_tokens,
+       |       array_to_string(toks[k*$CHUNK_S+1 : k*$CHUNK_S+$CHUNK_N], ' ') AS chunk_text
+       |FROM c ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_stats"        -> tokenStats _,
     "q_lang_id"            -> langId _,
@@ -494,7 +535,8 @@ object TextOps {
     "q_repetition_stats"   -> repetitionStats _,
     "q_hash_split"         -> hashSplit _,
     "q_token_topk"         -> tokenTopk _,
-    "q_stratified_sample"  -> stratifiedSample _)
+    "q_stratified_sample"  -> stratifiedSample _,
+    "q_doc_chunks"         -> docChunks _)
 
   val oracles: Map[String, String] = Map(
     "q_token_stats"        -> tokenStatsSql,
@@ -507,5 +549,6 @@ object TextOps {
     "q_repetition_stats"   -> repetitionStatsSql,
     "q_hash_split"         -> hashSplitSql,
     "q_token_topk"         -> tokenTopkSql,
-    "q_stratified_sample"  -> stratifiedSampleSql)
+    "q_stratified_sample"  -> stratifiedSampleSql,
+    "q_doc_chunks"         -> docChunksSql)
 }

@@ -524,6 +524,50 @@ object TextOps {
        |       array_to_string(toks[k*$CHUNK_S+1 : k*$CHUNK_S+$CHUNK_N], ' ') AS chunk_text
        |FROM c ORDER BY 1, 2""".stripMargin
 
+  // PII scan + redaction — the compliance pass of a curation pipeline:
+  // per-doc counts of email / phone / IPv4 matches and the md5 of the
+  // REDACTED text (verifying the full replacement value cross-engine
+  // without materializing megabytes of redacted text in the dump).
+  // Patterns stay inside the Java-regex ∩ RE2 dialect subset (explicit
+  // classes, no lookaround, no \d) so both engines match identically;
+  // scan-local projection, zero shuffles. This corpus is synthetic and
+  // PII-free (all counts 0, redacted ≡ original — itself a useful
+  // release gate); PipelineOpsSpec proves detection and redaction on
+  // planted positives.
+  private val PII: Seq[(String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("phone", "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}"))
+
+  /** Redaction expression: each PII class replaced by its `<CLASS>`
+    * token, applied in declaration order (shared by query and spec). */
+  private[graft] def redacted(text: Column): Column =
+    PII.foldLeft(text) { case (acc, (name, pat)) =>
+      regexp_replace(acc, pat, s"<${name.toUpperCase}>") }
+
+  def piiScan(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id") +:
+        PII.map { case (name, pat) =>
+          regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name") } :+
+        md5(redacted(col("text"))).as("redacted_md5"): _*)
+      .withColumn("has_pii",
+        (PII.map(p => col(s"n_${p._1}")).reduce(_ + _) > 0).cast("int"))
+      .orderBy("doc_id")
+
+  val piiScanSql: String = {
+    val counts = PII.map { case (name, pat) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name" }
+    val red = PII.foldLeft("text") { case (acc, (name, pat)) =>
+      s"regexp_replace($acc, '$pat', '<${name.toUpperCase}>', 'g')" }
+    val total = PII.map(p => s"n_${p._1}").mkString(" + ")
+    s"""WITH s AS (SELECT doc_id, ${counts.mkString(", ")}, md5($red) AS redacted_md5
+       |           FROM documents)
+       |SELECT doc_id, ${PII.map(p => s"n_${p._1}").mkString(", ")}, redacted_md5,
+       |       CAST(($total) > 0 AS INT) AS has_pii
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_stats"        -> tokenStats _,
     "q_lang_id"            -> langId _,
@@ -536,7 +580,8 @@ object TextOps {
     "q_hash_split"         -> hashSplit _,
     "q_token_topk"         -> tokenTopk _,
     "q_stratified_sample"  -> stratifiedSample _,
-    "q_doc_chunks"         -> docChunks _)
+    "q_doc_chunks"         -> docChunks _,
+    "q_pii_scan"           -> piiScan _)
 
   val oracles: Map[String, String] = Map(
     "q_token_stats"        -> tokenStatsSql,
@@ -550,5 +595,6 @@ object TextOps {
     "q_hash_split"         -> hashSplitSql,
     "q_token_topk"         -> tokenTopkSql,
     "q_stratified_sample"  -> stratifiedSampleSql,
-    "q_doc_chunks"         -> docChunksSql)
+    "q_doc_chunks"         -> docChunksSql,
+    "q_pii_scan"           -> piiScanSql)
 }

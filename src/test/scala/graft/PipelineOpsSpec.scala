@@ -89,6 +89,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(d.filter(col("doc_id") === col("keeper_id") && col("is_dup") === 1).isEmpty)
   }
 
+  test("PII detection and redaction work on planted positives") {
+    // the corpus itself is PII-free (q_pii_scan returns all-zero counts,
+    // a release gate in its own right); the mechanism is proven here
+    val df = Seq(
+      ("reach me at jo.doe+x@mail-host.org or 212-555-1234",
+        1L, 1L, 0L),
+      ("server 10.0.255.7 answered; backup at 192.168.0.1",
+        0L, 0L, 2L),
+      ("no pii here at all", 0L, 0L, 0L),
+      ("two mails: a@b.io c.d@e-f.museum and +1 555 123 4567",
+        2L, 1L, 0L)).toDF("text", "e", "p", "i")
+    val got = df.select(
+      regexp_count(col("text"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).as("e2"),
+      regexp_count(col("text"), lit("\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}")).as("p2"),
+      regexp_count(col("text"), lit("([0-9]{1,3}\\.){3}[0-9]{1,3}")).as("i2"),
+      col("e"), col("p"), col("i"),
+      TextOps.redacted(col("text")).as("red"), col("text"))
+    got.collect().foreach { r =>
+      assert(r.getAs[Int]("e2").toLong == r.getAs[Long]("e"), s"email count: $r")
+      assert(r.getAs[Int]("p2").toLong == r.getAs[Long]("p"), s"phone count: $r")
+      assert(r.getAs[Int]("i2").toLong == r.getAs[Long]("i"), s"ipv4 count: $r")
+      val red = r.getAs[String]("red")
+      assert(!red.contains("@") || red.contains("<EMAIL>"), s"unredacted email: $red")
+      assert(!red.matches(".*([0-9]{1,3}\\.){3}[0-9]{1,3}.*"), s"unredacted ip: $red")
+    }
+    // on the real corpus: zero PII, redaction is the identity
+    val scan = TextOps.piiScan(spark, sf)
+    assert(scan.filter(col("has_pii") === 1).isEmpty)
+  }
+
   test("dedup clusters close the pair graph with one min-keeper per cluster") {
     try {
       val rows = Dedup.dedupClusters(spark, sf)

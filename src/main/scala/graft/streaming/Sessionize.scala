@@ -207,4 +207,28 @@ object Sessionize {
     docs.select(col("doc_id"), col("ts"), col("text"),
         graft.operators.TextOps.qualityScoreOf(col("text")).as("quality_score"))
       .filter(col("quality_score") >= minQuality)
+
+  /** The composed streaming curation path — quality gate → exact dedup
+    * (content-hash, watermark-bounded state) → per-language corpus
+    * rollup: the ingest-time face of the batch `q_corpus_curation`
+    * pipeline, built from the SAME quality formula and the same md5
+    * keeper notion. Gate-before-dedup equals dedup-before-gate here
+    * because exact duplicates share their text and hence their score.
+    * Output (append mode, one row per closed window × lang): n_docs and
+    * total token count of the gated, deduplicated corpus slice.
+    * StreamingSpec proves the global totals equal the batch pipeline's
+    * on the same documents. */
+  def curationStream(docs: DataFrame, minQuality: Double,
+                     delay: String = "10 minutes"): DataFrame =
+    docs.select(col("doc_id"), col("ts"), col("lang"), col("text"),
+        graft.operators.TextOps.qualityScoreOf(col("text")).as("quality_score"))
+      .filter(col("quality_score") >= minQuality)
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .groupBy(window(col("ts"), "10 minutes"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextHash.tokenCountFast(col("text"))).as("total_tokens"))
+      .select(col("window.start").as("window_start"), col("lang"),
+        col("n_docs"), col("total_tokens"))
 }

@@ -12,6 +12,7 @@ import graft.streaming.StreamingAnalytics
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 case class Doc(doc_id: Long, ts: Timestamp, text: String)
+case class LDoc(doc_id: Long, ts: Timestamp, lang: String, text: String)
 case class Pv(event_id: Long, ts: Timestamp, page_views: Int)
 case class Sd(event_id: Long, ts: Timestamp, session_duration: Double)
 case class Tp(event_id: Long, ts: Timestamp, time_on_page: Double)
@@ -331,6 +332,38 @@ class StreamingSpec extends AnyFunSuite {
         .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
       assert(streamed == batch) // identical doc set AND bit-identical scores
       assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming curation totals equal the batch gate+dedup on the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[LDoc](Encoders.product[LDoc], spark.sqlContext)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").as[(Long, String, String)]
+      .collect().take(120)
+      .map { case (id, l, t) => LDoc(id, Timestamp.valueOf("2025-04-08 00:01:00"), l, t) }
+    val q = streaming.Sessionize.curationStream(stream.toDF(), 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curation_stream").start()
+    try {
+      stream.addData(docs.toSeq); q.processAllAvailable()
+      // advance the watermark past the window so the windowed agg emits
+      stream.addData(LDoc(-1L, Timestamp.valueOf("2025-04-08 01:00:00"), "en",
+        "the of and to is a the of and")); q.processAllAvailable()
+      val streamed = spark.table("curation_stream")
+        .filter(col("window_start") === Timestamp.valueOf("2025-04-08 00:00:00"))
+        .agg(sum("n_docs"), sum("total_tokens")).head()
+      // batch reference: same gate + exact-dedup (any survivor per hash
+      // — dup texts have identical token counts, so totals agree no
+      // matter which copy the streaming dedup kept)
+      val batch = Tables.documents(spark, sf)
+        .filter(col("doc_id").isin(docs.map(_.doc_id): _*))
+        .filter(operators.TextOps.qualityScoreOf(col("text")) >= 0.5)
+        .dropDuplicates("text")
+        .agg(count(lit(1)), sum(functions.TextHash.tokenCountFast(col("text")))).head()
+      assert(streamed.getLong(0) == batch.getLong(0), "doc counts differ")
+      assert(streamed.getLong(1) == batch.getLong(1), "token totals differ")
+      assert(batch.getLong(0) > 0)
     } finally q.stop()
   }
 

@@ -465,19 +465,21 @@ object Dedup {
     while (changed > 0 && iter < 15) {
       iter += 1
       // labels/prop are |cluster nodes|-sized — broadcast them so each
-      // round is one shuffle-free job; the `chg` flag rides along in the
-      // materialized output, so convergence detection is a scan of the
-      // just-written tiny parquet, not an extra join job
+      // round is shuffle-free. Check-BEFORE-write: the improving rows
+      // (neighbor-min < own label) are counted first and a new label
+      // table is materialized only when the round actually changed
+      // something — the common converged round (every component already
+      // at its minimum) costs ONE small aggregate job and no write.
       val prop = edges.join(broadcast(labels), col("b") === col("d"))
         .groupBy(col("a")).agg(min(col("lbl")).as("nlbl"))
-      val next = Materializer.materialize(Materializer.tagFor(s"ndlbl$iter", dir),
-        labels.join(broadcast(prop), col("d") === col("a"), "left")
-          .select(col("d"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-            (coalesce(col("nlbl"), col("lbl")) < col("lbl")).cast("long").as("chg")))
-      // coalesce: sum over ZERO rows (empty pair graph) is NULL
-      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
-      labels = next.select(col("d"), col("lbl"))
+      val delta = prop.join(broadcast(labels), col("a") === col("d"))
+        .filter(col("nlbl") < col("lbl"))
+      changed = delta.count()
+      if (changed > 0)
+        labels = Materializer.materialize(Materializer.tagFor(s"ndlbl$iter", dir),
+          labels.as("o").join(broadcast(delta.as("u")), col("o.d") === col("u.a"), "left")
+            .select(col("o.d").as("d"),
+              least(col("o.lbl"), coalesce(col("u.nlbl"), col("o.lbl"))).as("lbl")))
     }
     require(changed == 0, s"label propagation did not converge in $iter rounds")
     labels.select(col("d").as("doc_id"), col("lbl").as("cluster_id"),

@@ -66,16 +66,21 @@ object Bench {
       }
     }
     val failed = results.collect { case (n, v) if v < 0 => n }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Locale.ROOT: the default-locale f-interpolator would print a
     // comma decimal separator under e.g. de_DE and break the JSON line
     def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // 2-decimal per-query times: the driver keeps only the LAST 2000 chars
+    // of stdout and parses the JSON line out of that tail; at full double
+    // precision the 60+-query map overflows it (BENCH_r03/r04 both landed
+    // as parsed:null). 10 ms granularity is ample for judging and keeps the
+    // whole line ~1.7 kB with headroom for registry growth.
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val env = s""""loadavg_start":${f2(load0)},"loadavg_end":${f2(loadavg)},""" +
       s""""gc_ms":$gcMillis,"peak_heap_mib":$peakHeapMiB"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,$env,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failedJson,$env,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -85,17 +85,22 @@ object Materializer {
   }
 
   /** Drop every materialized copy. Safe to call between queries; the next
-    * `materialize` for a tag simply recomputes. Completed copies are
-    * deleted; an in-flight or failed write is just unregistered. */
+    * `materialize` for a tag simply recomputes. An in-flight write is
+    * awaited first — unregistering it without awaiting would let the write
+    * complete later and orphan its directory past this clear(). A failed
+    * write still gets a best-effort delete of its deterministic path
+    * (root/tag), since an aborted Spark write can leave partial files. */
   def clear(): Unit = {
     val it = live.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       it.remove()
-      if (e.getValue.isDone) {
-        try deleteTree(java.nio.file.Paths.get(e.getValue.get()))
-        catch { case _: Exception => () } // failed write: nothing on disk
-      }
+      val path =
+        try e.getValue.get()
+        catch { case _: Exception => if (rootDir != null) rootDir.resolve(e.getKey).toString else null }
+      if (path != null)
+        try deleteTree(java.nio.file.Paths.get(path))
+        catch { case _: Exception => () }
     }
   }
 

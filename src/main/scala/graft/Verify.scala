@@ -8,6 +8,7 @@ object Verify {
     // args: <sfDir> <outDir> [query names...] — trailing names restrict
     // the run to a subset (driver passes none → full registry); a typo'd
     // name must fail loudly, not silently produce an empty dump
+    require(args.length >= 2, "usage: Verify <sfDir> <outDir> [queries...]")
     val (Array(sfDir, outDir), subsetNames) = args.splitAt(2)
     val unknown = subsetNames.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")

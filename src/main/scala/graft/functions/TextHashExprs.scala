@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -119,8 +120,13 @@ object TextHashImpl {
 
 /** charHash as a native expression: string → BIGINT. */
 case class PolyHashExpr(child: Expression) extends UnaryExpression {
+  // analysis-time input check (ExpectsInputTypes is private[sql] in Spark 4):
+  // a non-string child must fail resolution, not ClassCastException at exec
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
   override def dataType: DataType = LongType
-  // input: StringType (checked by analyzer binding)
   override def prettyName: String = "poly_hash"
   override def nullSafeEval(v: Any): Any =
     TextHashImpl.polyHash(v.asInstanceOf[UTF8String].toString)
@@ -132,8 +138,13 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
 
 /** tokenHashes(tokens(s)) as a native expression: string → ARRAY<BIGINT>. */
 case class TokenHashesExpr(child: Expression) extends UnaryExpression {
+  // analysis-time input check (ExpectsInputTypes is private[sql] in Spark 4):
+  // a non-string child must fail resolution, not ClassCastException at exec
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  // input: StringType (checked by analyzer binding)
   override def prettyName: String = "token_hashes"
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(TextHashImpl.tokenHashes(v.asInstanceOf[UTF8String].toString))
@@ -146,8 +157,13 @@ case class TokenHashesExpr(child: Expression) extends UnaryExpression {
 
 /** size(tokens(s)) as a native expression: string → BIGINT. */
 case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  // analysis-time input check (ExpectsInputTypes is private[sql] in Spark 4):
+  // a non-string child must fail resolution, not ClassCastException at exec
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
   override def dataType: DataType = LongType
-  // input: StringType (checked by analyzer binding)
   override def prettyName: String = "token_count"
   override def nullSafeEval(v: Any): Any =
     TextHashImpl.tokenCount(v.asInstanceOf[UTF8String].toString)
@@ -166,8 +182,13 @@ case class TokenCountExpr(child: Expression) extends UnaryExpression {
   * elimination, so `bestLang`'s five scores were re-evaluated per decode
   * branch (~5× extra — the round-3 VERDICT defect #2). */
 case class StopCountExpr(child: Expression, words: Seq[String]) extends UnaryExpression {
+  // analysis-time input check (ExpectsInputTypes is private[sql] in Spark 4):
+  // a non-string child must fail resolution, not ClassCastException at exec
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
   override def dataType: DataType = LongType
-  // input: StringType (checked by analyzer binding)
   override def prettyName: String = "stop_count"
   @transient private lazy val wordSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]
@@ -186,8 +207,13 @@ case class StopCountExpr(child: Expression, words: Seq[String]) extends UnaryExp
 
 /** shingleHashes(tokenHashes(tokens(s))) fused: string → ARRAY<BIGINT>. */
 case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
+  // analysis-time input check (ExpectsInputTypes is private[sql] in Spark 4):
+  // a non-string child must fail resolution, not ClassCastException at exec
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  // input: StringType (checked by analyzer binding)
   override def prettyName: String = "shingle_hashes"
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(TextHashImpl.shingleHashes(

@@ -350,8 +350,10 @@ object Dedup {
   def incrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
     val newA = pmod(col("a.doc_id"), lit(10)) === NEW_RESIDUE
     val newB = pmod(col("b.doc_id"), lit(10)) === NEW_RESIDUE
+    // tag "candidx" — the capped index is identical to [[ngramJaccard]]'s
+    // (same postings, key, cap), so a full-registry run builds it once
     NearDup.cappedJaccardJoin(shingleIndex(spark, dir), "sh", DF_CAP,
-      JACCARD_T, "jaccard", Materializer.tagFor("inccap", dir),
+      JACCARD_T, "jaccard", Materializer.tagFor("candidx", dir),
       newA && (!newB || col("a.doc_id") < col("b.doc_id")),
       "new_doc", "other_doc")
   }

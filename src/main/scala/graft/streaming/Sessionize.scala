@@ -8,8 +8,15 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Open-session state carried across micro-batches for one user. */
+/** One session interval (open or straggler) — (span, count, exact cents). */
 case class SessionState(start: Timestamp, end: Timestamp, n: Long, cents: Long)
+
+/** Per-user state carried across micro-batches: the open session, plus at
+  * most one open PENDING straggler session (a chain of events > GAP before
+  * the open session's start, still extendable by later stragglers). Kept
+  * as a flat nested product — Spark derives its Encoder; a recursive
+  * `SessionState.pending: Option[SessionState]` would not encode. */
+case class UserState(open: SessionState, pending: Option[SessionState] = None)
 
 /** One closed session — same shape/semantics as the batch
   * sessionization (`Relational.userSessions`): gap > 30 min of user
@@ -76,60 +83,59 @@ object Sessionize {
     * event at-or-before the open session's end. Such an event MERGES
     * (start/end extend by min/max — end never rewinds) when it falls
     * within GAP of the open interval. Events more than GAP before the
-    * open start accumulate into their own PENDING session — two
-    * stragglers within GAP of each other IN THE SAME SLICE form ONE
-    * session, as batch semantics would group them — which closes when
-    * the next event jumps > GAP past it or the slice ends. Two
-    * remaining divergences from full batch semantics, both confined to
-    * the straggler path (unreachable while the watermark delay is
-    * smaller than GAP, since such stragglers are late-dropped
-    * upstream): a pending straggler session is NOT carried across
-    * micro-batches (state holds only the open session), so stragglers
-    * split across batches emit separately; and append mode cannot
-    * retract, so a straggler chain that would bridge INTO an
-    * already-emitted or open session is emitted separately. The
-    * PropertySpec arrival-order fuzz pins the invariants that DO hold
-    * under any delivery order: event conservation, session
-    * well-formedness, exact value totals. */
+    * open start are STRAGGLERS: each batch's stragglers, together with
+    * the pending straggler session carried in state from prior batches,
+    * are interval-merged in time order (chains split where the gap
+    * exceeds GAP — exactly batch grouping semantics); every chain but
+    * the latest is closed, and the latest is carried in state as the
+    * new pending session, so stragglers for one logical session that
+    * arrive across several micro-batches still emit as ONE row. The
+    * remaining divergence from full batch semantics (unreachable while
+    * the watermark delay is smaller than GAP, since such stragglers are
+    * late-dropped upstream): append mode cannot retract, so a straggler
+    * chain that would bridge INTO an already-emitted or open session is
+    * emitted separately. The PropertySpec arrival-order fuzz pins the
+    * invariants that DO hold under any delivery order: event
+    * conservation, session well-formedness, exact value totals. */
   def foldBatch(user: Long, sorted: Seq[(Timestamp, Double)],
-      open: Option[SessionState]): (Seq[SessionRow], Option[SessionState]) = {
+      st: Option[UserState]): (Seq[SessionRow], Option[UserState]) = {
     val closed = ListBuffer.empty[SessionRow]
-    var cur = open
-    // straggler accumulator (events > GAP before the open session start)
-    var pending: Option[SessionState] = None
-    def closePending(): Unit = {
-      pending.foreach(p => closed += emit(user, p))
-      pending = None
-    }
+    var cur = st.map(_.open)
+    // straggler point-intervals, in slice (time) order
+    val stragglers = ListBuffer.empty[SessionState]
     for ((ts, v) <- sorted) {
       cur match {
         case Some(s) if ts.getTime >= s.start.getTime - GAP_MS &&
             ts.getTime - s.end.getTime <= GAP_MS =>
-          closePending()
           val start = if (ts.getTime < s.start.getTime) ts else s.start
           val end = if (ts.getTime > s.end.getTime) ts else s.end
           cur = Some(SessionState(start, end, s.n + 1, s.cents + cents(v)))
         case Some(s) if ts.getTime - s.end.getTime > GAP_MS =>
-          closePending()
           closed += emit(user, s)
           cur = Some(SessionState(ts, ts, 1L, cents(v)))
         case Some(_) =>
-          // > GAP before the open session's start: attach to the pending
-          // straggler session when within GAP of its end (ts ≥ pending
-          // end — the slice is sorted), else close it and open a new one
-          pending match {
-            case Some(p) if ts.getTime - p.end.getTime <= GAP_MS =>
-              pending = Some(SessionState(p.start, ts, p.n + 1, p.cents + cents(v)))
-            case _ =>
-              closePending()
-              pending = Some(SessionState(ts, ts, 1L, cents(v)))
-          }
+          stragglers += SessionState(ts, ts, 1L, cents(v))
         case None =>
           cur = Some(SessionState(ts, ts, 1L, cents(v)))
       }
     }
-    closePending()
-    (closed.toSeq, cur)
+    // interval-merge the carried pending session with this slice's
+    // stragglers: sort by span start (the carried pending may interleave
+    // with new events), fuse neighbors whose gap is within GAP
+    val chains = (st.flatMap(_.pending).toList ++ stragglers.toList)
+      .sortBy(s => (s.start.getTime, s.end.getTime))
+      .foldLeft(List.empty[SessionState]) { (acc, s) =>
+        acc match {
+          case h :: t if s.start.getTime - h.end.getTime <= GAP_MS =>
+            val end = if (s.end.getTime > h.end.getTime) s.end else h.end
+            SessionState(h.start, end, h.n + s.n, h.cents + s.cents) :: t
+          case _ => s :: acc
+        }
+      }.reverse
+    // close all but the latest chain; the latest stays pending (a future
+    // batch's straggler may still extend it — the cross-batch carry)
+    chains.dropRight(1).foreach(p => closed += emit(user, p))
+    (closed.toSeq, cur.map(UserState(_, chains.lastOption)))
   }
 
   /** ev: streaming DataFrame with (user_id, ts, value); MUST carry an
@@ -139,26 +145,39 @@ object Sessionize {
     ev.select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
       .as[(Long, Timestamp, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, SessionRow](
+      .flatMapGroupsWithState[UserState, SessionRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, Timestamp, Double)],
-         state: GroupState[SessionState]) =>
+         state: GroupState[UserState]) =>
           if (state.hasTimedOut) {
-            // watermark passed end + GAP: nothing can extend this session
-            val s = state.get
+            // watermark passed open.end + GAP: nothing can extend the open
+            // session (or the strictly-earlier pending straggler session)
+            val u = state.get
             state.remove()
-            Iterator.single(emit(user, s))
+            (u.pending.toSeq :+ u.open).map(emit(user, _)).iterator
           } else {
             val sorted = rows.map(r => (r._2, r._3)).toIndexedSeq.sortBy(r => (r._1.getTime, r._2))
             val (closed, cur) = foldBatch(user, sorted, state.getOption)
-            cur.foreach { s =>
-              state.update(s)
-              // safe clock: strictly after the last event this session
-              // can still absorb (end + GAP); always > current watermark
-              // because s.end came from a non-late event
-              state.setTimeoutTimestamp(s.end.getTime + GAP_MS)
+            // flush a pending straggler session the watermark has sealed
+            // (end + GAP behind it): no event can extend it any more, and
+            // holding it would only delay emission to the open's timeout
+            val wm = state.getCurrentWatermarkMs()
+            val (flushed, keep) = cur match {
+              case Some(u) => u.pending match {
+                case Some(p) if wm > 0 && p.end.getTime + GAP_MS <= wm =>
+                  (Seq(emit(user, p)), Some(u.copy(pending = None)))
+                case _ => (Nil, cur)
+              }
+              case None => (Nil, None)
             }
-            closed.iterator
+            keep.foreach { u =>
+              state.update(u)
+              // safe clock: strictly after the last event the open session
+              // can still absorb (end + GAP); always > current watermark
+              // because open.end came from a non-late event
+              state.setTimeoutTimestamp(u.open.end.getTime + GAP_MS)
+            }
+            (closed ++ flushed).iterator
           }
       }
   }

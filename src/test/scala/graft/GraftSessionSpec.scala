@@ -26,6 +26,18 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(sk.sum == 3L * graft.functions.CountMinSketchAgg.D)
   }
 
+  test("non-string input to text expressions fails at analysis, not execution") {
+    GraftSession.register(spark)
+    // checkInputDataTypes: an INT child must be rejected when the plan is
+    // analyzed — previously it surfaced as a ClassCastException mid-task
+    for (call <- Seq("token_count(42)", "stop_count(42, 'the')", "poly_hash(42)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $call").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("string"), s"$call: ${e.getMessage}")
+    }
+  }
+
   test("GraftSession.builder carries the engine configuration") {
     val b = GraftSession.builder(4)
     // builder is config-only; constructing a full second session in-JVM

@@ -66,7 +66,10 @@ class PropertySpec extends AnyFunSuite {
     // must produce exactly the sessions of a single global scan (the
     // cross-batch open-session carry is the logic under test)
     import java.sql.Timestamp
-    import graft.streaming.{Sessionize, SessionRow, SessionState}
+    import graft.streaming.{Sessionize, SessionRow, UserState}
+    def drain(u: UserState): Seq[SessionRow] =
+      (u.pending.toSeq :+ u.open).map(s =>
+        SessionRow(1L, s.start, s.end, s.n, s.cents / 100.0))
     val gaps: Gen[List[(Long, Double)]] = Gen.listOf(
       Gen.zip(Gen.chooseNum(0L, 3 * Sessionize.GAP_MS), Gen.chooseNum(0, 9999).map(_ / 100.0)))
     check(Prop.forAll(gaps, Gen.chooseNum(1, 5)) { (deltas, nSplits) =>
@@ -75,18 +78,17 @@ class PropertySpec extends AnyFunSuite {
         .drop(1).map { case (t, v) => (new Timestamp(t), v) }
       // reference: one global fold
       val (refClosed, refOpen) = Sessionize.foldBatch(1L, evs, None)
-      val reference = refClosed ++ refOpen.map(s =>
-        SessionRow(1L, s.start, s.end, s.n, s.cents / 100.0)).toSeq
+      val reference = refClosed ++ refOpen.toSeq.flatMap(drain)
       // split into consecutive batches at deterministic cut points
       val cuts = if (evs.isEmpty) Seq(evs) else
         evs.grouped(math.max(1, evs.size / nSplits)).toSeq
-      var open: Option[SessionState] = None
+      var open: Option[UserState] = None
       val out = scala.collection.mutable.ListBuffer.empty[SessionRow]
       for (batch <- cuts) {
         val (closed, next) = Sessionize.foldBatch(1L, batch, open)
         out ++= closed; open = next
       }
-      out ++= open.map(s => SessionRow(1L, s.start, s.end, s.n, s.cents / 100.0))
+      out ++= open.toSeq.flatMap(drain)
       out.toList == reference.toList
     })
   }
@@ -101,7 +103,10 @@ class PropertySpec extends AnyFunSuite {
     // (incl. straggler-to-straggler merge) the in-order property can't
     // reach.
     import java.sql.Timestamp
-    import graft.streaming.{Sessionize, SessionRow, SessionState}
+    import graft.streaming.{Sessionize, SessionRow, UserState}
+    def drain(u: UserState): Seq[SessionRow] =
+      (u.pending.toSeq :+ u.open).map(s =>
+        SessionRow(1L, s.start, s.end, s.n, s.cents / 100.0))
     val gaps: Gen[List[(Long, Double)]] = Gen.listOf(
       Gen.zip(Gen.chooseNum(0L, 3 * Sessionize.GAP_MS), Gen.chooseNum(0, 9999).map(_ / 100.0)))
     val seedGen = Gen.chooseNum(0L, Long.MaxValue)
@@ -112,7 +117,7 @@ class PropertySpec extends AnyFunSuite {
       val shuffled = new scala.util.Random(seed).shuffle(evs)
       val cuts = if (shuffled.isEmpty) Seq(shuffled) else
         shuffled.grouped(math.max(1, shuffled.size / nSplits)).toSeq
-      var open: Option[SessionState] = None
+      var open: Option[UserState] = None
       val out = scala.collection.mutable.ListBuffer.empty[SessionRow]
       for (batch <- cuts) {
         // the operator sorts each micro-batch slice before folding
@@ -120,7 +125,7 @@ class PropertySpec extends AnyFunSuite {
           batch.sortBy(r => (r._1.getTime, r._2)), open)
         out ++= closed; open = next
       }
-      out ++= open.map(s => SessionRow(1L, s.start, s.end, s.n, s.cents / 100.0))
+      out ++= open.toSeq.flatMap(drain)
       val conserved = out.map(_.n_events).sum == evs.size
       val wellFormed = out.forall(s =>
         !s.session_end.before(s.session_start) && s.n_events >= 1)

@@ -236,43 +236,59 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("sessionize absorbs within-lateness out-of-order events without rewinding") {
-    import graft.streaming.{SessionState, Sessionize}
+    import graft.streaming.{SessionState, Sessionize, UserState}
     def ts(s: String) = Timestamp.valueOf(s)
     // open session [10:00, 10:00]; a later batch delivers an event 30s
     // EARLIER (admitted by the watermark) — must extend start, not
     // rewind end
     val (closed1, open1) = Sessionize.foldBatch(1L,
       Seq((ts("2025-04-08 09:59:30"), 2.0)),
-      Some(SessionState(ts("2025-04-08 10:00:00"), ts("2025-04-08 10:00:00"), 1L, 100L)))
+      Some(UserState(SessionState(ts("2025-04-08 10:00:00"), ts("2025-04-08 10:00:00"), 1L, 100L))))
     assert(closed1.isEmpty)
-    assert(open1.get.start == ts("2025-04-08 09:59:30"))
-    assert(open1.get.end == ts("2025-04-08 10:00:00")) // end NOT rewound
+    assert(open1.get.open.start == ts("2025-04-08 09:59:30"))
+    assert(open1.get.open.end == ts("2025-04-08 10:00:00")) // end NOT rewound
     // a following gap-exceeding event closes a WELL-FORMED session
     val (closed2, open2) = Sessionize.foldBatch(1L,
       Seq((ts("2025-04-08 10:31:00"), 1.0)), open1)
     assert(closed2.size == 1)
     val s = closed2.head
     assert(!s.session_end.before(s.session_start) && s.n_events == 2)
-    assert(open2.get.n == 1)
-    // a straggler > GAP before the open start becomes its own closed
-    // singleton; the open session is untouched
+    assert(open2.get.open.n == 1)
+    // a straggler > GAP before the open start becomes the PENDING
+    // session carried in state; the open session is untouched and
+    // nothing closes yet
     val (closed3, open3) = Sessionize.foldBatch(1L,
       Seq((ts("2025-04-08 09:00:00"), 5.0)), open2)
-    assert(closed3 == Seq(graft.streaming.SessionRow(1L,
-      ts("2025-04-08 09:00:00"), ts("2025-04-08 09:00:00"), 1L, 5.0)))
-    assert(open3 == open2)
-    // TWO stragglers within GAP of each other form ONE closed session
-    // (batch semantics), not two singletons; a third > GAP past them
-    // closes the pair and starts a second straggler session
+    assert(closed3.isEmpty)
+    assert(open3.get.open == open2.get.open)
+    assert(open3.get.pending ==
+      Some(SessionState(ts("2025-04-08 09:00:00"), ts("2025-04-08 09:00:00"), 1L, 500L)))
+    // a NEXT batch's straggler within GAP of the carried pending MERGES
+    // into it (the cross-batch carry), instead of emitting separately
+    val (closed3b, open3b) = Sessionize.foldBatch(1L,
+      Seq((ts("2025-04-08 09:20:00"), 1.0)), open3)
+    assert(closed3b.isEmpty)
+    assert(open3b.get.pending ==
+      Some(SessionState(ts("2025-04-08 09:00:00"), ts("2025-04-08 09:20:00"), 2L, 600L)))
+    // ...and a straggler > GAP past the pending closes it as ONE
+    // two-event session and becomes the new pending
+    val (closed3c, open3c) = Sessionize.foldBatch(1L,
+      Seq((ts("2025-04-08 09:55:00"), 2.0)), open3b)
+    assert(closed3c == Seq(graft.streaming.SessionRow(1L,
+      ts("2025-04-08 09:00:00"), ts("2025-04-08 09:20:00"), 2L, 6.0)))
+    assert(open3c.get.pending.get.start == ts("2025-04-08 09:55:00"))
+    // TWO stragglers within GAP of each other form ONE session (batch
+    // semantics); a third > GAP past them closes the pair, and the
+    // third is carried as pending
     val (closed4, open4) = Sessionize.foldBatch(1L,
       Seq((ts("2025-04-08 08:00:00"), 1.0), (ts("2025-04-08 08:10:00"), 2.0),
         (ts("2025-04-08 09:00:00"), 4.0)), open2)
     assert(closed4 == Seq(
       graft.streaming.SessionRow(1L,
-        ts("2025-04-08 08:00:00"), ts("2025-04-08 08:10:00"), 2L, 3.0),
-      graft.streaming.SessionRow(1L,
-        ts("2025-04-08 09:00:00"), ts("2025-04-08 09:00:00"), 1L, 4.0)))
-    assert(open4 == open2)
+        ts("2025-04-08 08:00:00"), ts("2025-04-08 08:10:00"), 2L, 3.0)))
+    assert(open4.get.open == open2.get.open)
+    assert(open4.get.pending ==
+      Some(SessionState(ts("2025-04-08 09:00:00"), ts("2025-04-08 09:00:00"), 1L, 400L)))
   }
 
   test("streaming near-dup suppression equals batch first-occurrence on the same replay") {

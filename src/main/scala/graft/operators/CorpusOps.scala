@@ -1,0 +1,297 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.TextHash._
+
+/** Corpus-level retrieval and curation-planning operators over the
+  * `documents` table: BM25 keyword retrieval (the lexical complement to
+  * the ANN suite in [[Similarity]]), temperature-weighted source mixing
+  * (the data-mixture computation a training run makes before sampling),
+  * a Zipf-law fit over the token frequency head (tokenizer/corpus
+  * audits), and content-defined chunking (the variable-size sibling of
+  * [[TextOps.docChunks]]'s fixed stride — storage-dedup-style boundaries
+  * that survive insertions).
+  *
+  * Cross-engine determinism: every double formula is written in one
+  * fixed evaluation order mirrored literally in the oracle SQL, and
+  * every SUM over data-dependent doubles goes through exact micro-units
+  * (floor(x·1e6 + 0.5) as BIGINT — pure IEEE, identical in both
+  * engines; integer sums are partition-order-proof). BM25 deliberately
+  * uses the log-free odds idf (N - df + ½)/(df + ½): ln() is not
+  * required to be correctly rounded by either engine, and the odds form
+  * is order-equivalent per term while being bit-deterministic with
+  * probability 1. The Zipf fit does use ln(), but immediately rounds to
+  * micro-units, after which the whole regression is exact integer
+  * arithmetic (sums of products stay < 2^59 at the capped head size).
+  */
+object CorpusOps {
+
+  // ------------------------------------------------------------- BM25
+  /** Plan-time query terms — a search operator's terms are always
+    * plan-time constants; swapping them re-plans the same shape. */
+  private val BM25_TERMS = Seq("spark", "join", "window")
+  private val BM25_K1 = 1.2
+  private val BM25_B = 0.75
+  private val BM25_TOPK = 20
+
+  /** BM25 top-k keyword retrieval.
+    *
+    * Shape (the 100 TB posture): the query terms are plan-time
+    * constants, so the (doc × term) tf matrix pivots to COLUMNS — ONE
+    * scan-local pass computes per-doc length and per-term tf via the
+    * codegen'd stop-count expression (a 1-word set counts occurrences);
+    * no explode, no (doc, term) shuffle, no second corpus pass. The
+    * 1-row corpus stats (N, Σdl, per-term df) broadcast back
+    * (aggregate-bounded NLJ, the declared q_above_avg_orders pattern),
+    * and the top-k is a distributed TakeOrderedAndProject. Docs matching
+    * no term score 0 and are not retrieved (inverted-index semantics).
+    *
+    * Per-term contributions are micro-unit-rounded then added in one
+    * fixed-order integer chain (cm0 + cm1 + cm2) — no double SUM
+    * anywhere, so the score is identical across any partitioning and in
+    * the oracle. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val per = documents(spark, dir).select(
+      col("doc_id") +: tokenCountFast(col("text")).as("dl") +:
+        BM25_TERMS.zipWithIndex.map { case (t, i) =>
+          stopCountFast(col("text"), Seq(t)).as(s"tf$i") }: _*)
+    val statAggs = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      BM25_TERMS.indices.map(i => sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))
+    val stats = per.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    def contribMicro(i: Int) = {
+      val idf = (col("n_docs").cast("double") - col(s"df$i").cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+      val tfd = col(s"tf$i").cast("double")
+      val c = idf * (tfd * lit(BM25_K1 + 1.0)) /
+        (tfd + lit(BM25_K1) *
+          (lit(1.0 - BM25_B) + lit(BM25_B) * col("dl").cast("double") / avgdl))
+      when(col(s"tf$i") > 0, floor(c * 1000000.0 + lit(0.5))).otherwise(lit(0L))
+    }
+    per.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        BM25_TERMS.indices.map(i => (col(s"tf$i") > 0).cast("long"))
+          .reduce(_ + _).as("n_terms_matched"),
+        BM25_TERMS.indices.map(contribMicro).reduce(_ + _).as("sm"))
+      .filter(col("n_terms_matched") > 0)
+      .select(col("doc_id"), col("n_terms_matched"),
+        (col("sm").cast("double") / 1000000.0).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(BM25_TOPK)
+  }
+
+  val bm25Sql: String = {
+    val avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    def contribMicro(i: Int): String = {
+      val idf = s"((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))"
+      val c = s"$idf * (CAST(tf$i AS DOUBLE) * ${BM25_K1 + 1.0}) / " +
+        s"(CAST(tf$i AS DOUBLE) + $BM25_K1 * (${1.0 - BM25_B} + $BM25_B * CAST(dl AS DOUBLE) / $avgdl))"
+      s"(CASE WHEN tf$i > 0 THEN CAST(floor(($c) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END)"
+    }
+    val tfCols = BM25_TERMS.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf$i" }
+    val dfCols = BM25_TERMS.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+    val matched = BM25_TERMS.indices
+      .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val sm = BM25_TERMS.indices.map(contribMicro).mkString(" + ")
+    s"""WITH per AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, ${tfCols.mkString(", ")}
+       |             FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl, ${dfCols.mkString(", ")}
+       |       FROM per),
+       |c AS (SELECT doc_id, CAST($matched AS BIGINT) AS n_terms_matched, $sm AS sm
+       |      FROM per, st)
+       |SELECT doc_id, n_terms_matched, CAST(sm AS DOUBLE) / 1000000.0 AS score
+       |FROM c WHERE n_terms_matched > 0
+       |ORDER BY score DESC, doc_id ASC LIMIT $BM25_TOPK""".stripMargin
+  }
+
+  // ------------------------------------------------------- source mixing
+  /** α = 0.5 temperature (weight ∝ tokens^α — upsamples small sources,
+    * the standard multi-source training mix) and the token budget the
+    * mixture allocates. sqrt is IEEE-correctly-rounded in both engines;
+    * the α = 0.5 choice keeps the weights log-free (see class doc). */
+  private val MIX_BUDGET = 1000000000.0 // 1e9-token training budget
+  /** Per-source sampling weights and budget allocation.
+    *
+    * ONE corpus scan → per-source (docs, tokens) aggregate (|sources|
+    * rows, MATERIALIZED so the denominator pass re-reads the tiny
+    * aggregate, not the corpus), micro-unit sqrt weights, the 1-row
+    * denominator broadcast back (aggregate-bounded NLJ). epochs > 1
+    * flags a source the mixture would repeat — the oversampling audit. */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = graft.Materializer.materialize(
+      graft.Materializer.tagFor("srcmix", dir),
+      documents(spark, dir)
+        .select(col("source"), tokenCountFast(col("text")).as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .withColumn("m",
+          floor(sqrt(col("n_tokens").cast("double")) * 1000000.0 + lit(0.5))))
+    val denom = per.agg(sum(col("m")).as("denom"))
+    val weight = col("m").cast("double") / col("denom").cast("double")
+    per.crossJoin(broadcast(denom))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        weight.as("weight"),
+        (lit(MIX_BUDGET) * weight).as("alloc_tokens"),
+        (lit(MIX_BUDGET) * weight / col("n_tokens").cast("double")).as("epochs"))
+      .orderBy("source")
+  }
+
+  val sourceMixSql: String = {
+    val w = "(CAST(m AS DOUBLE) / CAST(denom AS DOUBLE))"
+    s"""WITH per AS (SELECT source, count(*) AS n_docs,
+       |                    CAST(sum(len(${sqlTokens("text")})) AS BIGINT) AS n_tokens
+       |             FROM documents GROUP BY 1),
+       |m AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS m
+       |      FROM per),
+       |d AS (SELECT CAST(sum(m) AS BIGINT) AS denom FROM m)
+       |SELECT source, n_docs, n_tokens, $w AS weight,
+       |       $MIX_BUDGET * $w AS alloc_tokens,
+       |       $MIX_BUDGET * $w / CAST(n_tokens AS DOUBLE) AS epochs
+       |FROM m, d ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------- Zipf fit
+  /** Head size cap: the fit runs over the top-R frequency head. The cap
+    * also BOUNDS the rank window: row_number runs over an
+    * orderBy().limit(R) input — a constant-size single-task frame by
+    * construction (the declared PlanGuardSpec exemption class), fed by a
+    * distributed TakeOrderedAndProject. */
+  private val ZIPF_TOPR = 100
+
+  /** Least-squares fit of ln(freq) ~ ln(rank) over the frequency head —
+    * the Zipf-law audit (slope ≈ -1 for natural text; the synthetic
+    * corpus's near-uniform head fits much flatter, itself a useful
+    * distribution-shift signal). ln values are micro-unit-rounded first;
+    * all regression moments are then exact BIGINT sums/products
+    * (|Σxy| < 2^53 at R=100), so the slope/intercept doubles are
+    * bit-identical cross-engine. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val head = documents(spark, dir)
+      .select(explode(split(trim(col("text")), WS_CLASS)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc)
+      .limit(ZIPF_TOPR)
+    val ranked = head.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("tok").asc)))
+    val moments = ranked
+      .select(
+        floor(log(col("rank").cast("double")) * 1000000.0 + lit(0.5)).as("xm"),
+        floor(log(col("freq").cast("double")) * 1000000.0 + lit(0.5)).as("ym"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("xm")).as("sx"), sum(col("ym")).as("sy"),
+        sum(col("xm") * col("ym")).as("sxy"),
+        sum(col("xm") * col("xm")).as("sxx"))
+    val slope = (col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double")
+    moments.select(col("n_terms"), slope.as("slope"),
+      ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+        col("n_terms").cast("double") / 1000000.0).as("intercept"))
+  }
+
+  val zipfFitSql: String = {
+    val slope = "(CAST(n_terms * sxy - sx * sy AS DOUBLE) / CAST(n_terms * sxx - sx * sx AS DOUBLE))"
+    s"""WITH head AS (
+       |  SELECT tok, count(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '$WS_CLASS')) AS tok FROM documents)
+       |  WHERE length(tok) > 0
+       |  GROUP BY 1 ORDER BY freq DESC, tok ASC LIMIT $ZIPF_TOPR),
+       |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank FROM head),
+       |lm AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS xm,
+       |              CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS ym
+       |       FROM r),
+       |mo AS (SELECT count(*) AS n_terms, CAST(sum(xm) AS BIGINT) AS sx,
+       |              CAST(sum(ym) AS BIGINT) AS sy, CAST(sum(xm * ym) AS BIGINT) AS sxy,
+       |              CAST(sum(xm * xm) AS BIGINT) AS sxx
+       |       FROM lm)
+       |SELECT n_terms, $slope AS slope,
+       |       (CAST(sy AS DOUBLE) - $slope * CAST(sx AS DOUBLE)) / CAST(n_terms AS DOUBLE)
+       |         / 1000000.0 AS intercept
+       |FROM mo""".stripMargin
+  }
+
+  // -------------------------------------- content-defined chunking dedup
+  /** Boundary rule: a token whose polynomial hash ≡ CDC_R (mod CDC_M)
+    * ENDS a chunk → expected chunk length CDC_M tokens. Unlike fixed
+    * strides, boundaries are content-anchored: inserting a token shifts
+    * only its own chunk, so shared runs between near-dup docs still
+    * produce identical chunks — the storage-dedup property. */
+  private val CDC_M = 16
+  private val CDC_R = 3
+
+  /** Duplicated content-defined chunks across the corpus.
+    *
+    * Shape: scan-local token hashing, one doc-keyed window (running
+    * boundary count → chunk_id), a (doc, chunk) ordered fold into the
+    * chunk's polynomial content hash (the fold is array-land but bounded
+    * by chunk length ≈ CDC_M, never document length), then a chunk-hash
+    * aggregate keeping hashes seen more than once. Two doc-keyed
+    * exchanges + one chunk-hash exchange, all linear — the shape that
+    * finds shared passages at 100 TB without any pairwise comparison. */
+  /** Per-document CDC chunk signatures for any (doc_id, text) relation:
+    * (doc_id, n = chunk token count, chunk_hash). Exposed so the spec
+    * can prove the defining CDC property (boundaries survive prefix
+    * insertion) on synthetic docs. */
+  private[graft] def chunkSignatures(docs: DataFrame, nPart: Int): DataFrame = {
+    val ex = docs
+      .repartition(nPart, col("doc_id"))
+      .select(col("doc_id"), posexplode(tokenHashesFast(col("text"))).as(Seq("pos", "h")))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ex
+      .withColumn("chunk_id",
+        coalesce(sum((col("h") % CDC_M === CDC_R).cast("long")).over(wPrev), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("h")))).as("ph"),
+        count(lit(1)).as("n"))
+      .select(col("doc_id"), col("n"),
+        aggregate(col("ph"), lit(0L),
+          (a, s) => (a * 31 + s.getField("h")) % P).as("chunk_hash"))
+  }
+
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    chunkSignatures(documents(spark, dir), n).groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        min(col("n")).as("chunk_len"))
+      .filter(col("n_occ") > 1)
+      .orderBy("chunk_hash")
+  }
+
+  val cdcChunksSql: String =
+    s"""WITH t AS (SELECT doc_id, ${sqlTokenHashes(sqlTokens("text"))} AS th FROM documents),
+       |e AS (SELECT doc_id, unnest(th) AS h, generate_subscripts(th, 1) AS pos FROM t),
+       |ch AS (SELECT doc_id, pos, h,
+       |        coalesce(sum(CASE WHEN h % $CDC_M = $CDC_R THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+       |       FROM e),
+       |ck AS (SELECT doc_id, count(*) AS n,
+       |              list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY pos)),
+       |                          (a, x) -> (a*31 + x) % $P) AS chunk_hash
+       |       FROM ch GROUP BY doc_id, chunk_id)
+       |SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_occ,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       min(doc_id) AS first_doc, CAST(min(n) AS BIGINT) AS chunk_len
+       |FROM ck GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25"       -> bm25 _,
+    "q_source_mix" -> sourceMix _,
+    "q_zipf_fit"   -> zipfFit _,
+    "q_cdc_chunks" -> cdcChunks _)
+
+  val oracles: Map[String, String] = Map(
+    "q_bm25"       -> bm25Sql,
+    "q_source_mix" -> sourceMixSql,
+    "q_zipf_fit"   -> zipfFitSql,
+    "q_cdc_chunks" -> cdcChunksSql)
+}

@@ -440,6 +440,52 @@ object Similarity {
        |FROM m2 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------ semantic dedup
+  /** Within-cell prune threshold (cosine). At 0.35 the sf0.01 corpus
+    * prunes ~1/5 of vectors — a realistic SemDeDup operating point. */
+  private val SEM_T = 0.35
+
+  /** SemDeDup-style semantic deduplication: cluster the embedding space
+    * with the IVF coarse quantizer, then WITHIN each cell prune every
+    * vector that has a same-cell neighbor above the cosine threshold
+    * with a smaller id (deterministic keeper = min id of each near-set;
+    * the pruned fraction is the semantic-redundancy rate of the corpus).
+    *
+    * Scale shape — the defining SemDeDup trick: candidate pairs exist
+    * only WITHIN a cell, so with centroid count scaled to the corpus
+    * (here every KMODth vector ⇒ E[cell size] ≈ KMOD regardless of N),
+    * pair work is N·KMOD/2 — linear in the corpus, never all-pairs. The
+    * assignment is materialized once (three plan references = three
+    * pruned parquet scans, not three crossJoin recomputes); the
+    * within-cell join is a plain equi-join on cell. Cosine, assignment,
+    * and tie-breaks are all deterministic, so the oracle verifies the
+    * exact keep/prune decision per vector. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val a = graft.Materializer.materialize(
+      graft.Materializer.tagFor("semassign", dir), ivfAssign(spark, dir))
+    val b = a.select(col("cell").as("b_cell"), col("vec_id").as("b_id"),
+      col("embedding").as("b_e"), col("nrm").as("b_n"))
+    val pruned = a.join(b,
+        col("cell") === col("b_cell") && col("b_id") < col("vec_id") &&
+          cosine(col("embedding"), col("nrm"), col("b_e"), col("b_n")) >= SEM_T,
+        "left_semi")
+      .select(col("vec_id"), lit(1).as("pr"))
+    a.select(col("vec_id"), col("cell"))
+      .join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("pr"), lit(0)).cast("int").as("is_pruned"))
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH $sqlIvfAssignCtes,
+       |pr AS (SELECT DISTINCT a.vec_id FROM a JOIN a b
+       |       ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |       AND ${sqlCosine("a.embedding", "a.nrm", "b.embedding", "b.nrm")} >= $SEM_T)
+       |SELECT a.vec_id, a.cell, CAST(pr.vec_id IS NOT NULL AS INT) AS is_pruned
+       |FROM a LEFT JOIN pr ON a.vec_id = pr.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   /** Round 1's exact all-pairs form — kept (unregistered) as the recall
     * reference for AnnRecallSpec at tiny SF. Quadratic BY DESIGN; never
     * run at scale. */
@@ -460,7 +506,8 @@ object Similarity {
     "q_ann_ivf"           -> annIvf _,
     "q_ivf_refine"        -> ivfRefine _,
     "q_ivf_refine2"       -> ivfRefine2 _,
-    "q_embedding_neardup" -> embeddingNeardup _)
+    "q_embedding_neardup" -> embeddingNeardup _,
+    "q_semantic_dedup"    -> semanticDedup _)
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce"    -> annBruteforceSql,
@@ -468,5 +515,6 @@ object Similarity {
     "q_ann_ivf"           -> annIvfSql,
     "q_ivf_refine"        -> ivfRefineSql,
     "q_ivf_refine2"       -> ivfRefine2Sql,
-    "q_embedding_neardup" -> embeddingNeardupSql)
+    "q_embedding_neardup" -> embeddingNeardupSql,
+    "q_semantic_dedup"    -> semanticDedupSql)
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CorpusOps, Similarity}
+
+/** Specs for the corpus-level retrieval / curation-planning operators
+  * (CorpusOps) and semantic dedup (Similarity.semanticDedup). The
+  * driver's DuckDB oracle value-checks every query at sf0.01; these
+  * assert the semantic INVARIANTS the oracle can't express. */
+class CorpusOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("bm25: scores positive, non-increasing, capped at top-k") {
+    val rows = CorpusOps.bm25(spark, sf)
+      .select("doc_id", "n_terms_matched", "score").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getDouble(2) > 0.0), "a retrieved doc scored <= 0")
+    val scores = rows.map(_.getDouble(2)).toSeq
+    assert(scores == scores.sorted.reverse, "scores not non-increasing")
+    assert(rows.forall { r =>
+      val m = r.getLong(1); m >= 1 && m <= 3
+    }, "n_terms_matched outside [1, |terms|]")
+  }
+
+  test("source mix: weights sum to 1 and allocation preserves the budget") {
+    val rows = try CorpusOps.sourceMix(spark, sf)
+      .select("weight", "alloc_tokens", "n_tokens", "epochs").collect()
+    finally Materializer.clear()
+    val wSum = rows.map(_.getDouble(0)).sum
+    assert(math.abs(wSum - 1.0) < 1e-9, s"weights sum to $wSum")
+    val alloc = rows.map(_.getDouble(1)).sum
+    assert(math.abs(alloc - 1e9) < 1.0, s"allocation sums to $alloc")
+    // α = 0.5 upsamples small sources: epochs must be anti-monotone in
+    // source size across the extremes
+    val bySize = rows.sortBy(_.getLong(2))
+    assert(bySize.head.getDouble(3) >= bySize.last.getDouble(3),
+      "smallest source not upsampled at least as hard as the largest")
+  }
+
+  test("zipf fit: head is frequency-sorted and the fit slope is negative") {
+    val r = CorpusOps.zipfFit(spark, sf).collect().head
+    assert(r.getLong(0) >= 2, "fit needs at least 2 head terms")
+    assert(r.getDouble(1) < 0.0, s"zipf slope ${r.getDouble(1)} not negative")
+  }
+
+  test("cdc chunks: every reported chunk is duplicated and bounded") {
+    val rows = CorpusOps.cdcChunks(spark, sf)
+      .select("n_occ", "n_docs", "chunk_len").collect()
+    assert(rows.nonEmpty, "no duplicated chunks found (near-dups exist)")
+    assert(rows.forall(_.getLong(0) >= 2))
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= r.getLong(0)))
+    assert(rows.forall(_.getLong(2) >= 1))
+  }
+
+  test("cdc chunks: boundaries survive prefix insertion (the CDC property)") {
+    // same 120-token body, one doc with 7 junk tokens prepended — a
+    // fixed-stride chunker shifts every chunk; CDC must keep every chunk
+    // after the first boundary identical
+    val body = (1 to 120).map(i => s"tok${i * 37 % 101}").mkString(" ")
+    val docs = Seq((1L, body), (2L, s"zz1 zz2 zz3 zz4 zz5 zz6 zz7 $body"))
+      .toDF("doc_id", "text")
+    val sig = CorpusOps.chunkSignatures(docs, 2)
+    val h1 = sig.filter(col("doc_id") === 1).select("chunk_hash")
+      .collect().map(_.getLong(0)).toSet
+    val h2 = sig.filter(col("doc_id") === 2).select("chunk_hash")
+      .collect().map(_.getLong(0)).toSet
+    val shared = h1.intersect(h2).size
+    // all but the (prefix-polluted) first chunk of doc 2 must reappear
+    assert(shared >= h1.size - 1,
+      s"only $shared of ${h1.size} chunks survive a prefix insertion")
+  }
+
+  test("semantic dedup: per-cell min id is kept; pruned implies a cell sibling") {
+    val d = Similarity.semanticDedup(spark, sf)
+    try {
+      val cellMin = d.groupBy("cell").agg(min("vec_id").as("mn"),
+        count(lit(1)).as("members"))
+      // the smallest id of a cell can have no smaller-id neighbor → kept
+      val badMin = d.join(cellMin, d("cell") === cellMin("cell"))
+        .filter(col("vec_id") === col("mn") && col("is_pruned") === 1)
+      assert(badMin.isEmpty, "a cell's min id was pruned")
+      // a pruned vector needs at least one other member in its cell
+      val badLone = d.join(cellMin, d("cell") === cellMin("cell"))
+        .filter(col("is_pruned") === 1 && col("members") < 2)
+      assert(badLone.isEmpty, "a singleton cell member was pruned")
+      // the operating point prunes something but not everything
+      val n = d.count()
+      val p = d.filter(col("is_pruned") === 1).count()
+      assert(p > 0 && p < n, s"degenerate prune rate $p/$n")
+    } finally Materializer.clear()
+  }
+}

@@ -38,7 +38,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_above_avg_orders", "q_quantiles_disc",
     "q_session_cat_mismatch", "q_page_views_mismatch",
     "q_engagement_mismatch", "q_comparison_accuracy",
-    "q_cms_heavy_hitters")
+    "q_cms_heavy_hitters",
+    // q_bm25: 1-row (N, Σdl) corpus stats broadcast; q_source_mix: 1-row
+    // weight denominator broadcast — both the standard
+    // global-aggregate-joined-back shape (CorpusOps.scala)
+    "q_bm25", "q_source_mix")
 
   private def plans: Seq[(String, SparkPlan)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -97,7 +101,11 @@ class PlanGuardSpec extends AnyFunSuite {
     * distributed: a ranking window over a per-key aggregate still funnels
     * |distinct keys| rows through one task at 100 TB (the r3 q_skew_join
     * weak mark). */
-  private val globalWindowAllowed = Set("q_quantiles_disc")
+  private val globalWindowAllowed = Set("q_quantiles_disc",
+    // q_zipf_fit: the rank window runs over an orderBy().limit(ZIPF_TOPR)
+    // input — constant ≤ 100 rows by construction, fed by a distributed
+    // TakeOrderedAndProject (CorpusOps.zipfFit)
+    "q_zipf_fit")
 
   test("no partition-less window outside the declared constant-size cases") {
     for ((name, plan) <- plans if !globalWindowAllowed(name)) {

@@ -283,15 +283,71 @@ object CorpusOps {
        |       min(doc_id) AS first_doc, CAST(min(n) AS BIGINT) AS chunk_len
        |FROM ck GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ per-source QA report
+  /** Gate threshold for the pass-rate column (same operating point as
+    * TextOps' curation gate). */
+  private val REPORT_GATE = 0.5
+
+  /** Per-source data-quality report — the ingestion dashboard every
+    * multi-source pipeline publishes: doc/token volumes, corpus-wide
+    * exact-duplicate fraction, mean quality (exact micro-units) and
+    * quality-gate pass rate, per source.
+    *
+    * Shape: ONE corpus scan computing all per-doc features scan-locally
+    * (content md5, token count, the shared [[TextOps.qualityScoreOf]]
+    * formula), one corpus-wide content-hash window (the same exchange
+    * bound as q_exact_dedup — duplicates are counted across sources, so
+    * a mirror site shows up in BOTH sources' dup_frac), then a
+    * |sources|-row rollup. */
+  def sourceReport(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir).select(
+      col("source"),
+      md5(col("text")).as("content_hash"),
+      tokenCountFast(col("text")).as("nt"),
+      graft.operators.TextOps.qualityScoreOf(col("text")).as("q"))
+    base
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy(col("content_hash"))))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        (sum((col("n_copies") > 1).cast("long")).cast("double") /
+          count(lit(1))).as("dup_frac"),
+        (sum(floor(col("q") * 1000000.0 + lit(0.5))).cast("double") /
+          count(lit(1)) / 1000000.0).as("avg_quality"),
+        (sum((col("q") >= REPORT_GATE).cast("long")).cast("double") /
+          count(lit(1))).as("gate_pass_frac"))
+      .orderBy("source")
+  }
+
+  val sourceReportSql: String =
+    s"""WITH b AS (SELECT source, md5(text) AS content_hash, text,
+       |                  ${sqlTokens("text")} AS toks, length(text) AS nc
+       |           FROM documents),
+       |f AS (SELECT source, content_hash, CAST(len(toks) AS BIGINT) AS nt,
+       |             (${graft.operators.TextOps.sqlQualityOf}) AS q
+       |      FROM b),
+       |d AS (SELECT *, count(*) OVER (PARTITION BY content_hash) AS n_copies FROM f)
+       |SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac,
+       |       CAST(sum(CAST(floor(q * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |         / count(*) / 1000000.0 AS avg_quality,
+       |       CAST(sum(CASE WHEN q >= CAST($REPORT_GATE AS DOUBLE) THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / count(*) AS gate_pass_frac
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bm25"       -> bm25 _,
-    "q_source_mix" -> sourceMix _,
-    "q_zipf_fit"   -> zipfFit _,
-    "q_cdc_chunks" -> cdcChunks _)
+    "q_bm25"          -> bm25 _,
+    "q_source_mix"    -> sourceMix _,
+    "q_zipf_fit"      -> zipfFit _,
+    "q_cdc_chunks"    -> cdcChunks _,
+    "q_source_report" -> sourceReport _)
 
   val oracles: Map[String, String] = Map(
-    "q_bm25"       -> bm25Sql,
-    "q_source_mix" -> sourceMixSql,
-    "q_zipf_fit"   -> zipfFitSql,
-    "q_cdc_chunks" -> cdcChunksSql)
+    "q_bm25"          -> bm25Sql,
+    "q_source_mix"    -> sourceMixSql,
+    "q_zipf_fit"      -> zipfFitSql,
+    "q_cdc_chunks"    -> cdcChunksSql,
+    "q_source_report" -> sourceReportSql)
 }

@@ -486,6 +486,78 @@ object Similarity {
        |FROM a LEFT JOIN pr ON a.vec_id = pr.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  // ----------------------------------------------------- hybrid retrieval
+  /** RRF constants: the standard k = 60, a 20-deep pool per modality,
+    * fused top-10; query vector = the embedding of vec_id 42 (plan-time
+    * constant, like a search query always is). */
+  private val RRF_K = 60
+  private val RRF_POOL = 20
+  private val RRF_TOPK = 10
+  private val QV_ID = 42
+
+  /** Hybrid lexical+vector retrieval via reciprocal-rank fusion — the
+    * modern two-tower search primitive: the BM25 top-20 (CorpusOps) and
+    * the query-vector cosine top-20 are fused by
+    * Σ 1/(k + rank) with k = 60, a score that needs no cross-modality
+    * calibration. A doc ranked by only one modality keeps that term
+    * (full-outer fusion) — which also covers the partially-embedded
+    * corpus at sf0.1, where only ids < 2000 have vectors.
+    *
+    * Scale shape: each modality is its own distributed top-k
+    * (TakeOrderedAndProject; the 1-row query vector is broadcast across
+    * the corpus scan — the declared q_ann_bruteforce pattern, and at
+    * scale the LSH/IVF variants slot in unchanged). The rank windows
+    * and the fusion join run over two ≤ RRF_POOL-row relations —
+    * constant-bounded by construction. Ranks are integers and the RRF
+    * score a fixed-order two-term double sum, so the fused list is
+    * bit-deterministic cross-engine. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val qv = e.filter(col("vec_id") === QV_ID)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val pool = e.filter(col("vec_id") =!= QV_ID)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(RRF_POOL)
+    val ann = pool.withColumn("ann_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc)))
+      .select(col("vec_id").as("vid"), col("ann_rank"))
+    val lex = graft.operators.CorpusOps.bm25(spark, dir)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id").as("lid"), col("lex_rank"))
+    lex.join(ann, col("lid") === col("vid"), "full_outer")
+      .select(coalesce(col("lid"), col("vid")).as("id"),
+        col("lex_rank"), col("ann_rank"),
+        (coalesce(lit(1.0) / (lit(RRF_K) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RRF_K) + col("ann_rank")), lit(0.0)))
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("id").asc)
+      .limit(RRF_TOPK)
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH lex AS (
+       |  SELECT doc_id AS lid,
+       |         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS lex_rank
+       |  FROM (${graft.operators.CorpusOps.bm25Sql})),
+       |n AS ($sqlWithNorm),
+       |qv AS (SELECT embedding AS qe, nrm AS qn FROM n WHERE vec_id = $QV_ID),
+       |pool AS (
+       |  SELECT vec_id, ${sqlCosine("qe", "qn", "n.embedding", "n.nrm")} AS cos
+       |  FROM n, qv WHERE vec_id != $QV_ID
+       |  ORDER BY cos DESC, vec_id ASC LIMIT $RRF_POOL),
+       |ann AS (SELECT vec_id AS vid,
+       |               CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS ann_rank
+       |        FROM pool)
+       |SELECT coalesce(lid, vid) AS id, lex_rank, ann_rank,
+       |       coalesce(CAST(1.0 AS DOUBLE) / ($RRF_K + lex_rank), CAST(0.0 AS DOUBLE))
+       |         + coalesce(CAST(1.0 AS DOUBLE) / ($RRF_K + ann_rank), CAST(0.0 AS DOUBLE)) AS rrf_score
+       |FROM lex FULL OUTER JOIN ann ON lid = vid
+       |ORDER BY rrf_score DESC, id ASC LIMIT $RRF_TOPK""".stripMargin
+
   /** Round 1's exact all-pairs form — kept (unregistered) as the recall
     * reference for AnnRecallSpec at tiny SF. Quadratic BY DESIGN; never
     * run at scale. */
@@ -507,7 +579,8 @@ object Similarity {
     "q_ivf_refine"        -> ivfRefine _,
     "q_ivf_refine2"       -> ivfRefine2 _,
     "q_embedding_neardup" -> embeddingNeardup _,
-    "q_semantic_dedup"    -> semanticDedup _)
+    "q_semantic_dedup"    -> semanticDedup _,
+    "q_hybrid_rrf"        -> hybridRrf _)
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce"    -> annBruteforceSql,
@@ -516,5 +589,6 @@ object Similarity {
     "q_ivf_refine"        -> ivfRefineSql,
     "q_ivf_refine2"       -> ivfRefine2Sql,
     "q_embedding_neardup" -> embeddingNeardupSql,
-    "q_semantic_dedup"    -> semanticDedupSql)
+    "q_semantic_dedup"    -> semanticDedupSql,
+    "q_hybrid_rrf"        -> hybridRrfSql)
 }

@@ -133,6 +133,14 @@ object TextOps {
       stopR * 0.4 + (lit(1.0) - punctR) * 0.3
   }
 
+  /** DuckDB fragment mirroring [[qualityScoreOf]] bit-for-bit, for any
+    * relation exposing `text`, `toks` (= sqlTokens(text)) and `nc`
+    * (= length(text)) — shared with CorpusOps.sourceReport. */
+  private[graft] lazy val sqlQualityOf: String =
+    s"""least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
+       | + (CAST(${sqlStopScore("toks", stopWordsAll)} AS DOUBLE) / len(toks)) * 0.4
+       | + (1.0 - CAST(nc - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / nc) * 0.3""".stripMargin
+
   // Quality scoring: length/stopword/punctuation heuristics combined in a
   // fixed-order double formula (bit-stable across engines).
   def qualityScore(spark: SparkSession, dir: String): DataFrame =

@@ -73,6 +73,34 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"only $shared of ${h1.size} chunks survive a prefix insertion")
   }
 
+  test("source report: fractions bounded, volumes cover the corpus") {
+    val rows = CorpusOps.sourceReport(spark, sf)
+      .select("n_docs", "dup_frac", "avg_quality", "gate_pass_frac").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).sum == Tables.documents(spark, sf).count(),
+      "per-source doc counts do not cover the corpus")
+    for (r <- rows; i <- 1 to 3) {
+      val v = r.getDouble(i)
+      assert(v >= 0.0 && v <= 1.0, s"column $i out of [0,1]: $v")
+    }
+  }
+
+  test("hybrid rrf: fused scores bounded, dual-listed docs outrank singles") {
+    val rows = Similarity.hybridRrf(spark, sf)
+      .select("id", "lex_rank", "ann_rank", "rrf_score").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "duplicate ids")
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.forall(s => s > 0.0 && s <= 2.0 / 61.0 + 1e-12))
+    assert(scores.toSeq == scores.toSeq.sorted.reverse, "not score-sorted")
+    // any doc present in BOTH pools must beat any doc present in one:
+    // 1/61 + 1/80 (worst dual) > 1/61 (best single)
+    val dual = rows.filter(r => !r.isNullAt(1) && !r.isNullAt(2)).map(_.getDouble(3))
+    val single = rows.filter(r => r.isNullAt(1) || r.isNullAt(2)).map(_.getDouble(3))
+    if (dual.nonEmpty && single.nonEmpty)
+      assert(dual.min > single.max, "a single-modality doc outranked a dual one")
+  }
+
   test("semantic dedup: per-cell min id is kept; pruned implies a cell sibling") {
     val d = Similarity.semanticDedup(spark, sf)
     try {

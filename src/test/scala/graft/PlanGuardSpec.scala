@@ -27,7 +27,10 @@ class PlanGuardSpec extends AnyFunSuite {
     * q_ann_ivf / q_ivf_refine — corpus × broadcast centroid set: the
     * defining O(N·K) IVF assignment cost, linear in the corpus for
     * fixed K. */
-  private val nljAllowed = Set("q_ann_bruteforce", "q_ann_ivf", "q_ivf_refine", "q_ivf_refine2")
+  private val nljAllowed = Set("q_ann_bruteforce", "q_ann_ivf", "q_ivf_refine", "q_ivf_refine2",
+    // q_hybrid_rrf: the vector side broadcasts the 1-row query vector
+    // across the corpus scan — the same declared q_ann_bruteforce shape
+    "q_hybrid_rrf")
 
   /** Queries whose NLJ must additionally broadcast an AGGREGATE (a
     * 1-row/few-row bound, not base data): q_above_avg_orders (global
@@ -105,7 +108,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_zipf_fit: the rank window runs over an orderBy().limit(ZIPF_TOPR)
     // input — constant ≤ 100 rows by construction, fed by a distributed
     // TakeOrderedAndProject (CorpusOps.zipfFit)
-    "q_zipf_fit")
+    "q_zipf_fit",
+    // q_hybrid_rrf: both rank windows run over orderBy().limit(RRF_POOL)
+    // inputs — constant ≤ 20 rows by construction (Similarity.hybridRrf)
+    "q_hybrid_rrf")
 
   test("no partition-less window outside the declared constant-size cases") {
     for ((name, plan) <- plans if !globalWindowAllowed(name)) {

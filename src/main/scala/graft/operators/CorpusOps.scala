@@ -337,7 +337,76 @@ object CorpusOps {
        |         / count(*) AS gate_pass_frac
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------- sequence packing
+  /** Packing parameters: training sequence length (tokens) and the
+    * number of independent packing groups — at scale each group is one
+    * writer task's shard, so packing never needs a global order. */
+  private val SEQ_BUDGET = 256
+  private val PACK_GROUPS = 32
+
+  /** Sequence-packing audit — the GPT-style concat-and-slice sharding
+    * step: documents are deterministically bucketed into PACK_GROUPS
+    * independent shards (content hash — stable under re-runs), each
+    * shard concatenates its docs in a fixed order (tokens desc, doc_id)
+    * and slices the stream into SEQ_BUDGET-token sequences. Reported
+    * per shard: volume, sequence count, and how many documents straddle
+    * a sequence boundary (the fragmentation a packing run trades
+    * against padding waste).
+    *
+    * Scale shape: scan-local features, one window per SHARD (the
+    * partition key is the group — never a global order), integer-only
+    * arithmetic end to end (the only doubles are two final ratio
+    * divisions), so the audit is bit-deterministic cross-engine and the
+    * shape survives any corpus size by raising PACK_GROUPS. */
+  def seqPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("nt").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(charHashFast(col("text")), lit(PACK_GROUPS.toLong)).as("grp"),
+        tokenCountFast(col("text")).as("nt"))
+      .withColumn("cum", sum(col("nt")).over(w))
+      .withColumn("start", col("cum") - col("nt"))
+      .withColumn("split",
+        (col("nt") > 0 &&
+          expr(s"start div $SEQ_BUDGET") =!= expr(s"(cum - 1) div $SEQ_BUDGET"))
+          .cast("long"))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        max(expr(s"(cum + ${SEQ_BUDGET - 1}) div $SEQ_BUDGET")).as("n_seqs"),
+        sum(col("split")).as("n_split_docs"))
+      .select(col("grp"), col("n_docs"), col("total_tokens"), col("n_seqs"),
+        col("n_split_docs"),
+        (col("n_split_docs").cast("double") / col("n_docs")).as("split_frac"),
+        (col("total_tokens").cast("double") /
+          (col("n_seqs") * SEQ_BUDGET).cast("double")).as("fill_frac"))
+      .orderBy("grp")
+  }
+
+  val seqPackingSql: String =
+    s"""WITH d AS (SELECT doc_id, ${sqlCharHash("text")} % $PACK_GROUPS AS grp,
+       |                  CAST(len(${sqlTokens("text")}) AS BIGINT) AS nt
+       |           FROM documents),
+       |c AS (SELECT grp, nt,
+       |             sum(nt) OVER (PARTITION BY grp ORDER BY nt DESC, doc_id ASC
+       |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM d),
+       |s AS (SELECT grp, nt, cum, cum - nt AS start,
+       |             CASE WHEN nt > 0 AND (cum - nt) // $SEQ_BUDGET != (cum - 1) // $SEQ_BUDGET
+       |                  THEN 1 ELSE 0 END AS split
+       |      FROM c)
+       |SELECT grp, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+       |       CAST(max((cum + ${SEQ_BUDGET - 1}) // $SEQ_BUDGET) AS BIGINT) AS n_seqs,
+       |       CAST(sum(split) AS BIGINT) AS n_split_docs,
+       |       CAST(sum(split) AS DOUBLE) / count(*) AS split_frac,
+       |       CAST(sum(nt) AS DOUBLE) / CAST(max((cum + ${SEQ_BUDGET - 1}) // $SEQ_BUDGET) * $SEQ_BUDGET AS DOUBLE) AS fill_frac
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_packing"   -> seqPacking _,
     "q_bm25"          -> bm25 _,
     "q_source_mix"    -> sourceMix _,
     "q_zipf_fit"      -> zipfFit _,
@@ -345,6 +414,7 @@ object CorpusOps {
     "q_source_report" -> sourceReport _)
 
   val oracles: Map[String, String] = Map(
+    "q_seq_packing"   -> seqPackingSql,
     "q_bm25"          -> bm25Sql,
     "q_source_mix"    -> sourceMixSql,
     "q_zipf_fit"      -> zipfFitSql,

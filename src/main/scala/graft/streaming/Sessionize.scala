@@ -182,6 +182,35 @@ object Sessionize {
       }
   }
 
+  /** The BUILT-IN gap sessionization — Spark's `session_window`
+    * aggregate, preferred whenever per-session state is pure aggregation
+    * (count/sum); [[sessions]] exists for the semantics it can't express
+    * (cross-batch straggler interval-merging, hand-managed state).
+    *
+    * Boundary calibration: the native operator merges an event into a
+    * session iff it lands STRICTLY inside the previous window
+    * (ts < prev + gap), while the batch truth
+    * (`Relational.userSessions`) and [[sessions]] extend on an INCLUSIVE
+    * boundary (ts - prev <= GAP). Declaring the native gap as
+    * GAP_MS + 1 ms makes the strict condition equal the inclusive one at
+    * millisecond event precision, and session_end = window.end - that
+    * gap = last event ts — so all three formulations agree row-for-row
+    * (asserted in StreamingSpec). Same one-shuffle-by-user posture;
+    * session state lives in the engine's session-window state store,
+    * watermark-evicted. Works identically over a batch frame (the
+    * session_window aggregate is batch-executable), which is what the
+    * differential pins against. */
+  def sessionsNative(ev: DataFrame): DataFrame =
+    ev.select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("value"))
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${GAP_MS + 1} milliseconds").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.Tables.dsum(col("value")).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        (col("w.end") - expr(s"INTERVAL ${GAP_MS + 1} MILLISECOND")).as("session_end"),
+        col("n_events"), col("session_value"))
+
   /** Streaming exact dedup by record id, state bounded by the watermark
     * (`dropDuplicatesWithinWatermark`): a duplicate arriving within the
     * watermark delay of the first sighting is dropped; state for ids

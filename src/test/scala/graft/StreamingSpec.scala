@@ -165,6 +165,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window equals the custom sessionizer and the batch truth") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    def ev(id: Long, u: Long, t: String, v: Double) =
+      Ev(id, Timestamp.valueOf(t), u, "view", v)
+    val rows = Seq(
+      ev(0, 1, "2025-04-08 00:00:00", 10.0),
+      ev(1, 1, "2025-04-08 00:10:00", 20.0),
+      ev(2, 1, "2025-04-08 00:40:00", 7.125), // EXACTLY GAP later → extends (inclusive boundary)
+      ev(3, 2, "2025-04-08 00:05:00", 5.5),
+      ev(4, 2, "2025-04-08 00:20:00", 6.25),
+      ev(5, 1, "2025-04-08 01:30:00", 30.0), // > GAP after 00:40 → new session
+      ev(6, 1, "2025-04-08 01:35:00", 40.0))
+    val q = streaming.Sessionize.sessionsNative(
+        stream.toDF().withWatermark("ts", "1 minute"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("native_sessions").start()
+    try {
+      // batch split at id 5: a session already CLOSED by the watermark
+      // (emitted, append mode) cannot absorb an admitted-but-late event —
+      // the same no-retraction caveat the custom sessionizer documents —
+      // so the split must not strand half of u2's session behind the
+      // batch-1 watermark
+      stream.addData(rows.take(5)); q.processAllAvailable()
+      stream.addData(rows.drop(5)); q.processAllAvailable()
+      // watermark advancers close the open session windows
+      stream.addData(Seq(ev(100, 99, "2025-04-08 09:00:00", 0.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(101, 99, "2025-04-08 10:00:00", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("native_sessions").filter(col("user_id") < 99)
+      assert(got.count() == 3) // u1 ×2 (the 00:40 event merged), u2 ×1
+      // inclusive-boundary session spans 00:00–00:40 with all 3 events
+      val s1 = got.filter(col("user_id") === 1 &&
+        col("session_start") === Timestamp.valueOf("2025-04-08 00:00:00")).collect()
+      assert(s1.length == 1 && s1.head.getAs[Long]("n_events") == 3)
+      assert(s1.head.getAs[Timestamp]("session_end") ==
+        Timestamp.valueOf("2025-04-08 00:40:00"))
+      assert(s1.head.getAs[Double]("session_value") == 37.13) // 7.125 → 7.13 half-up
+      // three-way agreement: streamed native == batch native == batch lag/cumsum
+      val batchNative = streaming.Sessionize.sessionsNative(rows.toDF())
+      assert(got.exceptAll(batchNative).isEmpty && batchNative.exceptAll(got).isEmpty)
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc)
+      val lagBatch = rows.toDF()
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_s", when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > streaming.Sessionize.GAP_MS, 1)
+          .otherwise(0))
+        .withColumn("seq", sum(col("new_s")).over(
+          byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("seq"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), Tables.dsum(col("value")).as("session_value"))
+        .drop("seq")
+      assert(got.exceptAll(lagBatch).isEmpty && lagBatch.exceptAll(got).isEmpty)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch lag/cumsum sessions") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)

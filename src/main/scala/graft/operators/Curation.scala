@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Materializer
+import graft.Tables._
+import graft.functions.TextHash._
+
+/** Corpus-curation operators beyond per-doc scoring: repeated-span
+  * (boilerplate) detection, subword merge-pair counting (the first BPE
+  * vocabulary-induction step), and per-source relative quality gating.
+  *
+  * These are the CCNet/C4-style cleanup passes a training-data pipeline
+  * runs between raw ingest and tokenization; none exist in the reference
+  * (777 lines of PySpark traffic analytics with no text processing), so
+  * like TextOps/Dedup they follow SURVEY.md §7.2's extension plan.
+  *
+  * Scale notes (100 TB posture):
+  *  - Boilerplate detection shuffles SPAN-hash rows (≈ n_tokens/SPAN per
+  *    doc, 8× fewer than a shingle index) through one groupBy + one
+  *    equi-join back — the exact shape of the proven shingle-index ops.
+  *  - BPE pair counting is a scan-local double explode into a single
+  *    count aggregate topped by orderBy().limit() — a distributed
+  *    TakeOrderedAndProject, never a global window.
+  *  - The quality gate sorts WITHIN each source partition only (a
+  *    row_number window partitioned by source). At real scale, with a
+  *    skewed source distribution, the drop-in replacement is an
+  *    approx-quantile threshold per source (computed on the per-source
+  *    aggregate, broadcast back) — the rank form is kept here because it
+  *    is exactly mirrorable in the oracle, and the partitioned window is
+  *    still per-source-parallel.
+  */
+object Curation {
+
+  /** Tokens per non-overlapping span. */
+  private val SPAN = 8
+
+  /** A span hash seen in ≥ BP_DF distinct docs is boilerplate. */
+  private val BP_DF = 2
+
+  private val TOP_MERGES = 20
+
+  // ------------------------------------------------ boilerplate spans
+  /** Per-span polynomial hash over the doc's token hashes: doc tokens are
+    * cut into consecutive SPAN-token groups; span g covers token indices
+    * (g-1)*SPAN+1 .. min(g*SPAN, n). Same fold as TextHash.charHash but
+    * over token hashes, so arithmetic stays < 2^63 (h < P, th < P ⇒
+    * h*31 + th < 3.2e10). */
+  private def spanHashArr(th: Column): Column = {
+    val n = size(th)
+    val nSpans = floor((n + lit(SPAN - 1)).cast("double") / SPAN).cast("int")
+    val gs = when(nSpans >= 1, sequence(lit(1), nSpans))
+      .otherwise(array().cast("array<int>"))
+    transform(gs, g =>
+      aggregate(sequence((g - 1) * SPAN + 1, least(g * SPAN, n)), lit(0L),
+        (h, i) => (h * 31 + element_at(th, i)) % P))
+  }
+
+  private def sqlSpanHashes(th: String): String =
+    s"""list_transform(generate_series(1, (len($th) + ${SPAN - 1}) // $SPAN), g ->
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series((g-1)*$SPAN + 1, least(g*$SPAN, len($th))), i -> $th[i])),
+       |    (h, c) -> (h*31 + c) % $P))""".stripMargin
+
+  /** CCNet-style repeated-span detection: a span whose hash occurs in ≥
+    * BP_DF distinct documents is boilerplate (shared header/footer/
+    * navigation text, or a duplicated document); per doc, report the
+    * span count, boilerplate-span count and fraction, and a clean flag.
+    *
+    * One span-hash groupBy (document frequency) + one equi-join back —
+    * both keyed on the high-cardinality span hash, so the shuffle is
+    * uniform; the exploded span table is materialized once (Materializer)
+    * because the plan references it on both sides of the join. */
+  def boilerplateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Materializer.materialize(Materializer.tagFor("bpspans", dir),
+      documents(spark, dir)
+        .select(col("doc_id"),
+          spanHashArr(tokenHashesFast(col("text"))).as("spans"))
+        .select(col("doc_id"), explode(col("spans")).as("sh")))
+    val dfreq = spans.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    spans.join(dfreq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("df") >= BP_DF).cast("long")).as("n_bp_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_bp_spans"),
+        (col("n_bp_spans").cast("double") / col("n_spans")).as("bp_frac"),
+        (col("n_bp_spans") === 0).cast("int").as("is_clean"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateSpansSql: String =
+    s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |h AS (SELECT doc_id, ${sqlTokenHashes("toks")} AS th FROM t),
+       |sp AS (SELECT doc_id, unnest(${sqlSpanHashes("th")}) AS sh FROM h),
+       |d AS (SELECT sh, count(DISTINCT doc_id) AS df FROM sp GROUP BY 1),
+       |j AS (SELECT sp.doc_id, d.df FROM sp JOIN d USING (sh))
+       |SELECT doc_id, count(*) AS n_spans,
+       |       CAST(sum(CASE WHEN df >= $BP_DF THEN 1 ELSE 0 END) AS BIGINT) AS n_bp_spans,
+       |       CAST(sum(CASE WHEN df >= $BP_DF THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS bp_frac,
+       |       CAST(sum(CASE WHEN df >= $BP_DF THEN 1 ELSE 0 END) = 0 AS INT) AS is_clean
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------ BPE merge counting
+  /** Adjacent character pairs of one word (empty for 1-char words). */
+  private def charPairs(w: Column): Column = {
+    val n = length(w) - 1
+    when(n >= 1, transform(sequence(lit(1), n), j => w.substr(j, lit(2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** First BPE vocabulary-induction iteration: count adjacent symbol
+    * (character) pairs across all word occurrences and rank the merge
+    * candidates — the statistic BPE greedily merges on. Scan-local
+    * double explode → one count aggregate → orderBy().limit(), which
+    * plans as a distributed TakeOrderedAndProject (top-k per partition,
+    * merge on the driver side of the exchange — no global sort). */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .select(explode(charPairs(col("w"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(TOP_MERGES)
+
+  val bpeMergesSql: String =
+    s"""WITH t AS (SELECT ${sqlTokens("text")} AS toks FROM documents),
+       |w AS (SELECT unnest(toks) AS w FROM t),
+       |p AS (SELECT unnest(list_transform(generate_series(1, length(w)-1),
+       |                                   j -> substr(w, j, 2))) AS pair FROM w)
+       |SELECT pair, count(*) AS cnt FROM p GROUP BY 1
+       |ORDER BY cnt DESC, pair LIMIT $TOP_MERGES""".stripMargin
+
+  // ------------------------------------------------ per-source quality gate
+  /** Relative quality filtering: within each source, drop the bottom
+    * quartile by quality score (rank > n div 4 keeps exactly
+    * n - floor(n/4) docs — a deterministic integer rule, unlike a float
+    * percentile cut). Reuses TextOps' exact quality formula so the gate
+    * and the absolute-score queries can never disagree on a doc's score.
+    * Kept-score mean uses the micro-unit trick (floor(q*1e6 + 0.5) long
+    * sum) — order-proof and engine-identical, same as corpusCuration. */
+  def sourceQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityScoreOf(col("text")).as("score"))
+      .select(col("source"), col("score"),
+        row_number().over(w.orderBy(col("score").asc, col("doc_id").asc)).as("rk"),
+        count(lit(1)).over(w).as("n"))
+      .withColumn("keep", (col("rk") > expr("n div 4")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_kept"),
+        (sum(col("keep")).cast("double") / count(lit(1))).as("kept_frac"),
+        (sum(when(col("keep") === 1, floor(col("score") * 1000000.0 + 0.5)))
+          .cast("double") / sum(col("keep")) / 1000000.0).as("avg_kept_score"),
+        min(when(col("keep") === 1, col("score"))).as("min_kept_score"))
+      .orderBy("source")
+  }
+
+  val sourceQualityGateSql: String =
+    s"""WITH t AS (SELECT doc_id, source, text, ${sqlTokens("text")} AS toks,
+       |                  length(text) AS nc FROM documents),
+       |s AS (SELECT doc_id, source, (${TextOps.sqlQualityOf}) AS score FROM t),
+       |r AS (SELECT source, score,
+       |             row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rk,
+       |             count(*) OVER (PARTITION BY source) AS n
+       |      FROM s),
+       |k AS (SELECT source, score, CASE WHEN rk > n // 4 THEN 1 ELSE 0 END AS keep FROM r)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(keep) AS BIGINT) AS n_kept,
+       |       CAST(sum(keep) AS DOUBLE) / count(*) AS kept_frac,
+       |       CAST(sum(CASE WHEN keep = 1 THEN floor(score * 1000000.0 + 0.5) END) AS DOUBLE)
+       |         / sum(keep) / 1000000.0 AS avg_kept_score,
+       |       min(CASE WHEN keep = 1 THEN score END) AS min_kept_score
+       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_boilerplate_spans"   -> boilerplateSpans _,
+    "q_bpe_merges"          -> bpeMerges _,
+    "q_source_quality_gate" -> sourceQualityGate _)
+
+  val oracles: Map[String, String] = Map(
+    "q_boilerplate_spans"   -> boilerplateSpansSql,
+    "q_bpe_merges"          -> bpeMergesSql,
+    "q_source_quality_gate" -> sourceQualityGateSql)
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Materializer
 import graft.Tables._
 import graft.functions.VectorOps._
 
@@ -558,6 +559,151 @@ object Similarity {
        |FROM lex FULL OUTER JOIN ann ON lid = vid
        |ORDER BY rrf_score DESC, id ASC LIMIT $RRF_TOPK""".stripMargin
 
+  // ------------------------------------------------ kNN classification
+  /** Neighbors per query for majority voting. */
+  private val KNN_K = 10
+
+  /** kNN majority-vote labeling — the semi-supervised step a curation
+    * pipeline uses to spread a small set of human quality/domain labels
+    * across an unlabeled corpus: each "unlabeled" query (the vec_id %
+    * QUERY_MOD subset, labels held out) takes the majority label of its
+    * KNN_K nearest labeled neighbors by exact cosine; ties break to the
+    * smallest label. The held-out true label is carried through so the
+    * output doubles as an accuracy report.
+    *
+    * Scale shape: identical to [[annBruteforce]] — the query set is
+    * broadcast and the labeled corpus streams through one codegen'd
+    * projection; the vote is a (query, label) count aggregate over
+    * K·|queries| rows. At 100 TB the exact scan swaps for [[annIvfAt]]
+    * candidates (same vote tail), trading recall for probe cost. */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"),
+      normSq(col("embedding")).as("nrm"), col("label"))
+    val q = e.filter(col("vec_id") % QUERY_MOD === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("label").as("true_label"))
+    val pool = e.filter(col("vec_id") % QUERY_MOD =!= 0)
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    broadcast(q).join(pool, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("true_label"), col("label"),
+        col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= KNN_K)
+      .groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("label").as("predicted_label"), col("votes"),
+        (col("label") === col("true_label")).cast("int").as("correct"))
+      .orderBy("query_id")
+  }
+
+  val knnClassifySql: String =
+    s"""WITH n AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm, label
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, label AS true_label
+       |      FROM n WHERE vec_id % $QUERY_MOD = 0),
+       |p AS (SELECT * FROM n WHERE vec_id % $QUERY_MOD != 0),
+       |s AS (SELECT query_id, true_label, p.label AS label, p.vec_id AS neighbor_id,
+       |             ${sqlCosine("qe", "qn", "p.embedding", "p.nrm")} AS cosine
+       |      FROM q JOIN p ON p.vec_id != q.query_id),
+       |t AS (SELECT * FROM s
+       |      QUALIFY row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cosine DESC, neighbor_id ASC) <= $KNN_K),
+       |v AS (SELECT query_id, true_label, label, count(*) AS votes FROM t GROUP BY 1, 2, 3)
+       |SELECT query_id, true_label, label AS predicted_label, votes,
+       |       CAST(label = true_label AS INT) AS correct
+       |FROM v
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) = 1
+       |ORDER BY query_id""".stripMargin
+
+  // ------------------------------------------- scalar-quantized (SQ8) ANN
+  /** Int8 scalar-quantized ANN — the memory-side scale lever next to the
+    * LSH/IVF pruning levers: per-dimension corpus min/max (one narrow
+    * posexplode aggregate, broadcast back as two 1-row arrays) maps each
+    * float dim to an integer code in [0, 255]; search decodes each code
+    * back to mn + c·(mx-mn)/255 scan-locally and ranks by exact cosine
+    * over the reconstructed vectors (the faiss SQ8 shape: codes are the
+    * stored artifact, reconstruction happens inside the scan loop). A
+    * 64-dim float vector (256 B) is 64 B of codes at rest — 4× less scan
+    * IO at 100 TB, paying only the quantization error (≤ range/255 per
+    * dim); rank fidelity vs exact cosine is measured in CurationSpec.
+    * NOT the shifted-code integer dot: Σ code_a·code_b ranks the
+    * min-shifted vectors, which scrambles cosine order — measured
+    * recall@5 was 0.08 vs 1.00 for decode-then-cosine on the same data.
+    *
+    * Determinism: quantize (floor((v-mn)·255/(mx-mn)), clamped) and
+    * decode are pure IEEE double chains with fixed op order, identical
+    * in both engines; the decoded values round once to FLOAT on both
+    * sides, so cosines — not just ids — hash-verify. The decoded
+    * (vec, norm) table is materialized once; at scale it is the
+    * scan-time view of the stored code table. */
+  def annSq8(spark: SparkSession, dir: String): DataFrame = {
+    val d = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val stats = d.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          s => s.getField("mn")).as("mins"),
+        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+          s => s.getField("mx")).as("maxs"))
+    val decoded = d.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        transform(col("embedding"), (v, i) => {
+          val mn = element_at(col("mins"), i + 1)
+          val mx = element_at(col("maxs"), i + 1)
+          val code = least(floor((v.cast("double") - mn) * lit(255.0) / (mx - mn)), lit(255L))
+          when(mx > mn, mn + code.cast("double") * (mx - mn) / lit(255.0))
+            .otherwise(mn).cast("float")
+        }).as("dq"))
+      .select(col("vec_id"), col("dq"), normSq(col("dq")).as("nrm"))
+    val qz = Materializer.materialize(Materializer.tagFor("sq8dec", dir), decoded)
+    val q = qz.filter(col("vec_id") % QUERY_MOD === 0)
+      .select(col("vec_id").as("query_id"), col("dq").as("qc"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    broadcast(q).join(qz, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qc"), col("qn"), col("dq"), col("nrm")).as("qcos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TOPK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("qcos"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val annSq8Sql: String =
+    s"""WITH d AS (SELECT vec_id, embedding FROM embeddings),
+       |u AS (SELECT vec_id, embedding,
+       |             unnest(generate_series(1, len(embedding))) AS i FROM d),
+       |s AS (SELECT i AS pos, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+       |             max(CAST(embedding[i] AS DOUBLE)) AS mx
+       |      FROM u GROUP BY 1),
+       |st AS (SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs FROM s),
+       |dec AS (SELECT vec_id,
+       |              list_transform(generate_series(1, len(embedding)), i ->
+       |                CAST(CASE WHEN maxs[i] > mins[i]
+       |                     THEN mins[i] + least(floor((CAST(embedding[i] AS DOUBLE) - mins[i]) * 255.0
+       |                                      / (maxs[i] - mins[i])), 255.0) * (maxs[i] - mins[i]) / 255.0
+       |                     ELSE mins[i] END AS FLOAT)) AS dq
+       |       FROM d, st),
+       |n AS (SELECT vec_id, dq, ${sqlDot("dq", "dq")} AS nrm FROM dec),
+       |q AS (SELECT vec_id AS query_id, dq AS qc, nrm AS qn FROM n WHERE vec_id % $QUERY_MOD = 0),
+       |sc AS (SELECT query_id, n.vec_id AS neighbor_id,
+       |              ${sqlCosine("qc", "qn", "n.dq", "n.nrm")} AS qcos
+       |       FROM q JOIN n ON n.vec_id != q.query_id)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id ASC) AS INT) AS rnk,
+       |       neighbor_id, qcos
+       |FROM sc
+       |QUALIFY rnk <= $TOPK
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** Round 1's exact all-pairs form — kept (unregistered) as the recall
     * reference for AnnRecallSpec at tiny SF. Quadratic BY DESIGN; never
     * run at scale. */
@@ -580,7 +726,9 @@ object Similarity {
     "q_ivf_refine2"       -> ivfRefine2 _,
     "q_embedding_neardup" -> embeddingNeardup _,
     "q_semantic_dedup"    -> semanticDedup _,
-    "q_hybrid_rrf"        -> hybridRrf _)
+    "q_hybrid_rrf"        -> hybridRrf _,
+    "q_knn_classify"      -> knnClassify _,
+    "q_ann_sq8"           -> annSq8 _)
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce"    -> annBruteforceSql,
@@ -590,5 +738,7 @@ object Similarity {
     "q_ivf_refine2"       -> ivfRefine2Sql,
     "q_embedding_neardup" -> embeddingNeardupSql,
     "q_semantic_dedup"    -> semanticDedupSql,
-    "q_hybrid_rrf"        -> hybridRrfSql)
+    "q_hybrid_rrf"        -> hybridRrfSql,
+    "q_knn_classify"      -> knnClassifySql,
+    "q_ann_sq8"           -> annSq8Sql)
 }

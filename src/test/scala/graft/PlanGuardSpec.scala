@@ -30,7 +30,14 @@ class PlanGuardSpec extends AnyFunSuite {
   private val nljAllowed = Set("q_ann_bruteforce", "q_ann_ivf", "q_ivf_refine", "q_ivf_refine2",
     // q_hybrid_rrf: the vector side broadcasts the 1-row query vector
     // across the corpus scan — the same declared q_ann_bruteforce shape
-    "q_hybrid_rrf")
+    "q_hybrid_rrf",
+    // q_knn_classify: broadcast held-out query set × labeled corpus —
+    // the q_ann_bruteforce exact-scan shape with a vote tail
+    "q_knn_classify",
+    // q_ann_sq8: 1-row per-dim min/max stats broadcast (quantization) +
+    // broadcast query-code set × code table (the exact-scan baseline
+    // over 4×-compressed codes)
+    "q_ann_sq8")
 
   /** Queries whose NLJ must additionally broadcast an AGGREGATE (a
     * 1-row/few-row bound, not base data): q_above_avg_orders (global

@@ -177,13 +177,77 @@ object Curation {
        |       min(CASE WHEN keep = 1 THEN score END) AS min_kept_score
        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------- unigram log-perplexity score
+  /** CCNet-style statistical quality signal without a trained LM: score
+    * each doc by its average negative log-likelihood under the corpus's
+    * own unigram distribution, avg_nll = (1/n)·Σ ln(N/cnt(tok)) — docs
+    * full of rare tokens (gibberish, encoding damage) score high, docs
+    * of common fluent tokens score low; `above_mean` flags the high
+    * half against the corpus mean (a self-calibrating threshold, no
+    * magic constant).
+    *
+    * Determinism: each ln rounds to integer micro-units (the zipfFit
+    * pattern) before any sum, so partial-aggregation order can't shift
+    * a bit; the corpus total and the corpus mean are 1-row aggregates
+    * broadcast back (the declared agg-bounded NLJ shape).
+    *
+    * Scale shape: one token explode, one term-frequency aggregate, one
+    * occurrence⋈frequency equi-join on token (at 100 TB the tf table is
+    * vocabulary-sized — broadcast when the vocab fits, hash-join
+    * otherwise; both are linear in occurrences), one per-doc aggregate.
+    * No pair space anywhere. */
+  def unigramLogPpl(spark: SparkSession, dir: String): DataFrame = {
+    val occ = documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = occ.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = tf.agg(
+      floor(log(sum(col("cnt")).cast("double")) * 1000000.0 + lit(0.5)).as("lnn"))
+    val perDoc = Materializer.materialize(Materializer.tagFor("pplnll", dir),
+      occ.join(tf, "tok")
+        .select(col("doc_id"),
+          floor(log(col("cnt").cast("double")) * 1000000.0 + lit(0.5)).as("lnc"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lnc")).as("slnc"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_tokens"),
+          ((col("n_tokens") * col("lnn") - col("slnc")).cast("double") /
+            col("n_tokens") / 1000000.0).as("avg_nll")))
+    val mean = perDoc.agg(
+      (sum(floor(col("avg_nll") * 1000000.0 + lit(0.5))).cast("double") /
+        count(lit(1)) / 1000000.0).as("mean_nll"))
+    perDoc.crossJoin(broadcast(mean))
+      .select(col("doc_id"), col("n_tokens"), col("avg_nll"),
+        (col("avg_nll") > col("mean_nll")).cast("int").as("above_mean"))
+      .orderBy("doc_id")
+  }
+
+  val unigramLogPplSql: String =
+    s"""WITH occ AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
+       |tf AS (SELECT tok, count(*) AS cnt FROM occ GROUP BY 1),
+       |tot AS (SELECT CAST(floor(ln(CAST(sum(cnt) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lnn
+       |        FROM tf),
+       |j AS (SELECT occ.doc_id,
+       |             CAST(floor(ln(CAST(tf.cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lnc
+       |      FROM occ JOIN tf USING (tok)),
+       |d AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(lnc) AS BIGINT) AS slnc
+       |      FROM j GROUP BY 1),
+       |pd AS (SELECT doc_id, n_tokens,
+       |              CAST(n_tokens * lnn - slnc AS DOUBLE) / n_tokens / 1000000.0 AS avg_nll
+       |       FROM d, tot),
+       |m AS (SELECT CAST(sum(CAST(floor(avg_nll * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |             / count(*) / 1000000.0 AS mean_nll FROM pd)
+       |SELECT doc_id, n_tokens, avg_nll, CAST(avg_nll > mean_nll AS INT) AS above_mean
+       |FROM pd, m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate_spans"   -> boilerplateSpans _,
     "q_bpe_merges"          -> bpeMerges _,
-    "q_source_quality_gate" -> sourceQualityGate _)
+    "q_source_quality_gate" -> sourceQualityGate _,
+    "q_unigram_logppl"      -> unigramLogPpl _)
 
   val oracles: Map[String, String] = Map(
     "q_boilerplate_spans"   -> boilerplateSpansSql,
     "q_bpe_merges"          -> bpeMergesSql,
-    "q_source_quality_gate" -> sourceQualityGateSql)
+    "q_source_quality_gate" -> sourceQualityGateSql,
+    "q_unigram_logppl"      -> unigramLogPplSql)
 }

@@ -52,7 +52,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_bm25: 1-row (N, Σdl) corpus stats broadcast; q_source_mix: 1-row
     // weight denominator broadcast — both the standard
     // global-aggregate-joined-back shape (CorpusOps.scala)
-    "q_bm25", "q_source_mix")
+    "q_bm25", "q_source_mix",
+    // q_unigram_logppl: 1-row corpus mean broadcast back over the
+    // materialized per-doc nll table (Curation.unigramLogPpl)
+    "q_unigram_logppl")
 
   private def plans: Seq[(String, SparkPlan)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -704,6 +704,144 @@ object Similarity {
        |QUALIFY rnk <= $TOPK
        |ORDER BY query_id, rnk""".stripMargin
 
+  // --------------------------------------- product-quantized (PQ) ANN
+  /** Subspace geometry: DIM = PQ_M × PQ_SUB. Narrow 4-dim subspaces +
+    * the denser PQ_KMOD codebook keep per-subspace quantization error
+    * small enough for ADC to rank usefully (8×8 with the sparse IVF
+    * codebook measured recall@5 = 0.06 — quantization noise swamped the
+    * neighbor signal). */
+  private val PQ_M = 16
+  private val PQ_SUB = 4
+
+  /** PQ codebook rule: every PQ_KMOD-th vector's sub-vectors (denser
+    * than the IVF coarse-quantizer KMOD — a PQ codebook quantizes
+    * residual detail, not cells). */
+  private val PQ_KMOD = 20
+  private val PQ_RESIDUE = 7
+
+  /** Sub-vector m (0-based) of an ARRAY<FLOAT> column. */
+  private def sub(a: Column, m: Int): Column = slice(a, m * PQ_SUB + 1, PQ_SUB)
+
+  private def sqlSub(a: String, m: String): String =
+    s"list_slice($a, ($m)*$PQ_SUB + 1, ($m)*$PQ_SUB + $PQ_SUB)"
+
+  /** ‖a_m − b_m‖² via the codegen'd dot: |a|² + |b|² − 2·a·b, every dot
+    * the same left-to-right double fold as the oracle. */
+  private def subDist(a: Column, b: Column, m: Int): Column = {
+    val (sa, sb) = (sub(a, m), sub(b, m))
+    dotF(sa, sa) + dotF(sb, sb) - lit(2.0) * dotF(sa, sb)
+  }
+
+  private def sqlSubDist(a: String, b: String, m: String): String = {
+    val (sa, sb) = (sqlSub(a, m), sqlSub(b, m))
+    s"(${sqlDot(sa, sa)} + ${sqlDot(sb, sb)} - 2.0 * ${sqlDot(sa, sb)})"
+  }
+
+  /** Product-quantized ANN with asymmetric distance (ADC) — the third
+    * quantization lever after [[annLsh]]/[[annIvf]] (candidate pruning)
+    * and [[annSq8]] (scalar compression): the 64-dim space is cut into
+    * PQ_M 8-dim subspaces; each sub-vector is replaced by the id of its
+    * nearest subspace centroid (the same deterministic KMOD-residue
+    * codebook rule as the IVF coarse quantizer), so a vector stores as
+    * PQ_M one-byte codes (16× smaller than float32). A query never
+    * decodes the corpus: it builds a (subspace × centroid) distance
+    * table once, and each candidate's approximate distance is the SUM of
+    * PQ_M table lookups — the faiss IndexPQ/ADC shape.
+    *
+    * Scale: encoding is corpus × broadcast codebook (the declared
+    * O(N·K) assignment cost, same as IVF); the code table is the stored
+    * artifact (materialized here); search is one equi-join of codes
+    * against the BROADCAST query distance table on (subspace, code) —
+    * linear in N·PQ_M, no pair space, and at 100 TB it composes with
+    * the IVF cell partitioning (probe a cell, scan its codes).
+    *
+    * Vectors are L2-NORMALIZED before encoding: on the unit sphere
+    * ‖q−x‖² = 2 − 2·cos(q,x), so the ADC order matches the cosine order
+    * the rest of the ANN suite ranks by. Geometry matters more than
+    * codebook size here: 8-dim subspaces with the sparse IVF codebook
+    * measured recall@5 = 0.06 (quantization noise swamps the neighbor
+    * signal); 4-dim subspaces with the PQ_KMOD codebook measure 0.34,
+    * and doubling the codebook again (KMOD 10) buys nothing (0.32) —
+    * a random data-sampled codebook saturates; the next step up is a
+    * per-subspace Lloyd-trained codebook (the ivfRefine machinery).
+    *
+    * Determinism: per-subspace query distances round to integer
+    * micro-units BEFORE the sum (a (query,vec) group's 8 rows may split
+    * across partitions — a raw double sum would be order-dependent at
+    * the ulp), so the summed distance is an exact long; ranking ties
+    * break on neighbor_id. Encode-side argmin compares raw doubles from
+    * an identical fold in both engines, tie-break min centroid id. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val d = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(normSq(col("embedding"))).as("len"))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") / col("len")).cast("float")).as("embedding"))
+    val cents = d.filter(col("vec_id") % PQ_KMOD === PQ_RESIDUE)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    // argmin as a hash aggregate (min over (dist, cent_id) structs is
+    // the lexicographic minimum — same tie-break as ORDER BY dist,
+    // cent_id) — partial aggregation shrinks the N×K×M pair rows
+    // map-side; a ranking window here would sort 20M rows instead
+    val codes = Materializer.materialize(Materializer.tagFor("pqcodes", dir),
+      d.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          posexplode(array((0 until PQ_M).map(m =>
+            subDist(col("embedding"), col("ce"), m)): _*)).as(Seq("m", "dist")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dist"), col("cent_id"))).as("best"))
+        .select(col("vec_id"), col("m"), col("best.cent_id").as("code")))
+    val qdist = d.filter(col("vec_id") % QUERY_MOD === 0)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        posexplode(array((0 until PQ_M).map(m =>
+          floor(subDist(col("embedding"), col("ce"), m) * 1000000.0 + lit(0.5))): _*))
+          .as(Seq("m", "qdm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes.join(broadcast(qdist),
+        codes("m") === qdist("m") && codes("code") === qdist("cent_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qdm")).as("sq"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("sq").cast("double") / 1000000.0).as("adist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TOPK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adist"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val annPqSql: String =
+    s"""WITH d AS (SELECT vec_id,
+       |             list_transform(embedding, x ->
+       |               CAST(CAST(x AS DOUBLE) / sqrt(${sqlDot("embedding", "embedding")}) AS FLOAT)) AS embedding
+       |           FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, embedding AS ce FROM d
+       |      WHERE vec_id % $PQ_KMOD = $PQ_RESIDUE),
+       |pm AS (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m),
+       |enc AS (SELECT d.vec_id, pm.m, c.cent_id,
+       |               ${sqlSubDist("d.embedding", "c.ce", "pm.m")} AS dist
+       |        FROM d, c, pm),
+       |codes AS (SELECT vec_id, m, cent_id AS code FROM (
+       |  SELECT vec_id, m, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, cent_id ASC) AS rk
+       |  FROM enc) WHERE rk = 1),
+       |qd AS (SELECT d.vec_id AS query_id, pm.m, c.cent_id,
+       |              CAST(floor(${sqlSubDist("d.embedding", "c.ce", "pm.m")} * 1000000.0 + 0.5) AS BIGINT) AS qdm
+       |       FROM d, c, pm WHERE d.vec_id % $QUERY_MOD = 0),
+       |s AS (SELECT query_id, codes.vec_id AS neighbor_id, CAST(sum(qdm) AS BIGINT) AS sq
+       |      FROM codes JOIN qd ON codes.m = qd.m AND codes.code = qd.cent_id
+       |      WHERE codes.vec_id != qd.query_id
+       |      GROUP BY 1, 2)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC) AS INT) AS rnk,
+       |       neighbor_id, adist
+       |FROM (SELECT query_id, neighbor_id, CAST(sq AS DOUBLE) / 1000000.0 AS adist FROM s)
+       |QUALIFY rnk <= $TOPK
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** Round 1's exact all-pairs form — kept (unregistered) as the recall
     * reference for AnnRecallSpec at tiny SF. Quadratic BY DESIGN; never
     * run at scale. */
@@ -728,7 +866,8 @@ object Similarity {
     "q_semantic_dedup"    -> semanticDedup _,
     "q_hybrid_rrf"        -> hybridRrf _,
     "q_knn_classify"      -> knnClassify _,
-    "q_ann_sq8"           -> annSq8 _)
+    "q_ann_sq8"           -> annSq8 _,
+    "q_ann_pq"            -> annPq _)
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce"    -> annBruteforceSql,
@@ -740,5 +879,6 @@ object Similarity {
     "q_semantic_dedup"    -> semanticDedupSql,
     "q_hybrid_rrf"        -> hybridRrfSql,
     "q_knn_classify"      -> knnClassifySql,
-    "q_ann_sq8"           -> annSq8Sql)
+    "q_ann_sq8"           -> annSq8Sql,
+    "q_ann_pq"            -> annPqSql)
 }

@@ -72,4 +72,23 @@ class AnnRecallSpec extends AnyFunSuite {
         s"no convergence trend after 4 iterations: $churn")
     } finally Materializer.clear()
   }
+
+  test("PQ/ADC recall@5 vs exact cosine is nontrivial and beats chance (sf0.01)") {
+    // 8 subspaces × 5 centroids at sf0.01 is a deliberately coarse
+    // codebook (5^8 cells); ADC ranking still has to land well above the
+    // 5/499 ≈ 1% chance rate to be a usable first-pass filter. PQ runs
+    // on L2-normalized vectors so its L2 order IS the cosine order
+    // (without normalization recall collapsed to 0.06 here).
+    val dir = "/root/testdata/sf0.01"
+    val truth = Similarity.annBruteforceAt(spark, dir, 5)
+      .select("query_id", "neighbor_id")
+    val nTruth = truth.count()
+    assert(nTruth > 0)
+    val got = try Similarity.annPq(spark, dir).select("query_id", "neighbor_id")
+      .intersect(truth).count()
+    finally Materializer.clear()
+    val recall = got.toDouble / nTruth
+    info(f"PQ/ADC recall@5 vs exact cosine: $recall%.3f ($got of $nTruth)")
+    assert(recall >= 0.2, f"PQ recall degenerate: $recall%.3f")
+  }
 }

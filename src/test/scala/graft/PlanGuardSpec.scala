@@ -37,7 +37,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_ann_sq8: 1-row per-dim min/max stats broadcast (quantization) +
     // broadcast query-code set × code table (the exact-scan baseline
     // over 4×-compressed codes)
-    "q_ann_sq8")
+    "q_ann_sq8",
+    // q_ann_pq: query set × broadcast PQ codebook (the declared O(Q·K)
+    // distance-table build — same centroid-broadcast shape as q_ann_ivf;
+    // the ADC search itself is an equi-join on (subspace, code))
+    "q_ann_pq")
 
   /** Queries whose NLJ must additionally broadcast an AGGREGATE (a
     * 1-row/few-row bound, not base data): q_above_avg_orders (global

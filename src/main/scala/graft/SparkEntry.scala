@@ -21,6 +21,7 @@ object SparkEntry {
       (operators.Multimodal.queries, operators.Multimodal.oracles),
       (operators.CorpusOps.queries, operators.CorpusOps.oracles),
       (operators.Curation.queries, operators.Curation.oracles),
+      (operators.GraphOps.queries, operators.GraphOps.oracles),
       (operators.ScalePatterns.queries, operators.ScalePatterns.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

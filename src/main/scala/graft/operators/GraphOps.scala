@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Materializer
+import graft.Tables._
+
+/** Graph analytics over the event click-graph — PageRank by distributed
+  * power iteration.
+  *
+  * The reference corpus has no graph operator, but a training-data
+  * pipeline at scale does: page/domain authority from a link or
+  * transition graph is a standard quality prior (e.g. harvesting
+  * high-rank domains first), and the iterative join-aggregate shape is
+  * the template for every propagation pass (label propagation is the
+  * min-aggregate sibling in [[Dedup.dedupClusters]]).
+  *
+  * Graph: nodes are the `k` page ids decoded from `events.props`
+  * (the same JSON decode as q_json_decode); an edge (src→dst, weight w)
+  * counts how often a user's consecutive events moved from page src to
+  * page dst (self-transitions dropped). Rank is the damped weighted
+  * PageRank, iterated a fixed [[PR_ITERS]] rounds from a uniform init.
+  *
+  * Determinism: ranks live in integer MICRO-UNITS. Each edge's
+  * contribution is `(85 * r_mu * w) div (100 * wtot)` — exact long
+  * division — so per-round sums are integer and identical under any
+  * partitioning/engine; floats appear only in the final display column.
+  * (Dropped remainder mass ≈ |E| micro-units/round is part of the
+  * operator's definition, mirrored exactly by the oracle.)
+  *
+  * Scale shape (100 TB): each round is ONE equi-join (edges ⋈ ranks on
+  * src) + ONE aggregate (sum by dst) — both plain hash shuffles on the
+  * node id, the classic Pregel-as-relational-ops form. Per-round results
+  * are materialized so lineage stays flat (a real cluster would
+  * checkpoint the same way). Nothing is ever collected to the driver.
+  * Dangling mass (nodes with no out-edges) is dropped, the common
+  * web-graph simplification. Overflow headroom: contributions stay
+  * < 2^63 while r_mu·w < ~1e17; at web scale you'd rescale the init
+  * mass per node (1e6/N) which tightens the same bound.
+  */
+object GraphOps {
+
+  private val DAMP_PCT = 85      // damping factor 0.85, as integer percent
+  private val JUMP_MU = 150000L  // (1 - 0.85) in micro-units
+  private val INIT_MU = 1000000L // uniform initial rank = 1.0
+  private val PR_ITERS = 3
+
+  /** (src, dst, w): user page-transition counts. One partitioned lag
+    * window (never global) + one (src,dst) count shuffle. */
+  private def transitionEdges(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        from_json(col("props"), lit("k INT")).getField("k").as("page"))
+      .withColumn("prev", lag(col("page"), 1).over(byUser))
+      .filter(col("prev").isNotNull && col("prev") =!= col("page"))
+      .groupBy(col("prev").as("src"), col("page").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** (page, r_mu, rank) after PR_ITERS damped power-iteration rounds. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    // edge list materialized once: referenced by the out-degree join and
+    // by every iteration round
+    val edges = Materializer.materialize(Materializer.tagFor("predges", dir),
+      transitionEdges(spark, dir))
+    val ann = Materializer.materialize(Materializer.tagFor("prann", dir),
+      edges.join(
+        edges.groupBy(col("src")).agg(sum(col("w")).as("wtot")), "src"))
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node"))).distinct()
+    var ranks = Materializer.materialize(Materializer.tagFor("pr0", dir),
+      nodes.withColumn("r_mu", lit(INIT_MU)))
+    for (i <- 1 to PR_ITERS) {
+      val contrib = ann.join(ranks, ann("src") === ranks("node"))
+        .select(col("dst"),
+          expr(s"($DAMP_PCT * r_mu * w) DIV (100 * wtot)").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("cin"))
+      ranks = Materializer.materialize(Materializer.tagFor(s"pr$i", dir),
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(JUMP_MU) + coalesce(col("cin"), lit(0L))).as("r_mu")))
+    }
+    ranks
+      .select(col("node").as("page"), col("r_mu"),
+        (col("r_mu").cast("double") / 1000000.0).as("rank"))
+      .orderBy(col("page"))
+  }
+
+  val pageRankSql: String = {
+    def round(i: Int): String =
+      s"""r$i AS (SELECT n.node,
+         |  CAST($JUMP_MU + coalesce(sum(($DAMP_PCT * r.r_mu * a.w) // (100 * a.wtot)), 0)
+         |       AS BIGINT) AS r_mu
+         |  FROM nodes n
+         |  LEFT JOIN ann a ON a.dst = n.node
+         |  LEFT JOIN r${i - 1} r ON r.node = a.src
+         |  GROUP BY 1)""".stripMargin
+    val rounds = (1 to PR_ITERS).map(round).mkString(",\n")
+    s"""WITH ev AS (SELECT user_id, ts, event_id,
+       |  CAST(json_extract(props, '$$.k') AS INT) AS page FROM events),
+       |sq AS (SELECT page, lag(page) OVER (
+       |         PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev FROM ev),
+       |edges AS (SELECT prev AS src, page AS dst, CAST(count(*) AS BIGINT) AS w
+       |          FROM sq WHERE prev IS NOT NULL AND prev <> page GROUP BY 1, 2),
+       |ann AS (SELECT e.src, e.dst, e.w, o.wtot FROM edges e
+       |        JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS wtot
+       |              FROM edges GROUP BY 1) o ON e.src = o.src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst AS node FROM edges),
+       |r0 AS (SELECT node, CAST($INIT_MU AS BIGINT) AS r_mu FROM nodes),
+       |$rounds
+       |SELECT node AS page, r_mu, CAST(r_mu AS DOUBLE) / 1000000.0 AS rank
+       |FROM r$PR_ITERS ORDER BY 1""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> (pageRank _))
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" -> pageRankSql)
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphOps
+
+/** Independent plain-Scala recomputation of the integer PageRank: edges
+  * from consecutive same-user events, 3 damped micro-unit rounds — the
+  * engine's output must match EXACTLY (the arithmetic is defined to be
+  * integer-deterministic, so there is no tolerance to hide behind). */
+class GraphOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("pageRank matches a plain-Scala 3-round integer power iteration") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("user_id", "ts", "event_id",
+        "from_json(props, 'k INT').k AS page")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getInt(3)))
+
+    // edges: per-user consecutive transitions, self-loops dropped
+    val edges = rows.groupBy(_._1).iterator.flatMap { case (_, es) =>
+      // ts order key: whole seconds * 1e9 + full fractional nanos
+      // (getTime alone is ms-truncated; getNanos alone re-counts the ms)
+      val ordered = es.sortBy(e => (e._2.getTime / 1000 * 1000000000L + e._2.getNanos, e._3))
+      ordered.iterator.zip(ordered.iterator.drop(1))
+        .collect { case (a, b) if a._4 != b._4 => (a._4, b._4) }
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    val wtot = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nodes = edges.keys.flatMap(e => Seq(e._1, e._2)).toSet
+    var r = nodes.iterator.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.toSeq
+        .map { case ((s, d), w) => d -> (85L * r(s) * w) / (100L * wtot(s)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.iterator.map(n => n -> (150000L + in.getOrElse(n, 0L))).toMap
+    }
+    val expected = r.toSeq.sortBy(_._1)
+      .map { case (n, mu) => (n, mu, mu.toDouble / 1000000.0) }
+
+    val got = try GraphOps.pageRank(spark, sf).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2))).toSeq
+    finally Materializer.clear()
+
+    assert(got == expected,
+      s"pagerank mismatch: got=${got.take(5)}… exp=${expected.take(5)}…")
+  }
+}

@@ -239,15 +239,104 @@ object Curation {
        |SELECT doc_id, n_tokens, avg_nll, CAST(avg_nll > mean_nll AS INT) AS above_mean
        |FROM pd, m ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- DSIR importance weights
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * each raw-pool document by its average unigram log-likelihood RATIO
+    * between a small target distribution and the raw distribution —
+    * docs that look more like the target than like the background rank
+    * higher and get resampled into the training mix.
+    *
+    * Target here = the held-out content-hash bucket ([[Dedup.EVAL_RESIDUE]],
+    * the same split q_hash_split/q_decontaminate use); raw pool = the
+    * other nine buckets. Both unigram models are add-one smoothed over
+    * the SHARED corpus vocabulary V, so every raw token has a defined
+    * target probability:
+    *   score(d) = avg_t [ ln((ct_t+1)/(T+V)) - ln((cr_t+1)/(R+V)) ].
+    *
+    * Determinism: each ln is micro-unit-rounded, so the per-doc sum is
+    * an exact long; the constant ln(T+V)-ln(R+V) part is applied per
+    * doc as n·Δmu from a broadcast 1-row stats aggregate. `selected`
+    * flags score above the (micro-rounded) corpus mean — self-
+    * calibrating, like q_unigram_logppl's above_mean.
+    *
+    * Scale shape: one exploded scan feeds one token-keyed tf aggregate
+    * (both pools counted in the same pass), a 1-row stats broadcast,
+    * one token equi-join back, one doc-keyed sum — linear end to end,
+    * no pair space, nothing driver-side. The target pool being tiny is
+    * the DSIR setting itself, not a shortcut. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val occ = documents(spark, dir)
+      .select(col("doc_id"),
+        (pmod(charHashFast(col("text")), lit(10)) === Dedup.EVAL_RESIDUE)
+          .cast("long").as("is_target"),
+        explode(tokens(col("text"))).as("tok"))
+    val tf = Materializer.materialize(Materializer.tagFor("dsirtf", dir),
+      occ.groupBy(col("tok")).agg(
+        sum(col("is_target")).as("ct"),
+        sum(lit(1L) - col("is_target")).as("cr")))
+    def lnMu(c: Column): Column =
+      floor(log(c.cast("double")) * 1000000.0 + lit(0.5))
+    // 1-row smoothing constant: Δmu = ln(T+V)mu - ln(R+V)mu
+    val stats = tf.agg(
+      (lnMu(sum(col("ct")) + count(lit(1))) -
+        lnMu(sum(col("cr")) + count(lit(1)))).as("dmu"))
+    val perDoc = Materializer.materialize(Materializer.tagFor("dsirdoc", dir),
+      occ.filter(col("is_target") === 0L)
+        .join(tf, "tok")
+        .select(col("doc_id"),
+          (lnMu(col("ct") + 1) - lnMu(col("cr") + 1)).as("lrat"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lrat")).as("slr"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("n_tokens"),
+          ((col("slr") - col("n_tokens") * col("dmu")).cast("double") /
+            col("n_tokens") / 1000000.0).as("avg_logratio")))
+    val mean = perDoc.agg(
+      (sum(floor(col("avg_logratio") * 1000000.0 + lit(0.5))).cast("double") /
+        count(lit(1)) / 1000000.0).as("mean_lr"))
+    perDoc.crossJoin(broadcast(mean))
+      .select(col("doc_id"), col("n_tokens"), col("avg_logratio"),
+        (col("avg_logratio") > col("mean_lr")).cast("int").as("selected"))
+      .orderBy("doc_id")
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH occ AS (SELECT doc_id,
+       |  CAST(${sqlCharHash("text")} % 10 = ${Dedup.EVAL_RESIDUE} AS BIGINT) AS is_target,
+       |  unnest(${sqlTokens("text")}) AS tok FROM documents),
+       |tf AS (SELECT tok, CAST(sum(is_target) AS BIGINT) AS ct,
+       |              CAST(sum(1 - is_target) AS BIGINT) AS cr
+       |       FROM occ GROUP BY 1),
+       |st AS (SELECT CAST(floor(ln(CAST(sum(ct) + count(*) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       |             - CAST(floor(ln(CAST(sum(cr) + count(*) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       |               AS dmu FROM tf),
+       |j AS (SELECT occ.doc_id,
+       |             CAST(floor(ln(CAST(tf.ct + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       |             - CAST(floor(ln(CAST(tf.cr + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lrat
+       |      FROM occ JOIN tf USING (tok) WHERE occ.is_target = 0),
+       |d AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(lrat) AS BIGINT) AS slr
+       |      FROM j GROUP BY 1),
+       |pd AS (SELECT doc_id, n_tokens,
+       |              CAST(slr - n_tokens * dmu AS DOUBLE) / n_tokens / 1000000.0 AS avg_logratio
+       |       FROM d, st),
+       |m AS (SELECT CAST(sum(CAST(floor(avg_logratio * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |             / count(*) / 1000000.0 AS mean_lr FROM pd)
+       |SELECT doc_id, n_tokens, avg_logratio,
+       |       CAST(avg_logratio > mean_lr AS INT) AS selected
+       |FROM pd, m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate_spans"   -> boilerplateSpans _,
     "q_bpe_merges"          -> bpeMerges _,
     "q_source_quality_gate" -> sourceQualityGate _,
-    "q_unigram_logppl"      -> unigramLogPpl _)
+    "q_unigram_logppl"      -> unigramLogPpl _,
+    "q_dsir_weights"        -> dsirWeights _)
 
   val oracles: Map[String, String] = Map(
     "q_boilerplate_spans"   -> boilerplateSpansSql,
     "q_bpe_merges"          -> bpeMergesSql,
     "q_source_quality_gate" -> sourceQualityGateSql,
-    "q_unigram_logppl"      -> unigramLogPplSql)
+    "q_unigram_logppl"      -> unigramLogPplSql,
+    "q_dsir_weights"        -> dsirWeightsSql)
 }

@@ -369,7 +369,7 @@ object Dedup {
   /** Held-out residue of the content-hash split — MUST match
     * `TextOps.hashSplit`'s 'test' bucket, so the eval set here is
     * exactly the split a training run would hold out. */
-  private val EVAL_RESIDUE = 9
+  private[operators] val EVAL_RESIDUE = 9
   private val CONTAM_T = 0.8
 
   /** Eval-set decontamination — the n-gram-overlap check every training

@@ -59,7 +59,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_bm25", "q_source_mix",
     // q_unigram_logppl: 1-row corpus mean broadcast back over the
     // materialized per-doc nll table (Curation.unigramLogPpl)
-    "q_unigram_logppl")
+    "q_unigram_logppl",
+    // q_dsir_weights: 1-row smoothing-constant + 1-row score-mean
+    // broadcasts over the materialized per-doc table (Curation.dsirWeights)
+    "q_dsir_weights")
 
   private def plans: Seq[(String, SparkPlan)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

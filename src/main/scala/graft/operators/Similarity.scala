@@ -856,6 +856,107 @@ object Similarity {
       .orderBy("v1", "v2")
   }
 
+  // ------------------------------------------- retrieval-quality eval
+  /** Depth of the evaluated ranking. */
+  private val EVAL_K = 10
+
+  /** Retrieval-quality evaluation — reciprocal rank, precision@K and
+    * NDCG@K of the exact-cosine ranking, with relevance = "neighbor
+    * shares the query's label". This is the measurement layer a
+    * retrieval/curation pipeline runs after every index or embedding
+    * change (the relational form of an IR eval harness); here it grades
+    * the exact ranking itself, i.e. how well cosine geometry predicts
+    * the label structure — swap the ranked CTE for any ANN variant's
+    * output to grade that index instead.
+    *
+    * Determinism: discounted gains live in micro-units —
+    * gain(rank) = floor(ln(2)/ln(1+rank)·1e6 + 0.5) — so DCG and the
+    * ideal DCG (same formula over ranks 1..min(R,K), an HOF fold over a
+    * ≤K-element sequence on the ≤|queries|-row aggregate) are exact
+    * longs; rr and ndcg are single IEEE divisions of exact integers.
+    *
+    * Scale shape: the scoring scan is [[annBruteforce]]'s broadcast-
+    * query codegen'd projection; per-label corpus counts are a tiny
+    * aggregate broadcast back; everything after the top-K filter
+    * operates on ≤ K·|queries| rows. */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"),
+      normSq(col("embedding")).as("nrm"), col("label"))
+    val q = e.filter(col("vec_id") % QUERY_MOD === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("label").as("qlabel"))
+    val labelCnt = e.groupBy(col("label")).agg(count(lit(1)).as("lblN"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val gainMu = floor(log(lit(2.0)) / log(lit(1.0) + col("rnk")) *
+      1000000.0 + lit(0.5)).cast("long")
+    val ranked = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qlabel"),
+        col("vec_id").as("neighbor_id"), col("label"),
+        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= EVAL_K)
+      .withColumn("rel", (col("label") === col("qlabel")).cast("long"))
+    val perQ = ranked
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(col("rel")).as("n_rel_topk"),
+        sum(col("rel") * gainMu).as("dcg_mu"),
+        min(when(col("rel") === 1L, col("rnk"))).as("first_rel"))
+      .join(broadcast(labelCnt), col("qlabel") === col("label"))
+      // relevant pool excludes the query itself
+      .withColumn("n_rel_corpus", col("lblN") - 1)
+    val idcgMu = when(col("n_rel_corpus") >= 1,
+      aggregate(sequence(lit(1), least(col("n_rel_corpus"), lit(EVAL_K)).cast("int")),
+        lit(0L), (acc, i) =>
+          acc + floor(log(lit(2.0)) / log(lit(1.0) + i) * 1000000.0 + lit(0.5))
+            .cast("long"))).otherwise(lit(0L))
+    perQ
+      .withColumn("idcg_mu", idcgMu)
+      .select(col("query_id"), col("qlabel").as("label"),
+        col("n_rel_corpus"), col("n_rel_topk"),
+        coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("rr"),
+        (col("n_rel_topk").cast("double") / EVAL_K).as("precision_k"),
+        when(col("idcg_mu") > 0,
+          col("dcg_mu").cast("double") / col("idcg_mu").cast("double"))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  val retrievalEvalSql: String = {
+    val gain = "CAST(floor(ln(CAST(2.0 AS DOUBLE)) / ln(CAST(1.0 AS DOUBLE) + rnk) * 1000000.0 + 0.5) AS BIGINT)"
+    s"""WITH n AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm, label
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, label AS qlabel
+       |      FROM n WHERE vec_id % $QUERY_MOD = 0),
+       |lc AS (SELECT label, count(*) AS lblN FROM n GROUP BY 1),
+       |s AS (SELECT query_id, qlabel, n.vec_id AS neighbor_id, n.label,
+       |             ${sqlCosine("qe", "qn", "n.embedding", "n.nrm")} AS cosine
+       |      FROM q JOIN n ON n.vec_id != q.query_id),
+       |t AS (SELECT *, CAST(label = qlabel AS BIGINT) AS rel FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s)
+       |      WHERE rnk <= $EVAL_K),
+       |pq AS (SELECT query_id, qlabel, CAST(sum(rel) AS BIGINT) AS n_rel_topk,
+       |              CAST(sum(rel * $gain) AS BIGINT) AS dcg_mu,
+       |              min(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+       |       FROM t GROUP BY 1, 2),
+       |j AS (SELECT pq.*, lc.lblN - 1 AS n_rel_corpus FROM pq
+       |      JOIN lc ON pq.qlabel = lc.label),
+       |f AS (SELECT *,
+       |        CASE WHEN n_rel_corpus >= 1 THEN coalesce(list_sum(
+       |          list_transform(range(1, least(n_rel_corpus, $EVAL_K) + 1),
+       |            rnk -> $gain)), 0) ELSE 0 END AS idcg_mu
+       |      FROM j)
+       |SELECT query_id, qlabel AS label, CAST(n_rel_corpus AS BIGINT) AS n_rel_corpus,
+       |       n_rel_topk,
+       |       coalesce(CAST(1.0 AS DOUBLE) / first_rel, CAST(0.0 AS DOUBLE)) AS rr,
+       |       CAST(n_rel_topk AS DOUBLE) / $EVAL_K AS precision_k,
+       |       CASE WHEN idcg_mu > 0
+       |            THEN CAST(dcg_mu AS DOUBLE) / CAST(idcg_mu AS DOUBLE)
+       |            ELSE CAST(0.0 AS DOUBLE) END AS ndcg
+       |FROM f ORDER BY query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce"    -> annBruteforce _,
     "q_ann_lsh"           -> annLsh _,
@@ -867,7 +968,8 @@ object Similarity {
     "q_hybrid_rrf"        -> hybridRrf _,
     "q_knn_classify"      -> knnClassify _,
     "q_ann_sq8"           -> annSq8 _,
-    "q_ann_pq"            -> annPq _)
+    "q_ann_pq"            -> annPq _,
+    "q_retrieval_eval"    -> retrievalEval _)
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce"    -> annBruteforceSql,
@@ -880,5 +982,6 @@ object Similarity {
     "q_hybrid_rrf"        -> hybridRrfSql,
     "q_knn_classify"      -> knnClassifySql,
     "q_ann_sq8"           -> annSq8Sql,
-    "q_ann_pq"            -> annPqSql)
+    "q_ann_pq"            -> annPqSql,
+    "q_retrieval_eval"    -> retrievalEvalSql)
 }

@@ -91,4 +91,41 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"PQ/ADC recall@5 vs exact cosine: $recall%.3f ($got of $nTruth)")
     assert(recall >= 0.2, f"PQ recall degenerate: $recall%.3f")
   }
+
+  test("retrieval eval matches a plain-Scala IR-metric recount") {
+    val all = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def gainMu(r: Int): Long =
+      math.floor(math.log(2.0) / math.log(1.0 + r) * 1e6 + 0.5).toLong
+    val labelN = all.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val expected = all.filter(_._1 % 50 == 0).sortBy(_._1).map { case (qid, qe, ql) =>
+      val ranked = all.filter(_._1 != qid)
+        .map { case (id, e, l) => (id, l, cos(qe, e)) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(10).zipWithIndex
+        .map { case ((id, l, c), i) => (i + 1, l == ql) }
+      val nRelTop = ranked.count(_._2).toLong
+      val dcg = ranked.collect { case (r, true) => gainMu(r) }.sum
+      val firstRel = ranked.collectFirst { case (r, true) => r }
+      val nRelCorpus = labelN(ql) - 1
+      val idcg = (1 to math.min(nRelCorpus, 10L).toInt).map(gainMu).sum
+      (qid, ql, nRelCorpus, nRelTop,
+        firstRel.map(1.0 / _).getOrElse(0.0), nRelTop.toDouble / 10,
+        if (idcg > 0) dcg.toDouble / idcg else 0.0)
+    }.toSeq
+    val got = Similarity.retrievalEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == expected,
+      s"retrieval eval mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+    assert(got.exists(_._7 > 0.0), "all-zero ndcg — degenerate labels")
+  }
 }

@@ -41,7 +41,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_ann_pq: query set × broadcast PQ codebook (the declared O(Q·K)
     // distance-table build — same centroid-broadcast shape as q_ann_ivf;
     // the ADC search itself is an equi-join on (subspace, code))
-    "q_ann_pq")
+    "q_ann_pq",
+    // q_retrieval_eval: grades the exact-cosine ranking, so it embeds
+    // the q_ann_bruteforce broadcast-query scan by definition
+    "q_retrieval_eval")
 
   /** Queries whose NLJ must additionally broadcast an AGGREGATE (a
     * 1-row/few-row bound, not base data): q_above_avg_orders (global

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -405,7 +405,78 @@ object CorpusOps {
        |       CAST(sum(nt) AS DOUBLE) / CAST(max((cum + ${SEQ_BUDGET - 1}) // $SEQ_BUDGET) * $SEQ_BUDGET AS DOUBLE) AS fill_frac
        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- PMI collocations
+  /** Minimum bigram support for a PMI estimate worth reporting. */
+  private val PMI_MIN_SUP = 5
+  private val PMI_TOPK = 20
+
+  /** Top adjacent-token collocations by pointwise mutual information —
+    * PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) ) with p(x,y) from the adjacent
+    * bigram distribution and p(x) from the unigram distribution. The
+    * collocation statistic behind phrase mining / word2vec-style phrase
+    * joining; low-support pairs are cut at [[PMI_MIN_SUP]] (PMI's known
+    * bias toward rare pairs).
+    *
+    * Determinism: each ln is micro-unit-rounded, after which
+    * pmi_mu = lnMu(cxy) − lnMu(B) − lnMu(cx) − lnMu(cy) + 2·lnMu(N)
+    * is exact integer arithmetic; ranking orders by the long.
+    *
+    * Scale shape: bigram extraction is scan-local (a bounded per-doc
+    * transform, no self-join on position); then ONE (x,y) count shuffle,
+    * ONE unigram count shuffle, two token equi-joins to annotate pair
+    * ends (linear, vocab-keyed), a 1-row totals broadcast, and a
+    * distributed TakeOrderedAndProject for the top-K. No pair space
+    * beyond the corpus's own adjacent bigrams. */
+  def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    def lnMu(c: Column): Column =
+      floor(log(c.cast("double")) * 1000000.0 + lit(0.5)).cast("long")
+    val toks = documents(spark, dir).select(tokens(col("text")).as("toks"))
+    val pairs = toks.filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("x"),
+          element_at(col("toks"), i + 1).as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val cxy = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+    val cx = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = cx.agg(sum(col("c")).as("nuni"))
+      .crossJoin(cxy.agg(sum(col("cxy")).as("nbi")))
+    cxy.filter(col("cxy") >= PMI_MIN_SUP)
+      .join(cx.select(col("tok"), col("c").as("cx")), col("x") === col("tok")).drop("tok")
+      .join(cx.select(col("tok"), col("c").as("cy")), col("y") === col("tok")).drop("tok")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_mu",
+        lnMu(col("cxy")) - lnMu(col("nbi")) - lnMu(col("cx")) - lnMu(col("cy")) +
+          lit(2L) * lnMu(col("nuni")))
+      .orderBy(col("pmi_mu").desc, col("x").asc, col("y").asc)
+      .limit(PMI_TOPK)
+      .select(col("x"), col("y"), col("cxy"),
+        (col("pmi_mu").cast("double") / 1000000.0).as("pmi"))
+  }
+
+  val pmiBigramsSql: String = {
+    def lnMu(e: String): String =
+      s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    s"""WITH t AS (SELECT ${sqlTokens("text")} AS toks FROM documents),
+       |b AS (SELECT unnest(generate_series(1, len(toks) - 1)) AS i, toks
+       |      FROM t WHERE len(toks) >= 2),
+       |pairs AS (SELECT toks[i] AS x, toks[i + 1] AS y FROM b),
+       |cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cxy FROM pairs GROUP BY 1, 2),
+       |cx AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+       |         SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+       |tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM cx) AS nuni,
+       |               (SELECT CAST(sum(cxy) AS BIGINT) FROM cxy) AS nbi),
+       |s AS (SELECT cxy.x, cxy.y, cxy.cxy,
+       |             ${lnMu("cxy.cxy")} - ${lnMu("tot.nbi")} - ${lnMu("a.c")} - ${lnMu("b2.c")}
+       |             + 2 * ${lnMu("tot.nuni")} AS pmi_mu
+       |      FROM cxy JOIN cx a ON cxy.x = a.tok JOIN cx b2 ON cxy.y = b2.tok, tot
+       |      WHERE cxy.cxy >= $PMI_MIN_SUP)
+       |SELECT x, y, cxy, CAST(pmi_mu AS DOUBLE) / 1000000.0 AS pmi
+       |FROM s ORDER BY pmi_mu DESC, x ASC, y ASC LIMIT $PMI_TOPK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pmi_bigrams"   -> pmiBigrams _,
     "q_seq_packing"   -> seqPacking _,
     "q_bm25"          -> bm25 _,
     "q_source_mix"    -> sourceMix _,
@@ -414,6 +485,7 @@ object CorpusOps {
     "q_source_report" -> sourceReport _)
 
   val oracles: Map[String, String] = Map(
+    "q_pmi_bigrams"   -> pmiBigramsSql,
     "q_seq_packing"   -> seqPackingSql,
     "q_bm25"          -> bm25Sql,
     "q_source_mix"    -> sourceMixSql,

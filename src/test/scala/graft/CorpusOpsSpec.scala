@@ -73,6 +73,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"only $shared of ${h1.size} chunks survive a prefix insertion")
   }
 
+  test("pmi bigrams match a plain-Scala collocation recount") {
+    val WS = "[ \\t\\n\\f\\r]+"
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).trim.split(WS).filter(_.nonEmpty))
+    def lnMu(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = docs.filter(_.length >= 2)
+      .flatMap(t => t.zip(t.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (nUni, nBi) = (uni.values.sum, bi.values.sum)
+    val expected = bi.toSeq.filter(_._2 >= 5)
+      .map { case ((x, y), c) =>
+        val mu = lnMu(c) - lnMu(nBi) - lnMu(uni(x)) - lnMu(uni(y)) + 2 * lnMu(nUni)
+        (x, y, c, mu)
+      }
+      .sortBy { case (x, y, _, mu) => (-mu, x, y) }.take(20)
+      .map { case (x, y, c, mu) => (x, y, c, mu.toDouble / 1e6) }
+    val got = CorpusOps.pmiBigrams(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected, s"pmi mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+    assert(got.nonEmpty, "no supported collocations at test SF")
+  }
+
   test("source report: fractions bounded, volumes cover the corpus") {
     val rows = CorpusOps.sourceReport(spark, sf)
       .select("n_docs", "dup_frac", "avg_quality", "gate_pass_frac").collect()

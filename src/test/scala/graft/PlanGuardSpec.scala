@@ -65,7 +65,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_unigram_logppl",
     // q_dsir_weights: 1-row smoothing-constant + 1-row score-mean
     // broadcasts over the materialized per-doc table (Curation.dsirWeights)
-    "q_dsir_weights")
+    "q_dsir_weights",
+    // q_pmi_bigrams: 1-row (N unigrams, B bigrams) totals broadcast
+    // over the supported-pair set (CorpusOps.pmiBigrams)
+    "q_pmi_bigrams")
 
   private def plans: Seq[(String, SparkPlan)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -494,7 +494,51 @@ object Relational {
        |FROM est ORDER BY exact_n DESC, user_id LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------- time-decayed aggregate
+  /** Stair-step half-life, in days: weight = 2^(-(age_days div HL)). The
+    * integer exponent keeps the weight an exact IEEE power of two, so
+    * value·weight is an exact exponent shift and the micro-unit rounding
+    * is engine-identical — a smooth 2^(-age/HL) would put a
+    * transcendental pow() in the hash path. */
+  private val DECAY_HL_DAYS = 7
+
+  /** Freshness-weighted engagement: per event type, the half-life-decayed
+    * sum of `value` next to the undecayed sum — the recency-biased
+    * statistic dashboards and reweighting pipelines keep (events lose
+    * half their weight every [[DECAY_HL_DAYS]] days of age, measured
+    * from the corpus's newest event).
+    *
+    * Scale shape: the anchor date is a 1-row aggregate broadcast back;
+    * the decay weight is scan-local; one (event_type) aggregate ends the
+    * plan. Per-row decayed values are micro-unit-rounded longs so the
+    * sum is partition-order-proof. */
+  def decayedEngagement(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_type"), col("value"), to_date(col("ts")).as("d"))
+    val mx = ev.agg(max(col("d")).as("mxd"))
+    ev.crossJoin(broadcast(mx))
+      .select(col("event_type"), col("value"),
+        expr(s"datediff(mxd, d) DIV $DECAY_HL_DAYS").as("hl"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * pow(lit(0.5), col("hl")) * 1000000.0 + lit(0.5))
+          .cast("long")).cast("double") / 1000000.0).as("decayed_sum"),
+        dsum(col("value")).as("raw_sum"))
+      .orderBy("event_type")
+  }
+
+  val decayedEngagementSql: String =
+    s"""WITH ev AS (SELECT event_type, value, CAST(ts AS DATE) AS d FROM events),
+       |mx AS (SELECT max(d) AS mxd FROM ev)
+       |SELECT event_type, count(*) AS n_events,
+       |       CAST(sum(CAST(floor(value * power(CAST(0.5 AS DOUBLE),
+       |              date_diff('day', d, mxd) // $DECAY_HL_DAYS) * 1000000.0 + 0.5)
+       |            AS BIGINT)) AS DOUBLE) / 1000000.0 AS decayed_sum,
+       |       ${sqlDsum("value")} AS raw_sum
+       |FROM ev, mx GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decayed_engagement"      -> decayedEngagement _,
     "q_above_avg_orders"        -> aboveAvgOrders _,
     "q_cube_status"             -> cubeStatus _,
     "q_quantiles_disc"          -> quantilesDisc _,
@@ -513,6 +557,7 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_decayed_engagement"      -> decayedEngagementSql,
     "q_above_avg_orders"        -> aboveAvgOrdersSql,
     "q_cube_status"             -> cubeStatusSql,
     "q_quantiles_disc"          -> quantilesDiscSql,

@@ -68,7 +68,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_dsir_weights",
     // q_pmi_bigrams: 1-row (N unigrams, B bigrams) totals broadcast
     // over the supported-pair set (CorpusOps.pmiBigrams)
-    "q_pmi_bigrams")
+    "q_pmi_bigrams",
+    // q_decayed_engagement: 1-row max-date anchor broadcast over the
+    // event scan (Relational.decayedEngagement)
+    "q_decayed_engagement")
 
   private def plans: Seq[(String, SparkPlan)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

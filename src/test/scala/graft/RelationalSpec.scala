@@ -174,4 +174,26 @@ class RelationalSpec extends AnyFunSuite {
       assert(e <= 0.05, s"${r.getString(0)}: HLL relative error $e exceeds 5%")
     }
   }
+
+  test("decayed engagement matches a plain-Scala half-life recount") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "value", "CAST(to_date(ts) AS STRING) AS d")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), java.time.LocalDate.parse(r.getString(2))))
+    val mxd = rows.map(_._3).maxBy(_.toEpochDay)
+    val perType = rows.groupBy(_._1).map { case (t, es) =>
+      val dsumMu = es.map { case (_, v, d) =>
+        val hl = (mxd.toEpochDay - d.toEpochDay) / 7
+        math.floor(v * math.pow(0.5, hl.toDouble) * 1e6 + 0.5).toLong
+      }.sum
+      val raw = es.map(e => BigDecimal(e._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      (t, es.size.toLong, dsumMu.toDouble / 1e6, raw.toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = Relational.decayedEngagement(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == perType, s"decay mismatch: got=${got.take(3)}… exp=${perType.take(3)}…")
+    // decayed mass must be strictly below raw mass when ages span > HL
+    got.zip(perType).foreach { case ((t, _, dec, raw), _) =>
+      assert(dec <= raw + 1e-9, s"$t decayed > raw") }
+  }
 }

@@ -125,6 +125,53 @@ class ConnectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order layout prunes files on BOTH dimensions; range layout on one") {
+    val frag = Files.createTempDirectory("graft_zsrc").toString
+    val zdir = Files.createTempDirectory("graft_zout").toString
+    val rdir = Files.createTempDirectory("graft_rout").toString
+    val src = Tables.orders(spark, sf)
+    src.repartition(8).write.mode("overwrite").parquet(frag)
+    val n = Connectors.zorderParquet(spark, frag, zdir, 16, "o_custkey", "o_totalprice")
+    assert(n == 16, s"expected 16 z-ordered files, got $n")
+    // rows preserved exactly
+    val back = spark.read.parquet(zdir)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    val srcBytes = parquetFiles(frag).map(_.length).sum
+    Connectors.compactParquet(spark, frag, rdir, (srcBytes + 15) / 16, Seq("o_custkey"))
+    def overlapFrac(dir: String, colName: String, lo: Double, hi: Double): Double = {
+      val files = parquetFiles(dir)
+      val hit = files.count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(colName).cast("double")), max(col(colName).cast("double"))).head()
+        r.getDouble(0) <= hi && r.getDouble(1) >= lo
+      }
+      hit.toDouble / files.length
+    }
+    // band = central 1/8th of each dimension's range
+    val st = src.agg(min(col("o_custkey").cast("double")), max(col("o_custkey").cast("double")),
+      min(col("o_totalprice")), max(col("o_totalprice"))).head()
+    def band(mn: Double, mx: Double) = {
+      val w = (mx - mn) / 8; val c = (mn + mx) / 2; (c - w / 2, c + w / 2)
+    }
+    val (c1lo, c1hi) = band(st.getDouble(0), st.getDouble(1))
+    val (c2lo, c2hi) = band(st.getDouble(2), st.getDouble(3))
+    val zCust = overlapFrac(zdir, "o_custkey", c1lo, c1hi)
+    val zPrice = overlapFrac(zdir, "o_totalprice", c2lo, c2hi)
+    val rCust = overlapFrac(rdir, "o_custkey", c1lo, c1hi)
+    val rPrice = overlapFrac(rdir, "o_totalprice", c2lo, c2hi)
+    info(f"file overlap for a 1/8-range band — zorder: cust $zCust%.2f price $zPrice%.2f; " +
+      f"range(cust): cust $rCust%.2f price $rPrice%.2f")
+    // z-order must prune meaningfully on BOTH dims …
+    assert(zCust <= 0.75 && zPrice <= 0.75,
+      f"z-order pruning degenerate: cust $zCust%.2f price $zPrice%.2f")
+    // … while the single-dim range layout cannot prune its non-sort dim
+    assert(rCust <= 0.25, f"range layout should prune its sort dim hard: $rCust%.2f")
+    assert(rPrice >= 0.9, f"sanity: range layout unexpectedly prunes price: $rPrice%.2f")
+  }
+
   test("kafka/jdbc builders configure without connecting (S1/S4/K2)") {
     // construction must not open sockets; start()/load() would.
     Connectors.kafkaSource(spark, "broker:9092", "topic_pageviews")

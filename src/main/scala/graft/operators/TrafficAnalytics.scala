@@ -449,7 +449,68 @@ object TrafficAnalytics {
        |SELECT event_type, count(*) AS n, ${sqlDsum("k")} AS sum_k, ${sqlDavg("k")} AS avg_k
        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------- ordered funnel
+  /** Ordered conversion funnel view → click → purchase: a user reaches
+    * step k only via events in strictly increasing time order (first
+    * view, a click strictly after it, a purchase strictly after that
+    * click) — the windowFunnel-style statistic, computed relationally.
+    *
+    * Per step: one filter + one user-keyed equi-join against the
+    * previous step's first-qualifying timestamp + one min aggregate —
+    * linear in events, no pair space, three user-keyed shuffles total
+    * (at scale they all hash on the same key, so AQE reuses the
+    * exchange). The 4-row depth summary is a union of 1-row counts with
+    * step-over-step conversion rates from a 1-row broadcast. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val users = ev.agg(countDistinct(col("user_id")).as("c0"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("mv"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("mv"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("mc"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("mc"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("mp"))
+    val counts = users
+      .crossJoin(broadcast(s1.agg(count(lit(1)).as("c1"))))
+      .crossJoin(broadcast(s2.agg(count(lit(1)).as("c2"))))
+      .crossJoin(broadcast(s3.agg(count(lit(1)).as("c3"))))
+    def step(depth: Int, label: String, n: Column, prev: Column) =
+      counts.select(lit(depth).as("depth"), lit(label).as("step"),
+        n.as("n_reached"),
+        when(prev > 0, n.cast("double") / prev.cast("double"))
+          .otherwise(lit(0.0)).as("conv_from_prev"))
+    step(0, "any", col("c0"), col("c0"))
+      .unionByName(step(1, "view", col("c1"), col("c0")))
+      .unionByName(step(2, "click_after_view", col("c2"), col("c1")))
+      .unionByName(step(3, "purchase_after_click", col("c3"), col("c2")))
+      .orderBy("depth")
+  }
+
+  val funnelSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, ts FROM events),
+       |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS c0 FROM ev),
+       |s1 AS (SELECT user_id, min(ts) AS mv FROM ev WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, min(e.ts) AS mc FROM ev e JOIN s1 USING (user_id)
+       |       WHERE e.event_type = 'click' AND e.ts > s1.mv GROUP BY 1),
+       |s3 AS (SELECT e.user_id, min(e.ts) AS mp FROM ev e JOIN s2 USING (user_id)
+       |       WHERE e.event_type = 'purchase' AND e.ts > s2.mc GROUP BY 1),
+       |c AS (SELECT c0, (SELECT CAST(count(*) AS BIGINT) FROM s1) AS c1,
+       |             (SELECT CAST(count(*) AS BIGINT) FROM s2) AS c2,
+       |             (SELECT CAST(count(*) AS BIGINT) FROM s3) AS c3 FROM u)
+       |SELECT 0 AS depth, 'any' AS step, c0 AS n_reached,
+       |       CASE WHEN c0 > 0 THEN CAST(c0 AS DOUBLE) / c0 ELSE CAST(0.0 AS DOUBLE) END AS conv_from_prev FROM c
+       |UNION ALL SELECT 1, 'view', c1,
+       |       CASE WHEN c0 > 0 THEN CAST(c1 AS DOUBLE) / c0 ELSE CAST(0.0 AS DOUBLE) END FROM c
+       |UNION ALL SELECT 2, 'click_after_view', c2,
+       |       CASE WHEN c1 > 0 THEN CAST(c2 AS DOUBLE) / c1 ELSE CAST(0.0 AS DOUBLE) END FROM c
+       |UNION ALL SELECT 3, 'purchase_after_click', c3,
+       |       CASE WHEN c2 > 0 THEN CAST(c3 AS DOUBLE) / c2 ELSE CAST(0.0 AS DOUBLE) END FROM c
+       |ORDER BY depth""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel"                  -> funnel _,
     "q_json_decode"             -> jsonDecode _,
     "q_engagement_windowed"     -> engagementWindowed _,
     "q_page_views_distribution" -> pageViewsDistribution _,
@@ -465,6 +526,7 @@ object TrafficAnalytics {
     "q_comparison_accuracy"     -> comparisonAccuracy _)
 
   val oracles: Map[String, String] = Map(
+    "q_funnel"                  -> funnelSql,
     "q_json_decode"             -> jsonDecodeSql,
     "q_engagement_windowed"     -> engagementWindowedSql,
     "q_page_views_distribution" -> pageViewsDistributionSql,

@@ -71,7 +71,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_pmi_bigrams",
     // q_decayed_engagement: 1-row max-date anchor broadcast over the
     // event scan (Relational.decayedEngagement)
-    "q_decayed_engagement")
+    "q_decayed_engagement",
+    // q_funnel: the 4-row depth summary assembles four 1-row step
+    // counts (TrafficAnalytics.funnel)
+    "q_funnel")
 
   private def plans: Seq[(String, SparkPlan)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -28,6 +28,34 @@ class TrafficAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel matches a plain-Scala ordered-chain recount") {
+    val evs = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = evs.groupBy(_._1)
+    val c0 = byUser.size.toLong
+    def chain(u: Seq[(Long, String, Long)]): Int = {
+      val mv = u.filter(_._2 == "view").map(_._3).sorted.headOption
+      val mc = mv.flatMap(v => u.filter(e => e._2 == "click" && e._3 > v)
+        .map(_._3).sorted.headOption)
+      val mp = mc.flatMap(c => u.filter(e => e._2 == "purchase" && e._3 > c)
+        .map(_._3).sorted.headOption)
+      if (mp.isDefined) 3 else if (mc.isDefined) 2 else if (mv.isDefined) 1 else 0
+    }
+    val depths = byUser.values.map(v => chain(v.toSeq)).toSeq
+    val (c1, c2, c3) = (depths.count(_ >= 1).toLong,
+      depths.count(_ >= 2).toLong, depths.count(_ >= 3).toLong)
+    val expected = Seq(
+      (0, "any", c0, 1.0),
+      (1, "view", c1, c1.toDouble / c0),
+      (2, "click_after_view", c2, if (c1 > 0) c2.toDouble / c1 else 0.0),
+      (3, "purchase_after_click", c3, if (c2 > 0) c3.toDouble / c2 else 0.0))
+    val got = TrafficAnalytics.funnel(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected, s"funnel mismatch: got=$got exp=$expected")
+    assert(c3 > 0, "no user completes the funnel at test SF — thresholds drifted")
+  }
+
   test("percentages per window sum to ~100 (W1 invariant)") {
     val bad = TrafficAnalytics.pageViewsDistribution(spark, sf)
       .groupBy("window_start").agg(sum("percentage").as("p"))

@@ -780,24 +780,39 @@ object Similarity {
           x => (x.cast("double") / col("len")).cast("float")).as("embedding"))
     val cents = d.filter(col("vec_id") % PQ_KMOD === PQ_RESIDUE)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    // (id, m, sub-vector, |sub|²) rows: each 4-dim slice and its norm
+    // computed ONCE per (vector, subspace) — the N×K pair rows below
+    // then carry 4-float arrays and pay a single dot each, instead of
+    // re-slicing the 64-float parent 3× per subspace per pair
+    def subRows(df: DataFrame, idCol: String, embCol: String,
+                id: String, sv: String, nm: String): DataFrame =
+      df.select(col(idCol).as(id), posexplode(array((0 until PQ_M).map { m =>
+        val s = sub(col(embCol), m)
+        struct(s.as("sv"), dotF(s, s).as("nm"))
+      }: _*)).as(Seq("m", "p")))
+        .select(col(id), col("m"), col("p.sv").as(sv), col("p.nm").as(nm))
+    val csub = subRows(cents, "cent_id", "ce", "cent_id", "cv", "cnorm")
     // argmin as a hash aggregate (min over (dist, cent_id) structs is
     // the lexicographic minimum — same tie-break as ORDER BY dist,
     // cent_id) — partial aggregation shrinks the N×K×M pair rows
-    // map-side; a ranking window here would sort 20M rows instead
+    // map-side; a ranking window here would sort 20M rows instead.
+    // dist keeps subDist's exact |a|²+|b|²−2·a·b op order, so the
+    // doubles (and the oracle hash) are unchanged by the restructure.
     val codes = Materializer.materialize(Materializer.tagFor("pqcodes", dir),
-      d.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cent_id"),
-          posexplode(array((0 until PQ_M).map(m =>
-            subDist(col("embedding"), col("ce"), m)): _*)).as(Seq("m", "dist")))
+      subRows(d, "vec_id", "embedding", "vec_id", "dv", "dnorm")
+        .join(broadcast(csub), "m")
+        .select(col("vec_id"), col("m"), col("cent_id"),
+          (col("dnorm") + col("cnorm") - lit(2.0) * dotF(col("dv"), col("cv")))
+            .as("dist"))
         .groupBy(col("vec_id"), col("m"))
         .agg(min(struct(col("dist"), col("cent_id"))).as("best"))
         .select(col("vec_id"), col("m"), col("best.cent_id").as("code")))
-    val qdist = d.filter(col("vec_id") % QUERY_MOD === 0)
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id").as("query_id"), col("cent_id"),
-        posexplode(array((0 until PQ_M).map(m =>
-          floor(subDist(col("embedding"), col("ce"), m) * 1000000.0 + lit(0.5))): _*))
-          .as(Seq("m", "qdm")))
+    val qdist = subRows(d.filter(col("vec_id") % QUERY_MOD === 0),
+        "vec_id", "embedding", "query_id", "qv", "qnorm")
+      .join(broadcast(csub), "m")
+      .select(col("query_id"), col("m"), col("cent_id"),
+        floor((col("qnorm") + col("cnorm") - lit(2.0) * dotF(col("qv"), col("cv"))) *
+          1000000.0 + lit(0.5)).as("qdm"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
     codes.join(broadcast(qdist),

@@ -537,7 +537,65 @@ object Relational {
        |       ${sqlDsum("value")} AS raw_sum
        |FROM ev, mx GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------- volume anomaly z-score
+  /** |z| at or above this flags the day. */
+  private val ANOM_Z = 2.0
+
+  /** Daily-volume anomaly detection per event type — the monitoring
+    * face of the pipeline: each (type, day) count is z-scored against
+    * that type's own daily distribution and flagged at |z| ≥ [[ANOM_Z]].
+    * The ingest-drop / bot-spike alarm a production feed runs on.
+    *
+    * Determinism: counts are integers, so mean and variance derive from
+    * exact long moments (n, Σc, Σc²); z is a fixed IEEE chain over
+    * those exact ints — identical cross-engine, no rounding needed.
+    * Population variance via the integer identity n·Σc² − (Σc)².
+    *
+    * Scale shape: one (type, day) count shuffle, a per-type moments
+    * aggregate over the tiny daily relation, one broadcast join back —
+    * linear, dominated by the first count. */
+  def anomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val moments = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("sq"))
+    val num = col("n") * col("sq") - col("s") * col("s")
+    val z = when(num > 0,
+      (col("cnt").cast("double") - col("s").cast("double") / col("n")) /
+        sqrt(num.cast("double") / (col("n") * col("n")).cast("double")))
+      .otherwise(lit(0.0))
+    daily.join(broadcast(moments), "event_type")
+      // day as midnight timestamp: DATE columns round-trip as python
+      // date objects in the compare harness while DuckDB yields
+      // datetime64 — timestamps compare cleanly on both sides
+      .select(col("event_type"), col("day").cast("timestamp").as("day"),
+        col("cnt"), z.as("z"),
+        (abs(z) >= ANOM_Z).cast("int").as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  val anomalyDaysSql: String =
+    s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |                  CAST(count(*) AS BIGINT) AS cnt
+       |           FROM events GROUP BY 1, 2),
+       |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |             CAST(sum(cnt) AS BIGINT) AS s,
+       |             CAST(sum(cnt * cnt) AS BIGINT) AS sq FROM d GROUP BY 1)
+       |SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day, d.cnt,
+       |       CASE WHEN m.n * m.sq - m.s * m.s > 0 THEN
+       |         (CAST(d.cnt AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
+       |         / sqrt(CAST(m.n * m.sq - m.s * m.s AS DOUBLE) / CAST(m.n * m.n AS DOUBLE))
+       |       ELSE CAST(0.0 AS DOUBLE) END AS z,
+       |       CAST(abs(CASE WHEN m.n * m.sq - m.s * m.s > 0 THEN
+       |         (CAST(d.cnt AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
+       |         / sqrt(CAST(m.n * m.sq - m.s * m.s AS DOUBLE) / CAST(m.n * m.n AS DOUBLE))
+       |       ELSE CAST(0.0 AS DOUBLE) END) >= CAST($ANOM_Z AS DOUBLE) AS INT) AS is_anomaly
+       |FROM d JOIN m USING (event_type) ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_days"            -> anomalyDays _,
     "q_decayed_engagement"      -> decayedEngagement _,
     "q_above_avg_orders"        -> aboveAvgOrders _,
     "q_cube_status"             -> cubeStatus _,
@@ -557,6 +615,7 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_anomaly_days"            -> anomalyDaysSql,
     "q_decayed_engagement"      -> decayedEngagementSql,
     "q_above_avg_orders"        -> aboveAvgOrdersSql,
     "q_cube_status"             -> cubeStatusSql,

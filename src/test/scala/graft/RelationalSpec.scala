@@ -175,6 +175,27 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("anomaly z-scores match a plain-Scala moments recount") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(to_date(ts) AS STRING) AS d").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val daily = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byType = daily.groupBy(_._1._1)
+    val expected = daily.toSeq.map { case ((t, day), cnt) =>
+      val cs = byType(t).values.toSeq
+      val (n, s, sq) = (cs.size.toLong, cs.sum, cs.map(c => c * c).sum)
+      val num = n * sq - s * s
+      val z = if (num > 0)
+        (cnt.toDouble - s.toDouble / n) / math.sqrt(num.toDouble / (n * n).toDouble)
+      else 0.0
+      (t, day, cnt, z, if (math.abs(z) >= 2.0) 1 else 0)
+    }.sortBy(e => (e._1, e._2))
+    val got = Relational.anomalyDays(spark, sf).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toLocalDateTime.toLocalDate.toString,
+        r.getLong(2), r.getDouble(3), r.getInt(4))).toSeq
+    assert(got == expected, s"anomaly mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+  }
+
   test("decayed engagement matches a plain-Scala half-life recount") {
     val rows = Tables.events(spark, sf)
       .selectExpr("event_type", "value", "CAST(to_date(ts) AS STRING) AS d")

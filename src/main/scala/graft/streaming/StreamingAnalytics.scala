@@ -122,6 +122,29 @@ object StreamingAnalytics {
           col("time_on_page") * 0.3)
   }
 
+  /** Stream-stream INTERVAL join — last-touch attribution: each purchase
+    * pairs with the same user's clicks in the preceding
+    * `horizonMinutes`. Unlike [[threewayJoin]]'s equi-join on
+    * (event_id, ts), the time-range predicate forces Spark to keep BOTH
+    * sides' state until the watermark passes the interval bound — the
+    * state-retention contract is `click.ts ∈ [purchase.ts − horizon,
+    * purchase.ts]`, so clicks expire `horizon` past their event time and
+    * purchases at the watermark. At scale state is keyed by user_id
+    * (the equi-part of the condition), so the join shuffles both
+    * streams once on the same key a batch attribution join would. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                      horizonMinutes: Int = 10): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+      c("user_id") === p("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(c("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   // ------------------------------------------------------------ runners
 
   /** Correct stateful mode: watermark + windowed agg, append to parquet.

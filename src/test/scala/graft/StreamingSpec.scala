@@ -458,6 +458,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch attribution join") {
+    val clicks = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    val buys = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    val base = mkEvents(180)
+    val cRows = base.filter(_.event_id % 2 == 0)  // clicks: even ids
+    val pRows = base.filter(_.event_id % 3 == 0)  // purchases: every 3rd
+    val q = StreamingAnalytics.attributionJoin(clicks.toDF(), buys.toDF(), 10)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attrib").start()
+    try {
+      clicks.addData(cRows)
+      buys.addData(pRows)
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+      val cb = cRows.toDF().select(col("user_id"), col("ts").as("click_ts"))
+      val pb = pRows.toDF().select(col("user_id").as("pu"),
+        col("ts").as("purchase_ts"), col("value"))
+      val expected = cb.join(pb,
+        col("user_id") === col("pu") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
+      assert(expected.count() > 0, "degenerate replay: no attributable pairs")
+      assert(got.count() == expected.count() &&
+        got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        s"stream=${got.count()} batch=${expected.count()}")
+    } finally q.stop()
+  }
+
   test("3-way stream-stream join is lossless and scores match the formula") {
     implicit val sqlCtx = spark.sqlContext
     val pv = MemoryStream[Pv](Encoders.product[Pv], spark.sqlContext)

@@ -118,9 +118,45 @@ object GraphOps {
        |FROM r$PR_ITERS ORDER BY 1""".stripMargin
   }
 
+  private val PATH_TOPK = 15
+
+  /** Most-travelled 3-step page paths: per user, consecutive page
+    * triples in (ts, event_id) order (the navigation-pattern statistic
+    * next to [[pageRank]]'s stationary view). One partitioned lag
+    * window + one (p1,p2,p3) count shuffle + a distributed
+    * TakeOrderedAndProject — never a global window. Self-transitions
+    * are kept: a triple is a raw navigation observation here, not a
+    * deduplicated edge. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        from_json(col("props"), lit("k INT")).getField("k").as("p3"))
+      .withColumn("p2", lag(col("p3"), 1).over(byUser))
+      .withColumn("p1", lag(col("p3"), 2).over(byUser))
+      .filter(col("p1").isNotNull)
+      .groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("p1").asc, col("p2").asc, col("p3").asc)
+      .limit(PATH_TOPK)
+  }
+
+  val sessionPathsSql: String =
+    s"""WITH ev AS (SELECT user_id, ts, event_id,
+       |  CAST(json_extract(props, '$$.k') AS INT) AS p3 FROM events),
+       |sq AS (SELECT p3,
+       |         lag(p3, 1) OVER w AS p2, lag(p3, 2) OVER w AS p1
+       |       FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+       |SELECT p1, p2, p3, CAST(count(*) AS BIGINT) AS cnt
+       |FROM sq WHERE p1 IS NOT NULL GROUP BY 1, 2, 3
+       |ORDER BY cnt DESC, p1 ASC, p2 ASC, p3 ASC LIMIT $PATH_TOPK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> (pageRank _))
+    "q_pagerank"      -> (pageRank _),
+    "q_session_paths" -> (sessionPaths _))
 
   val oracles: Map[String, String] = Map(
-    "q_pagerank" -> pageRankSql)
+    "q_pagerank"      -> pageRankSql,
+    "q_session_paths" -> sessionPathsSql)
 }

@@ -509,7 +509,53 @@ object TrafficAnalytics {
        |       CASE WHEN c2 > 0 THEN CAST(c3 AS DOUBLE) / c2 ELSE CAST(0.0 AS DOUBLE) END FROM c
        |ORDER BY depth""".stripMargin
 
+  // ------------------------------------------------ cohort retention
+  /** Day-granularity cohort retention matrix: users grouped by
+    * first-seen day (the cohort), each later active day counted at its
+    * offset from that first day — the (cohort × offset) → users/
+    * retention-rate table behind every retention curve.
+    *
+    * Shape: one distinct (user, day) shuffle, a min-day aggregate per
+    * user, one user-keyed join back, one (cohort, offset) count (rows
+    * are already user-distinct per day, so plain count(*) IS the
+    * distinct-user count), and a cohort-keyed join to the offset-0
+    * size for the rate — all linear, no windows.
+    *
+    * Determinism: counts are integers; the rate is one long/long IEEE
+    * division. Cohort day is emitted as a midnight timestamp (same
+    * datetime64 round-trip note as q_anomaly_days). */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val act = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val cells = act.join(first, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+    val size = cells.filter(col("offset_days") === 0)
+      .select(col("cohort").as("c0"), col("n_users").as("cohort_size"))
+    cells.join(broadcast(size), col("cohort") === col("c0"))
+      .select(col("cohort").cast("timestamp").as("cohort"),
+        col("offset_days"), col("n_users"), col("cohort_size"),
+        (col("n_users").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy("cohort", "offset_days")
+  }
+
+  val cohortRetentionSql: String =
+    s"""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       |f AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1),
+       |cells AS (SELECT f.cohort,
+       |                 CAST(date_diff('day', f.cohort, act.day) AS INT) AS offset_days,
+       |                 CAST(count(*) AS BIGINT) AS n_users
+       |          FROM act JOIN f USING (user_id) GROUP BY 1, 2),
+       |sz AS (SELECT cohort AS c0, n_users AS cohort_size FROM cells WHERE offset_days = 0)
+       |SELECT CAST(cells.cohort AS TIMESTAMP) AS cohort, offset_days, n_users, cohort_size,
+       |       CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+       |FROM cells JOIN sz ON cells.cohort = sz.c0
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention"        -> cohortRetention _,
     "q_funnel"                  -> funnel _,
     "q_json_decode"             -> jsonDecode _,
     "q_engagement_windowed"     -> engagementWindowed _,
@@ -526,6 +572,7 @@ object TrafficAnalytics {
     "q_comparison_accuracy"     -> comparisonAccuracy _)
 
   val oracles: Map[String, String] = Map(
+    "q_cohort_retention"        -> cohortRetentionSql,
     "q_funnel"                  -> funnelSql,
     "q_json_decode"             -> jsonDecodeSql,
     "q_engagement_windowed"     -> engagementWindowedSql,

@@ -46,4 +46,23 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == expected,
       s"pagerank mismatch: got=${got.take(5)}… exp=${expected.take(5)}…")
   }
+
+  test("session paths match a plain-Scala trigram recount") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS tsu", "event_id",
+        "from_json(props, 'k INT').k AS page")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val tri = rows.groupBy(_._1).iterator.flatMap { case (_, es) =>
+      val p = es.sortBy(e => (e._2, e._3)).map(_._4)
+      p.iterator.zip(p.iterator.drop(1)).zip(p.iterator.drop(2))
+        .map { case ((a, b), c) => (a, b, c) }
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val expected = tri
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(15)
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+    val got = GraphOps.sessionPaths(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == expected, s"paths mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+  }
 }

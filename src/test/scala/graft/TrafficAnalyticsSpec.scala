@@ -56,6 +56,26 @@ class TrafficAnalyticsSpec extends AnyFunSuite {
     assert(c3 > 0, "no user completes the funnel at test SF — thresholds drifted")
   }
 
+  test("cohort retention matches a plain-Scala cohort recount") {
+    val act = Tables.events(spark, sf)
+      .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS day").collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1)))).distinct
+    val first = act.groupBy(_._1).view.mapValues(_.map(_._2).minBy(_.toEpochDay)).toMap
+    val cells = act.map { case (u, d) =>
+      val c = first(u); ((c, (d.toEpochDay - c.toEpochDay).toInt), 1L)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val size = cells.collect { case ((c, 0), n) => c -> n }.toMap
+    val expected = cells.toSeq.map { case ((c, off), n) =>
+      (c.toString, off, n, size(c), n.toDouble / size(c)) }
+      .sortBy(e => (e._1, e._2))
+    val got = TrafficAnalytics.cohortRetention(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.toLocalDate.toString,
+        r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected, s"retention mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+    // every cohort retains 100% of itself at offset 0
+    got.filter(_._2 == 0).foreach { e => assert(e._5 == 1.0, s"offset-0 retention != 1: $e") }
+  }
+
   test("percentages per window sum to ~100 (W1 invariant)") {
     val bad = TrafficAnalytics.pageViewsDistribution(spark, sf)
       .groupBy("window_start").agg(sum("percentage").as("p"))

@@ -72,9 +72,18 @@ object GraphOps {
         edges.groupBy(col("src")).agg(sum(col("w")).as("wtot")), "src"))
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node"))).distinct()
-    var ranks = Materializer.materialize(Materializer.tagFor("pr0", dir),
-      nodes.withColumn("r_mu", lit(INIT_MU)))
-    for (i <- 1 to PR_ITERS) {
+    // round 1 folded: from the uniform init every source holds exactly
+    // INIT_MU, so the first round's contribution is a constant formula
+    // over the edge list — no rank join and no materialized r0
+    var ranks = Materializer.materialize(Materializer.tagFor("pr1", dir),
+      nodes.join(
+        ann.select(col("dst"),
+          expr(s"($DAMP_PCT * $INIT_MU * w) DIV (100 * wtot)").as("c"))
+          .groupBy(col("dst").as("node")).agg(sum(col("c")).as("cin")),
+        Seq("node"), "left")
+        .select(col("node"),
+          (lit(JUMP_MU) + coalesce(col("cin"), lit(0L))).as("r_mu")))
+    for (i <- 2 to PR_ITERS) {
       val contrib = ann.join(ranks, ann("src") === ranks("node"))
         .select(col("dst"),
           expr(s"($DAMP_PCT * r_mu * w) DIV (100 * wtot)").as("c"))

@@ -475,7 +475,60 @@ object CorpusOps {
        |FROM s ORDER BY pmi_mu DESC, x ASC, y ASC LIMIT $PMI_TOPK""".stripMargin
   }
 
+  // --------------------------------------------- vocabulary coverage
+  /** Head vocabulary size for the coverage audit. */
+  private val VOCAB_V = 1000
+
+  /** Tokenizer-budget audit: what fraction of token OCCURRENCES (and of
+    * distinct types) does a top-[[VOCAB_V]] frequency vocabulary cover,
+    * per language — the out-of-vocabulary rate that decides whether a
+    * vocab size is viable for a corpus slice. Reported per language so
+    * under-covered slices stand out.
+    *
+    * Shape: one corpus tf aggregate; the head is orderBy().limit()
+    * (distributed TakeOrderedAndProject), broadcast back as a
+    * membership probe on the (lang, tok) counts — one further narrow
+    * aggregate per language. Linear; the vocab side is constant-size
+    * by construction. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val occ = documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+    val byLangTok = occ.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val head = byLangTok.groupBy(col("tok")).agg(sum(col("c")).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc).limit(VOCAB_V)
+      .select(col("tok").as("vtok"))
+    byLangTok.join(broadcast(head), col("tok") === col("vtok"), "left")
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_occurrences"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("vtok").isNotNull, col("c")).otherwise(lit(0L))).as("cov_occ"),
+        sum(when(col("vtok").isNotNull, 1L).otherwise(0L)).as("cov_types"))
+      .select(col("lang"), col("n_occurrences"), col("n_types"),
+        (col("cov_occ").cast("double") / col("n_occurrences").cast("double"))
+          .as("occurrence_coverage"),
+        (col("cov_types").cast("double") / col("n_types").cast("double"))
+          .as("type_coverage"))
+      .orderBy("lang")
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH occ AS (SELECT lang, unnest(${sqlTokens("text")}) AS tok FROM documents),
+       |lt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY 1, 2),
+       |head AS (SELECT tok AS vtok FROM (
+       |  SELECT tok, CAST(sum(c) AS BIGINT) AS freq FROM lt GROUP BY 1
+       |  ORDER BY freq DESC, tok ASC LIMIT $VOCAB_V)),
+       |j AS (SELECT lt.lang, lt.c, head.vtok FROM lt
+       |      LEFT JOIN head ON lt.tok = head.vtok)
+       |SELECT lang, CAST(sum(c) AS BIGINT) AS n_occurrences,
+       |       CAST(count(*) AS BIGINT) AS n_types,
+       |       CAST(sum(CASE WHEN vtok IS NOT NULL THEN c ELSE 0 END) AS DOUBLE)
+       |         / CAST(sum(c) AS DOUBLE) AS occurrence_coverage,
+       |       CAST(sum(CASE WHEN vtok IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS type_coverage
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_coverage" -> vocabCoverage _,
     "q_pmi_bigrams"   -> pmiBigrams _,
     "q_seq_packing"   -> seqPacking _,
     "q_bm25"          -> bm25 _,
@@ -485,6 +538,7 @@ object CorpusOps {
     "q_source_report" -> sourceReport _)
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_coverage" -> vocabCoverageSql,
     "q_pmi_bigrams"   -> pmiBigramsSql,
     "q_seq_packing"   -> seqPackingSql,
     "q_bm25"          -> bm25Sql,

@@ -96,6 +96,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no supported collocations at test SF")
   }
 
+  test("vocab coverage matches a plain-Scala recount") {
+    val WS = "[ \\t\\n\\f\\r]+"
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split(WS).filter(_.nonEmpty)))
+    val tf = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val head = tf.sortBy { case (t, f) => (-f, t) }.take(1000).map(_._1).toSet
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val lt = ds.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      val nOcc = lt.map(_._2).sum
+      val covO = lt.collect { case (t, c) if head(t) => c }.sum
+      val covT = lt.count(t => head(t._1)).toLong
+      (lang, nOcc, lt.size.toLong, covO.toDouble / nOcc, covT.toDouble / lt.size)
+    }.toSeq.sortBy(_._1)
+    val got = CorpusOps.vocabCoverage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expected, s"coverage mismatch: got=${got.take(2)}… exp=${expected.take(2)}…")
+  }
+
   test("source report: fractions bounded, volumes cover the corpus") {
     val rows = CorpusOps.sourceReport(spark, sf)
       .select("n_docs", "dup_frac", "avg_quality", "gate_pass_frac").collect()

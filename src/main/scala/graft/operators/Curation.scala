@@ -326,7 +326,58 @@ object Curation {
        |       CAST(avg_logratio > mean_lr AS INT) AS selected
        |FROM pd, m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- token entropy signal
+  /** Within-document token Shannon entropy — the information-theoretic
+    * repetitiveness signal next to [[q_repetition_stats]]'s count
+    * ratios: template/boilerplate docs have low entropy for their
+    * length, gibberish-unique docs sit at the ln(n) ceiling.
+    * H = ln(n) − (1/n)·Σ c·ln(c) over the doc's token counts c;
+    * norm_entropy = H / ln(n_types) ∈ [0,1] when n_types > 1.
+    *
+    * Determinism: all lns micro-unit-rounded; n·lnMu(n) − Σ c·lnMu(c)
+    * is an exact long per doc; H and the normalization are single IEEE
+    * divisions. Scale shape: one (doc, tok) count shuffle + one
+    * doc-keyed rollup — linear, scan-bounded. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    def lnMu(c: Column): Column =
+      floor(log(c.cast("double")) * 1000000.0 + lit(0.5)).cast("long")
+    documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * lnMu(col("c"))).as("slc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        ((col("n_tokens") * lnMu(col("n_tokens")) - col("slc")).cast("double") /
+          col("n_tokens") / 1000000.0).as("entropy"),
+        when(col("n_types") > 1,
+          (col("n_tokens") * lnMu(col("n_tokens")) - col("slc")).cast("double") /
+            col("n_tokens") / lnMu(col("n_types")).cast("double"))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
+  val tokenEntropySql: String = {
+    def lnMu(e: String): String =
+      s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    s"""WITH occ AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
+       |dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY 1, 2),
+       |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |             CAST(count(*) AS BIGINT) AS n_types,
+       |             CAST(sum(c * ${lnMu("c")}) AS BIGINT) AS slc
+       |      FROM dt GROUP BY 1)
+       |SELECT doc_id, n_tokens, n_types,
+       |       CAST(n_tokens * ${lnMu("n_tokens")} - slc AS DOUBLE) / n_tokens / 1000000.0
+       |         AS entropy,
+       |       CASE WHEN n_types > 1 THEN
+       |         CAST(n_tokens * ${lnMu("n_tokens")} - slc AS DOUBLE) / n_tokens
+       |           / CAST(${lnMu("n_types")} AS DOUBLE)
+       |       ELSE CAST(0.0 AS DOUBLE) END AS norm_entropy
+       |FROM d ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_entropy"       -> tokenEntropy _,
     "q_boilerplate_spans"   -> boilerplateSpans _,
     "q_bpe_merges"          -> bpeMerges _,
     "q_source_quality_gate" -> sourceQualityGate _,
@@ -334,6 +385,7 @@ object Curation {
     "q_dsir_weights"        -> dsirWeights _)
 
   val oracles: Map[String, String] = Map(
+    "q_token_entropy"       -> tokenEntropySql,
     "q_boilerplate_spans"   -> boilerplateSpansSql,
     "q_bpe_merges"          -> bpeMergesSql,
     "q_source_quality_gate" -> sourceQualityGateSql,

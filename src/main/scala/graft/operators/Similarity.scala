@@ -871,6 +871,59 @@ object Similarity {
       .orderBy("v1", "v2")
   }
 
+  // ------------------------------------------- label centroid separation
+  /** Class-prototype audit: the exact micro-unit mean embedding per
+    * label (the [[refineDims]] arithmetic, label-keyed) and the cosine
+    * between every centroid pair — the separation matrix that says
+    * whether the embedding space actually distinguishes the label
+    * structure (the geometric companion to [[retrievalEval]]'s ranking
+    * metrics). One posexplode + one (label, dim) micro-unit sum shuffle,
+    * array re-assembly per label, then an a<b join over the |labels|-row
+    * centroid relation — the pair space is |labels|², a constant, never
+    * corpus-sized. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val cd = embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(floor(col("x") * 1000000.0 + lit(0.5))).as("sm"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("d"), col("n"),
+        (col("sm").cast("double") / col("n") / 1000000.0).cast("float").as("cf"))
+    val cents = cd
+      .select(col("label"), col("n"), struct(col("d"), col("cf")).as("dc"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_members"),
+        sort_array(collect_list(col("dc"))).as("dcs"))
+      .select(col("label"), col("n_members"),
+        transform(col("dcs"), s => s.getField("cf")).as("ce"))
+      .withColumn("nrm", normSq(col("ce")))
+    val a = cents.select(col("label").as("label_a"), col("n_members").as("n_a"),
+      col("ce").as("ea"), col("nrm").as("na"))
+    val b = cents.select(col("label").as("label_b"), col("n_members").as("n_b"),
+      col("ce").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        cosine(col("ea"), col("na"), col("eb"), col("nb")).as("centroid_cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
+  val labelCentroidsSql: String =
+    s"""WITH e AS (SELECT label, i AS d, CAST(embedding[i+1] AS DOUBLE) AS x
+       |           FROM embeddings,
+       |                (SELECT unnest(generate_series(0, ${DIM - 1})) AS i) dims),
+       |cd AS (SELECT label, d, CAST(count(*) AS BIGINT) AS n,
+       |              CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sm
+       |       FROM e GROUP BY 1, 2),
+       |c AS (SELECT label, max(n) AS n_members,
+       |             list(CAST(CAST(sm AS DOUBLE) / n / 1000000.0 AS REAL) ORDER BY d) AS ce
+       |      FROM cd GROUP BY 1),
+       |cn AS (SELECT label, n_members, ce, ${sqlDot("ce", "ce")} AS nrm FROM c)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |       a.n_members AS n_a, b.n_members AS n_b,
+       |       ${sqlCosine("a.ce", "a.nrm", "b.ce", "b.nrm")} AS centroid_cosine
+       |FROM cn a JOIN cn b ON a.label < b.label
+       |ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------- retrieval-quality eval
   /** Depth of the evaluated ranking. */
   private val EVAL_K = 10
@@ -984,7 +1037,8 @@ object Similarity {
     "q_knn_classify"      -> knnClassify _,
     "q_ann_sq8"           -> annSq8 _,
     "q_ann_pq"            -> annPq _,
-    "q_retrieval_eval"    -> retrievalEval _)
+    "q_retrieval_eval"    -> retrievalEval _,
+    "q_label_centroids"   -> labelCentroids _)
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce"    -> annBruteforceSql,
@@ -998,5 +1052,6 @@ object Similarity {
     "q_knn_classify"      -> knnClassifySql,
     "q_ann_sq8"           -> annSq8Sql,
     "q_ann_pq"            -> annPqSql,
-    "q_retrieval_eval"    -> retrievalEvalSql)
+    "q_retrieval_eval"    -> retrievalEvalSql,
+    "q_label_centroids"   -> labelCentroidsSql)
 }

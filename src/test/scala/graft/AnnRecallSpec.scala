@@ -92,6 +92,32 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.2, f"PQ recall degenerate: $recall%.3f")
   }
 
+  test("label centroids match a plain-Scala prototype recount") {
+    val all = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "embedding", "label").collect()
+      .map(r => (r.getSeq[Float](1).toArray, r.getInt(2)))
+    val cents = all.groupBy(_._2).map { case (l, vs) =>
+      val n = vs.length
+      val ce = (0 until 64).map { d =>
+        val sm = vs.map(v => math.floor(v._1(d).toDouble * 1e6 + 0.5).toLong).sum
+        (sm.toDouble / n / 1e6).toFloat
+      }.toArray
+      l -> (n.toLong, ce)
+    }
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val expected = (for {
+      (la, (na, ea)) <- cents.toSeq; (lb, (nb, eb)) <- cents.toSeq if la < lb
+    } yield (la, lb, na, nb,
+      dot(ea, eb) / (math.sqrt(dot(ea, ea)) * math.sqrt(dot(eb, eb)))))
+      .sortBy(e => (e._1, e._2))
+    val got = Similarity.labelCentroids(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected,
+      s"centroid mismatch: got=${got.take(2)}… exp=${expected.take(2)}…")
+  }
+
   test("retrieval eval matches a plain-Scala IR-metric recount") {
     val all = Tables.embeddings(spark, sf)
       .selectExpr("vec_id", "embedding", "label").collect()

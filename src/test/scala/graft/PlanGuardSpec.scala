@@ -44,7 +44,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_ann_pq",
     // q_retrieval_eval: grades the exact-cosine ranking, so it embeds
     // the q_ann_bruteforce broadcast-query scan by definition
-    "q_retrieval_eval")
+    "q_retrieval_eval",
+    // q_label_centroids: a<b join over the |labels|-row centroid
+    // aggregate — constant pair space by construction
+    "q_label_centroids")
 
   /** Queries whose NLJ must additionally broadcast an AGGREGATE (a
     * 1-row/few-row bound, not base data): q_above_avg_orders (global

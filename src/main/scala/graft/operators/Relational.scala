@@ -594,7 +594,55 @@ object Relational {
        |       ELSE CAST(0.0 AS DOUBLE) END) >= CAST($ANOM_Z AS DOUBLE) AS INT) AS is_anomaly
        |FROM d JOIN m USING (event_type) ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------- revenue trend fit
+  /** Per-segment linear trend of daily order revenue — the forecast
+    * primitive (slope in revenue/day) behind growth dashboards.
+    * Revenue is summed in exact integer CENTS (o_totalprice has two
+    * decimals, so ·100 is exact), day is the epoch-day integer, and all
+    * regression moments are exact longs — the zipf-fit pattern — so the
+    * least-squares slope is one IEEE division of exact integers.
+    * Shape: one (segment, day) revenue shuffle + a per-segment moments
+    * rollup; linear, no windows. */
+  def revenueTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = orders(spark, dir)
+      .join(customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))).as("xd"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + lit(0.5)).cast("long")).as("cents"))
+    val mo = daily.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("xd").cast("long")).as("sx"), sum(col("cents")).as("sy"),
+        sum(col("xd").cast("long") * col("cents")).as("sxy"),
+        sum(col("xd").cast("long") * col("xd").cast("long")).as("sxx"))
+    val slope = (mo("n_days") * mo("sxy") - mo("sx") * mo("sy")).cast("double") /
+      (mo("n_days") * mo("sxx") - mo("sx") * mo("sx")).cast("double")
+    mo.select(col("c_mktsegment"), col("n_days"),
+      (col("sy").cast("double") / col("n_days") / 100.0).as("avg_daily_revenue"),
+      (slope / 100.0).as("trend_per_day"))
+      .orderBy("c_mktsegment")
+  }
+
+  val revenueTrendSql: String = {
+    val slope = "(CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * sxx - sx * sx AS DOUBLE))"
+    s"""WITH daily AS (
+       |  SELECT c_mktsegment,
+       |         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS xd,
+       |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |mo AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_days,
+       |              CAST(sum(xd) AS BIGINT) AS sx, CAST(sum(cents) AS BIGINT) AS sy,
+       |              CAST(sum(xd * cents) AS BIGINT) AS sxy,
+       |              CAST(sum(xd * xd) AS BIGINT) AS sxx
+       |       FROM daily GROUP BY 1)
+       |SELECT c_mktsegment, n_days,
+       |       CAST(sy AS DOUBLE) / n_days / 100.0 AS avg_daily_revenue,
+       |       $slope / 100.0 AS trend_per_day
+       |FROM mo ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_revenue_trend"           -> revenueTrend _,
     "q_anomaly_days"            -> anomalyDays _,
     "q_decayed_engagement"      -> decayedEngagement _,
     "q_above_avg_orders"        -> aboveAvgOrders _,
@@ -615,6 +663,7 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_revenue_trend"           -> revenueTrendSql,
     "q_anomaly_days"            -> anomalyDaysSql,
     "q_decayed_engagement"      -> decayedEngagementSql,
     "q_above_avg_orders"        -> aboveAvgOrdersSql,

@@ -175,6 +175,28 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("revenue trend matches a plain-Scala regression recount") {
+    val seg = Tables.customer(spark, sf).selectExpr("c_custkey", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val rows = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(to_date(o_orderdate) AS STRING) AS d", "o_totalprice")
+      .collect()
+      .map(r => (seg(r.getLong(0)), java.time.LocalDate.parse(r.getString(1)).toEpochDay,
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+    val expected = rows.groupBy(_._1).map { case (s, os) =>
+      val daily = os.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+      val n = daily.size.toLong
+      val (sx, sy) = (daily.map(_._1).sum, daily.map(_._2).sum)
+      val sxy = daily.map(d => d._1 * d._2).sum
+      val sxx = daily.map(d => d._1 * d._1).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      (s, n, sy.toDouble / n / 100.0, slope / 100.0)
+    }.toSeq.sortBy(_._1)
+    val got = Relational.revenueTrend(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expected, s"trend mismatch: got=${got.take(2)}… exp=${expected.take(2)}…")
+  }
+
   test("anomaly z-scores match a plain-Scala moments recount") {
     val rows = Tables.events(spark, sf)
       .selectExpr("event_type", "CAST(to_date(ts) AS STRING) AS d").collect()

@@ -476,15 +476,24 @@ object TrafficAnalytics {
       .crossJoin(broadcast(s1.agg(count(lit(1)).as("c1"))))
       .crossJoin(broadcast(s2.agg(count(lit(1)).as("c2"))))
       .crossJoin(broadcast(s3.agg(count(lit(1)).as("c3"))))
+    // ONE pass over the single counts row: a union of per-depth selects
+    // would recompute the whole step pipeline once per branch (Catalyst
+    // does not share the unioned subtree) — explode a literal 4-struct
+    // array instead
     def step(depth: Int, label: String, n: Column, prev: Column) =
-      counts.select(lit(depth).as("depth"), lit(label).as("step"),
+      struct(lit(depth).as("depth"), lit(label).as("step"),
         n.as("n_reached"),
         when(prev > 0, n.cast("double") / prev.cast("double"))
           .otherwise(lit(0.0)).as("conv_from_prev"))
-    step(0, "any", col("c0"), col("c0"))
-      .unionByName(step(1, "view", col("c1"), col("c0")))
-      .unionByName(step(2, "click_after_view", col("c2"), col("c1")))
-      .unionByName(step(3, "purchase_after_click", col("c3"), col("c2")))
+    counts
+      .select(explode(array(
+        step(0, "any", col("c0"), col("c0")),
+        step(1, "view", col("c1"), col("c0")),
+        step(2, "click_after_view", col("c2"), col("c1")),
+        step(3, "purchase_after_click", col("c3"), col("c2")))).as("r"))
+      .select(col("r.depth").as("depth"), col("r.step").as("step"),
+        col("r.n_reached").as("n_reached"),
+        col("r.conv_from_prev").as("conv_from_prev"))
       .orderBy("depth")
   }
 

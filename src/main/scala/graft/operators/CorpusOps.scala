@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Materializer
 import graft.Tables._
 import graft.functions.TextHash._
 
@@ -436,9 +437,14 @@ object CorpusOps {
         i => struct(element_at(col("toks"), i).as("x"),
           element_at(col("toks"), i + 1).as("y")))).as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"))
-    val cxy = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
-    val cx = toks.select(explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // both count relations are multiply referenced (cx: two annotation
+    // joins + the totals agg; cxy: totals + main) — materialize so the
+    // corpus scan/shuffle runs once per relation, not once per reference
+    val cxy = Materializer.materialize(Materializer.tagFor("pmicxy", dir),
+      pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy")))
+    val cx = Materializer.materialize(Materializer.tagFor("pmicx", dir),
+      toks.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c")))
     val tot = cx.agg(sum(col("c")).as("nuni"))
       .crossJoin(cxy.agg(sum(col("cxy")).as("nbi")))
     cxy.filter(col("cxy") >= PMI_MIN_SUP)

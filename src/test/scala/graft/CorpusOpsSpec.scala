@@ -90,8 +90,9 @@ class CorpusOpsSpec extends AnyFunSuite {
       }
       .sortBy { case (x, y, _, mu) => (-mu, x, y) }.take(20)
       .map { case (x, y, c, mu) => (x, y, c, mu.toDouble / 1e6) }
-    val got = CorpusOps.pmiBigrams(spark, sf).collect()
+    val got = try CorpusOps.pmiBigrams(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    finally Materializer.clear()
     assert(got == expected, s"pmi mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
     assert(got.nonEmpty, "no supported collocations at test SF")
   }

@@ -533,7 +533,79 @@ object CorpusOps {
        |         / CAST(count(*) AS DOUBLE) AS type_coverage
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------ bigram surprise scoring
+  /** Per-document bigram cross-entropy ("surprise") under the corpus's
+    * own bigram model: avg over adjacent pairs of ln(c(w1)/c(w1,w2)) —
+    * the sequential-predictability sibling of q_unigram_logppl (which
+    * ignores order). Template docs repeat frequent transitions and
+    * score low; shuffled/gibberish word salad scores high. No smoothing
+    * is needed: every scored pair exists in the corpus counts by
+    * construction.
+    *
+    * Reuses the PMI materialized count relations (same Materializer
+    * tags ⇒ a full-registry run builds them once). One scan-local pair
+    * explode + two vocab-keyed equi-joins + one doc rollup; micro-unit
+    * lns make the per-doc sum an exact long. */
+  def bigramSurprise(spark: SparkSession, dir: String): DataFrame = {
+    def lnMu(c: Column): Column =
+      floor(log(c.cast("double")) * 1000000.0 + lit(0.5)).cast("long")
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val pairs = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("x"),
+            element_at(col("toks"), i + 1).as("y")))).as("p"))
+      .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"))
+    val cxy = Materializer.materialize(Materializer.tagFor("pmicxy", dir),
+      pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy")))
+    val cx = Materializer.materialize(Materializer.tagFor("pmicx", dir),
+      documents(spark, dir)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c")))
+    val perDoc = Materializer.materialize(Materializer.tagFor("bgsdoc", dir),
+      pairs
+        .join(cxy, Seq("x", "y"))
+        .join(cx.select(col("tok"), col("c").as("cxc")), col("x") === col("tok"))
+        .select(col("doc_id"), (lnMu(col("cxc")) - lnMu(col("cxy"))).as("sur"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("sur")).as("ssur"))
+        .select(col("doc_id"), col("n_pairs"),
+          (col("ssur").cast("double") / col("n_pairs") / 1000000.0).as("avg_surprise")))
+    val mean = perDoc.agg(
+      (sum(floor(col("avg_surprise") * 1000000.0 + lit(0.5))).cast("double") /
+        count(lit(1)) / 1000000.0).as("mean_sur"))
+    perDoc.crossJoin(broadcast(mean))
+      .select(col("doc_id"), col("n_pairs"), col("avg_surprise"),
+        (col("avg_surprise") > col("mean_sur")).cast("int").as("above_mean"))
+      .orderBy("doc_id")
+  }
+
+  val bigramSurpriseSql: String = {
+    def lnMu(e: String): String =
+      s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    s"""WITH t AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |b AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+       |      FROM t WHERE len(toks) >= 2),
+       |pairs AS (SELECT doc_id, toks[i] AS x, toks[i + 1] AS y FROM b),
+       |cxy AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cxy FROM pairs GROUP BY 1, 2),
+       |cx AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+       |         SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+       |j AS (SELECT pairs.doc_id, ${lnMu("cx.c")} - ${lnMu("cxy.cxy")} AS sur
+       |      FROM pairs JOIN cxy USING (x, y) JOIN cx ON pairs.x = cx.tok),
+       |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |             CAST(sum(sur) AS BIGINT) AS ssur FROM j GROUP BY 1),
+       |pd AS (SELECT doc_id, n_pairs,
+       |              CAST(ssur AS DOUBLE) / n_pairs / 1000000.0 AS avg_surprise FROM d),
+       |m AS (SELECT CAST(sum(CAST(floor(avg_surprise * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |             / count(*) / 1000000.0 AS mean_sur FROM pd)
+       |SELECT doc_id, n_pairs, avg_surprise,
+       |       CAST(avg_surprise > mean_sur AS INT) AS above_mean
+       |FROM pd, m ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bigram_surprise" -> bigramSurprise _,
     "q_vocab_coverage" -> vocabCoverage _,
     "q_pmi_bigrams"   -> pmiBigrams _,
     "q_seq_packing"   -> seqPacking _,
@@ -544,6 +616,7 @@ object CorpusOps {
     "q_source_report" -> sourceReport _)
 
   val oracles: Map[String, String] = Map(
+    "q_bigram_surprise" -> bigramSurpriseSql,
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_pmi_bigrams"   -> pmiBigramsSql,
     "q_seq_packing"   -> seqPackingSql,

@@ -97,6 +97,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no supported collocations at test SF")
   }
 
+  test("bigram surprise matches a plain-Scala recount") {
+    val WS = "[ \\t\\n\\f\\r]+"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split(WS).filter(_.nonEmpty)))
+    def lnMu(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    val uni = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val allPairs = docs.filter(_._2.length >= 2)
+      .flatMap { case (id, t) => t.zip(t.tail).map(p => (id, p)) }
+    val bi = allPairs.map(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val perDoc = allPairs.groupBy(_._1).map { case (id, ps) =>
+      val ssur = ps.map { case (_, (x, y)) => lnMu(uni(x)) - lnMu(bi((x, y))) }.sum
+      (id, ps.size.toLong, ssur.toDouble / ps.size / 1e6)
+    }.toSeq
+    val mean = perDoc.map(d => math.floor(d._3 * 1e6 + 0.5).toLong).sum.toDouble /
+      perDoc.length / 1e6
+    val expected = perDoc.sortBy(_._1).map { case (id, n, s) =>
+      (id, n, s, if (s > mean) 1 else 0) }
+    val got = try CorpusOps.bigramSurprise(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    finally Materializer.clear()
+    assert(got == expected, s"surprise mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+  }
+
   test("vocab coverage matches a plain-Scala recount") {
     val WS = "[ \\t\\n\\f\\r]+"
     val docs = Tables.documents(spark, sf).select("lang", "text").collect()

@@ -72,6 +72,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_pmi_bigrams: 1-row (N unigrams, B bigrams) totals broadcast
     // over the supported-pair set (CorpusOps.pmiBigrams)
     "q_pmi_bigrams",
+    // q_bigram_surprise: 1-row corpus score-mean broadcast over the
+    // materialized per-doc table (CorpusOps.bigramSurprise)
+    "q_bigram_surprise",
     // q_decayed_engagement: 1-row max-date anchor broadcast over the
     // event scan (Relational.decayedEngagement)
     "q_decayed_engagement",

@@ -376,7 +376,45 @@ object Curation {
        |FROM d ORDER BY 1""".stripMargin
   }
 
+  // ----------------------------------------- cross-source calibration
+  /** Per-source percentile calibration of the quality score — the fix
+    * for cross-source threshold bias: an absolute cut keeps different
+    * fractions of each source (sources differ systematically in raw
+    * score), while the percentile rank (rk−1)/(n−1) ∈ [0,1] is
+    * comparable across sources by construction. The integer rank rule
+    * makes the calibrated score exactly mirrorable (no float percentile
+    * cut). Window is PARTITIONED by source — source-parallel, same
+    * declared class as [[sourceQualityGate]]'s rank. */
+  def qualityCalibrated(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.qualityScoreOf(col("text")).as("score"))
+      .select(col("doc_id"), col("source"), col("score"),
+        row_number().over(w.orderBy(col("score").asc, col("doc_id").asc)).as("rk"),
+        count(lit(1)).over(w).as("n"))
+      .select(col("doc_id"), col("source"), col("score"),
+        when(col("n") > 1,
+          (col("rk") - 1).cast("double") / (col("n") - 1).cast("double"))
+          .otherwise(lit(0.5)).as("calibrated_pct"))
+      .orderBy("doc_id")
+  }
+
+  val qualityCalibratedSql: String =
+    s"""WITH t AS (SELECT doc_id, source, text, ${sqlTokens("text")} AS toks,
+       |                  length(text) AS nc FROM documents),
+       |s AS (SELECT doc_id, source, (${TextOps.sqlQualityOf}) AS score FROM t),
+       |r AS (SELECT doc_id, source, score,
+       |             row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rk,
+       |             count(*) OVER (PARTITION BY source) AS n
+       |      FROM s)
+       |SELECT doc_id, source, score,
+       |       CASE WHEN n > 1 THEN CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+       |            ELSE CAST(0.5 AS DOUBLE) END AS calibrated_pct
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_calibrated"  -> qualityCalibrated _,
     "q_token_entropy"       -> tokenEntropy _,
     "q_boilerplate_spans"   -> boilerplateSpans _,
     "q_bpe_merges"          -> bpeMerges _,
@@ -385,6 +423,7 @@ object Curation {
     "q_dsir_weights"        -> dsirWeights _)
 
   val oracles: Map[String, String] = Map(
+    "q_quality_calibrated"  -> qualityCalibratedSql,
     "q_token_entropy"       -> tokenEntropySql,
     "q_boilerplate_spans"   -> boilerplateSpansSql,
     "q_bpe_merges"          -> bpeMergesSql,

@@ -641,7 +641,38 @@ object Relational {
        |FROM mo ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------- week-over-week growth
+  /** Weekly event volumes per type with the week-over-week growth
+    * ratio — the trend companion to [[anomalyDays]]'s point alarms.
+    * ISO-Monday week truncation (both engines agree); the lag window is
+    * PARTITIONED by event type (source-parallel, a handful of weekly
+    * rows per partition — never a global window). Each type's first
+    * week has no predecessor and is dropped rather than emitting an
+    * engine-dependent null ratio. */
+  def weeklyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week").asc)
+    events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("week", col("ts")).as("week"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(w))
+      .filter(col("prev_cnt").isNotNull)
+      .select(col("event_type"), col("week"), col("cnt"), col("prev_cnt"),
+        (col("cnt").cast("double") / col("prev_cnt").cast("double")).as("wow_growth"))
+      .orderBy("event_type", "week")
+  }
+
+  val weeklyGrowthSql: String =
+    s"""WITH wk AS (SELECT event_type, date_trunc('week', ts) AS week,
+       |                   CAST(count(*) AS BIGINT) AS cnt
+       |            FROM events GROUP BY 1, 2),
+       |l AS (SELECT *, lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY week ASC)
+       |               AS prev_cnt FROM wk)
+       |SELECT event_type, CAST(week AS TIMESTAMP) AS week, cnt, prev_cnt,
+       |       CAST(cnt AS DOUBLE) / CAST(prev_cnt AS DOUBLE) AS wow_growth
+       |FROM l WHERE prev_cnt IS NOT NULL ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weekly_growth"           -> weeklyGrowth _,
     "q_revenue_trend"           -> revenueTrend _,
     "q_anomaly_days"            -> anomalyDays _,
     "q_decayed_engagement"      -> decayedEngagement _,
@@ -663,6 +694,7 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_weekly_growth"           -> weeklyGrowthSql,
     "q_revenue_trend"           -> revenueTrendSql,
     "q_anomaly_days"            -> anomalyDaysSql,
     "q_decayed_engagement"      -> decayedEngagementSql,

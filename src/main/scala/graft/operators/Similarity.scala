@@ -924,6 +924,52 @@ object Similarity {
        |FROM cn a JOIN cn b ON a.label < b.label
        |ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------- negative-pair sampling
+  /** Negatives drawn per anchor. */
+  private val NEG_K = 5
+
+  /** Deterministic negative sampling for contrastive training: each
+    * held-out anchor gets [[NEG_K]] pseudo-random candidate ids from a
+    * fixed LCG-style formula (anchor·31 + j·977 mod N); candidates are
+    * dereferenced by an equi-join and kept only when their label
+    * differs (a true negative) and they aren't the anchor. Stable under
+    * re-runs and partitioning — the property that makes a training set
+    * reproducible — unlike rand()-based sampling.
+    *
+    * Scale shape: anchors × K is scan-local fan-out; the dereference is
+    * one id-keyed equi-join (linear); N rides a 1-row broadcast.
+    * Candidates whose id doesn't exist drop out in the join (ids here
+    * are contiguous, so none do). */
+  def negativePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val nRow = e.agg(count(lit(1)).as("nn"))
+    val cands = e.filter(col("vec_id") % QUERY_MOD === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"))
+      .crossJoin(broadcast(nRow))
+      .select(col("anchor_id"), col("anchor_label"), col("nn"),
+        explode(sequence(lit(1), lit(NEG_K))).as("j"))
+      .withColumn("cand",
+        pmod(col("anchor_id") * 31 + col("j") * 977, col("nn")))
+    cands.join(e.select(col("vec_id"), col("label")), col("cand") === col("vec_id"))
+      .filter(col("label") =!= col("anchor_label") && col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("anchor_label"), col("j").cast("long").as("j"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"))
+      .orderBy("anchor_id", "j")
+  }
+
+  val negativePairsSql: String =
+    s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM embeddings),
+       |a AS (SELECT vec_id AS anchor_id, label AS anchor_label
+       |      FROM embeddings WHERE vec_id % $QUERY_MOD = 0),
+       |c AS (SELECT anchor_id, anchor_label, j,
+       |             (anchor_id * 31 + j * 977) % nn AS cand
+       |      FROM a, n, (SELECT unnest(generate_series(1, $NEG_K)) AS j) js)
+       |SELECT anchor_id, anchor_label, CAST(j AS BIGINT) AS j,
+       |       e.vec_id AS neg_id, e.label AS neg_label
+       |FROM c JOIN embeddings e ON c.cand = e.vec_id
+       |WHERE e.label != c.anchor_label AND e.vec_id != c.anchor_id
+       |ORDER BY anchor_id, j""".stripMargin
+
   // ------------------------------------------- retrieval-quality eval
   /** Depth of the evaluated ranking. */
   private val EVAL_K = 10
@@ -1038,7 +1084,8 @@ object Similarity {
     "q_ann_sq8"           -> annSq8 _,
     "q_ann_pq"            -> annPq _,
     "q_retrieval_eval"    -> retrievalEval _,
-    "q_label_centroids"   -> labelCentroids _)
+    "q_label_centroids"   -> labelCentroids _,
+    "q_negative_pairs"    -> negativePairs _)
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce"    -> annBruteforceSql,
@@ -1053,5 +1100,6 @@ object Similarity {
     "q_ann_sq8"           -> annSq8Sql,
     "q_ann_pq"            -> annPqSql,
     "q_retrieval_eval"    -> retrievalEvalSql,
-    "q_label_centroids"   -> labelCentroidsSql)
+    "q_label_centroids"   -> labelCentroidsSql,
+    "q_negative_pairs"    -> negativePairsSql)
 }

@@ -92,6 +92,24 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.2, f"PQ recall degenerate: $recall%.3f")
   }
 
+  test("negative pairs: deterministic formula, labels differ, never the anchor") {
+    val labels = Tables.embeddings(spark, sf).selectExpr("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val n = labels.size.toLong
+    val expected = labels.keys.filter(_ % 50 == 0).toSeq.sorted.flatMap { a =>
+      (1 to 5).flatMap { j =>
+        val cand = (a * 31 + j * 977) % n
+        labels.get(cand).collect {
+          case l if l != labels(a) && cand != a => (a, labels(a), j.toLong, cand, l)
+        }
+      }
+    }
+    val got = Similarity.negativePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSeq
+    assert(got == expected, s"negatives mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+    assert(got.nonEmpty)
+  }
+
   test("label centroids match a plain-Scala prototype recount") {
     val all = Tables.embeddings(spark, sf)
       .selectExpr("vec_id", "embedding", "label").collect()

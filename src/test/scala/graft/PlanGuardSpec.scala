@@ -47,7 +47,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_retrieval_eval",
     // q_label_centroids: a<b join over the |labels|-row centroid
     // aggregate — constant pair space by construction
-    "q_label_centroids")
+    "q_label_centroids",
+    // q_negative_pairs: 1-row corpus-size broadcast over the anchor
+    // fan-out (Similarity.negativePairs)
+    "q_negative_pairs")
 
   /** Queries whose NLJ must additionally broadcast an AGGREGATE (a
     * 1-row/few-row bound, not base data): q_above_avg_orders (global

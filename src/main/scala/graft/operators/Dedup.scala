@@ -151,6 +151,28 @@ object Dedup {
        |${NearDup.sqlCappedJaccardPairs("ex", "sh", DF_CAP, JACCARD_T, "jaccard")}"""
       .stripMargin
 
+  /** Containment gate: |A∩B| / |A| ≥ this keeps the pair. */
+  private val CONTAIN_T = 0.5
+
+  /** DIRECTIONAL containment detection — |A∩B| / |A| over the same
+    * capped shingle index: catches quotes/inclusions that symmetric
+    * jaccard misses (a paragraph wholly inside a much longer doc has
+    * tiny jaccard but containment ≈ 1 in one direction). Ordered pairs
+    * (a, b) with a ≠ b; the shared [[NearDup.cappedScoredJoin]] skeleton
+    * with the asymmetric scorer, reusing the `candidx` materialized
+    * capped index (built once per registry run). */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    NearDup.cappedScoredJoin(shingleIndex(spark, dir), "sh", DF_CAP,
+      CONTAIN_T, "containment", Materializer.tagFor("candidx", dir),
+      col("a.doc_id") =!= col("b.doc_id"), "inner_doc", "outer_doc",
+      (common, n1, _) => common.cast("double") / n1)
+
+  val containmentSql: String =
+    s"""WITH ex AS ($sqlShingleIndex),
+       |${NearDup.sqlCappedScoredJoin("ex", "sh", DF_CAP, CONTAIN_T, "containment",
+          "a.doc_id != b.doc_id", "inner_doc", "outer_doc",
+          "CAST(common AS DOUBLE) / s1.n")}""".stripMargin
+
   /** Scan-local (band, sig) signature array for ONE document's shingle-
     * hash array — the same (A, B, POW31) signature algebra as
     * [[minhashLsh]], for contexts where the relational groupBy
@@ -505,6 +527,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_exact_dedup"    -> exactDedup _,
     "q_ngram_jaccard"  -> ngramJaccard _,
+    "q_containment"    -> containment _,
     "q_minhash_lsh"    -> minhashLsh _,
     "q_simhash_pairs"  -> simhashPairs _,
     "q_dedup_clusters" -> dedupClusters _,
@@ -514,6 +537,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "q_exact_dedup"    -> exactDedupSql,
     "q_ngram_jaccard"  -> ngramJaccardSql,
+    "q_containment"    -> containmentSql,
     "q_minhash_lsh"    -> minhashLshSql,
     "q_simhash_pairs"  -> simhashPairsSql,
     "q_dedup_clusters" -> dedupClustersSql,

@@ -42,7 +42,19 @@ object NearDup {
     * `scoreName`), ordered by (c1, c2). */
   def cappedJaccardJoin(postings: DataFrame, key: String, dfCap: Int,
                         threshold: Double, scoreName: String, tag: String,
-                        pairCond: Column, c1: String, c2: String): DataFrame = {
+                        pairCond: Column, c1: String, c2: String): DataFrame =
+    cappedScoredJoin(postings, key, dfCap, threshold, scoreName, tag,
+      pairCond, c1, c2,
+      (common, n1, n2) => common.cast("double") / (n1 + n2 - common))
+
+  /** Fully general form: `score(common, n1, n2)` plugs the similarity
+    * formula (jaccard = c/(n1+n2−c); containment = c/n1; overlap
+    * coefficient = c/least(n1,n2); …) over the same capped-posting-list
+    * candidate skeleton. */
+  def cappedScoredJoin(postings: DataFrame, key: String, dfCap: Int,
+                       threshold: Double, scoreName: String, tag: String,
+                       pairCond: Column, c1: String, c2: String,
+                       score: (Column, Column, Column) => Column): DataFrame = {
     val capped = Materializer.materialize(tag,
       postings
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col(key))))
@@ -56,8 +68,7 @@ object NearDup {
       .join(sizes.as("s1"), col(c1) === col("s1.doc_id"))
       .join(sizes.as("s2"), col(c2) === col("s2.doc_id"))
       .select(col(c1), col(c2), col("common"),
-        (col("common").cast("double") / (col("s1.n") + col("s2.n") - col("common")))
-          .as(scoreName))
+        score(col("common"), col("s1.n"), col("s2.n")).as(scoreName))
       .filter(col(scoreName) >= threshold)
       .orderBy(c1, c2)
   }
@@ -74,6 +85,15 @@ object NearDup {
   def sqlCappedJaccardJoin(src: String, key: String, dfCap: Int,
                            threshold: Double, scoreName: String,
                            pairWhere: String, c1: String, c2: String): String =
+    sqlCappedScoredJoin(src, key, dfCap, threshold, scoreName, pairWhere, c1, c2,
+      "CAST(common AS DOUBLE) / (s1.n + s2.n - common)")
+
+  /** Oracle-SQL twin of [[cappedScoredJoin]]: `scoreExpr` may reference
+    * `common`, `s1.n`, `s2.n`. */
+  def sqlCappedScoredJoin(src: String, key: String, dfCap: Int,
+                          threshold: Double, scoreName: String,
+                          pairWhere: String, c1: String, c2: String,
+                          scoreExpr: String): String =
     s"""capped AS (SELECT doc_id, $key FROM (
        |  SELECT doc_id, $key, count(*) OVER (PARTITION BY $key) AS df FROM $src)
        |  WHERE df <= $dfCap),
@@ -83,8 +103,8 @@ object NearDup {
        |  FROM capped a JOIN capped b ON a.$key = b.$key AND ($pairWhere)
        |  GROUP BY 1, 2)
        |SELECT $c1, $c2, common,
-       |       CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS $scoreName
+       |       $scoreExpr AS $scoreName
        |FROM cand JOIN sizes s1 ON $c1 = s1.doc_id JOIN sizes s2 ON $c2 = s2.doc_id
-       |WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= $threshold
+       |WHERE $scoreExpr >= $threshold
        |ORDER BY $c1, $c2""".stripMargin
 }

@@ -119,6 +119,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(scan.filter(col("has_pii") === 1).isEmpty)
   }
 
+  test("containment matches a plain-Scala 3-gram set recount") {
+    // shingle identity by token SEQUENCE (engine uses its hash; a
+    // collision at 50-doc scale would fail this test — same argument as
+    // the boilerplate-span recount)
+    val WS = "[ \\t\\n\\f\\r]+"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split(WS).filter(_.nonEmpty)
+        .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet))
+    val df = docs.flatMap(_._2.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val capped = docs.map { case (id, ss) => (id, ss.filter(df(_) <= 20)) }
+    val expected = (for {
+      (a, sa) <- capped; (b, sb) <- capped
+      if a != b && sa.nonEmpty
+      common = (sa & sb).size
+      score = common.toDouble / sa.size
+      if score >= 0.5
+    } yield (a, b, common.toLong, score)).toSeq.sortBy(e => (e._1, e._2))
+    val got = try Dedup.containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    finally Materializer.clear()
+    assert(got == expected, s"containment mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+    assert(got.nonEmpty, "no containment pairs at test SF — threshold drifted")
+  }
+
   test("dedup clusters close the pair graph with one min-keeper per cluster") {
     try {
       val rows = Dedup.dedupClusters(spark, sf)

@@ -428,22 +428,33 @@ object CorpusOps {
     * ends (linear, vocab-keyed), a 1-row totals broadcast, and a
     * distributed TakeOrderedAndProject for the top-K. No pair space
     * beyond the corpus's own adjacent bigrams. */
+  /** (doc_id, x, y) adjacent-pair relation — the scan-local bigram
+    * extraction shared by [[pmiBigrams]] and [[bigramSurprise]],
+    * materialized once per registry run so the per-doc transform HOF
+    * runs ONE corpus pass total, not one per consumer. */
+  private def bigramPairs(spark: SparkSession, dir: String): DataFrame =
+    Materializer.materialize(Materializer.tagFor("bgpairs", dir),
+      documents(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("x"),
+              element_at(col("toks"), i + 1).as("y")))).as("p"))
+        .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y")))
+
   def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
     def lnMu(c: Column): Column =
       floor(log(c.cast("double")) * 1000000.0 + lit(0.5)).cast("long")
-    val toks = documents(spark, dir).select(tokens(col("text")).as("toks"))
-    val pairs = toks.filter(size(col("toks")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
-        i => struct(element_at(col("toks"), i).as("x"),
-          element_at(col("toks"), i + 1).as("y")))).as("p"))
-      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val pairs = bigramPairs(spark, dir).select(col("x"), col("y"))
     // both count relations are multiply referenced (cx: two annotation
     // joins + the totals agg; cxy: totals + main) — materialize so the
     // corpus scan/shuffle runs once per relation, not once per reference
     val cxy = Materializer.materialize(Materializer.tagFor("pmicxy", dir),
       pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy")))
     val cx = Materializer.materialize(Materializer.tagFor("pmicx", dir),
-      toks.select(explode(col("toks")).as("tok"))
+      documents(spark, dir)
+        .select(explode(tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c")))
     val tot = cx.agg(sum(col("c")).as("nuni"))
       .crossJoin(cxy.agg(sum(col("cxy")).as("nbi")))
@@ -549,14 +560,7 @@ object CorpusOps {
   def bigramSurprise(spark: SparkSession, dir: String): DataFrame = {
     def lnMu(c: Column): Column =
       floor(log(c.cast("double")) * 1000000.0 + lit(0.5)).cast("long")
-    val toks = documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val pairs = toks.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("toks")) - 1),
-          i => struct(element_at(col("toks"), i).as("x"),
-            element_at(col("toks"), i + 1).as("y")))).as("p"))
-      .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"))
+    val pairs = bigramPairs(spark, dir)
     val cxy = Materializer.materialize(Materializer.tagFor("pmicxy", dir),
       pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy")))
     val cx = Materializer.materialize(Materializer.tagFor("pmicx", dir),

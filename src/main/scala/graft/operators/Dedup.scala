@@ -157,15 +157,26 @@ object Dedup {
   /** DIRECTIONAL containment detection — |A∩B| / |A| over the same
     * capped shingle index: catches quotes/inclusions that symmetric
     * jaccard misses (a paragraph wholly inside a much longer doc has
-    * tiny jaccard but containment ≈ 1 in one direction). Ordered pairs
-    * (a, b) with a ≠ b; the shared [[NearDup.cappedScoredJoin]] skeleton
-    * with the asymmetric scorer, reusing the `candidx` materialized
-    * capped index (built once per registry run). */
-  def containment(spark: SparkSession, dir: String): DataFrame =
-    NearDup.cappedScoredJoin(shingleIndex(spark, dir), "sh", DF_CAP,
-      CONTAIN_T, "containment", Materializer.tagFor("candidx", dir),
-      col("a.doc_id") =!= col("b.doc_id"), "inner_doc", "outer_doc",
-      (common, n1, _) => common.cast("double") / n1)
+    * tiny jaccard but containment ≈ 1 in one direction). The pair join
+    * runs HALF-SPACE (a < b, same cost as the jaccard query) via
+    * [[NearDup.cappedPairStats]]; both directions then derive from one
+    * candidate row (a→b = c/n1, b→a = c/n2) by a scan-local 2-struct
+    * explode. Reuses the `candidx` materialized capped index. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val st = NearDup.cappedPairStats(shingleIndex(spark, dir), "sh", DF_CAP,
+      Materializer.tagFor("candidx", dir), col("a.doc_id") < col("b.doc_id"),
+      "d1", "d2")
+    st.select(explode(array(
+        struct(col("d1").as("inner_doc"), col("d2").as("outer_doc"),
+          col("common"), (col("common").cast("double") / col("n1")).as("containment")),
+        struct(col("d2").as("inner_doc"), col("d1").as("outer_doc"),
+          col("common"), (col("common").cast("double") / col("n2")).as("containment"))))
+        .as("r"))
+      .select(col("r.inner_doc").as("inner_doc"), col("r.outer_doc").as("outer_doc"),
+        col("r.common").as("common"), col("r.containment").as("containment"))
+      .filter(col("containment") >= CONTAIN_T)
+      .orderBy("inner_doc", "outer_doc")
+  }
 
   val containmentSql: String =
     s"""WITH ex AS ($sqlShingleIndex),

@@ -54,7 +54,20 @@ object NearDup {
   def cappedScoredJoin(postings: DataFrame, key: String, dfCap: Int,
                        threshold: Double, scoreName: String, tag: String,
                        pairCond: Column, c1: String, c2: String,
-                       score: (Column, Column, Column) => Column): DataFrame = {
+                       score: (Column, Column, Column) => Column): DataFrame =
+    cappedPairStats(postings, key, dfCap, tag, pairCond, c1, c2)
+      .select(col(c1), col(c2), col("common"),
+        score(col("common"), col("n1"), col("n2")).as(scoreName))
+      .filter(col(scoreName) >= threshold)
+      .orderBy(c1, c2)
+
+  /** Unscored candidate statistics: (c1, c2, common, n1, n2) for every
+    * capped-key candidate pair under `pairCond` — the raw material for
+    * asymmetric scorers that want BOTH directions from one half-sized
+    * pair join (compute a<b once, derive a→b and b→a). */
+  def cappedPairStats(postings: DataFrame, key: String, dfCap: Int,
+                      tag: String, pairCond: Column,
+                      c1: String, c2: String): DataFrame = {
     val capped = Materializer.materialize(tag,
       postings
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col(key))))
@@ -68,9 +81,7 @@ object NearDup {
       .join(sizes.as("s1"), col(c1) === col("s1.doc_id"))
       .join(sizes.as("s2"), col(c2) === col("s2.doc_id"))
       .select(col(c1), col(c2), col("common"),
-        score(col("common"), col("s1.n"), col("s2.n")).as(scoreName))
-      .filter(col(scoreName) >= threshold)
-      .orderBy(c1, c2)
+        col("s1.n").as("n1"), col("s2.n").as("n2"))
   }
 
   /** Oracle-SQL twin of [[cappedJaccardPairs]]: CTE suffix + final

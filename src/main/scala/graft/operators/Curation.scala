@@ -413,7 +413,48 @@ object Curation {
        |            ELSE CAST(0.5 AS DOUBLE) END AS calibrated_pct
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------- balanced downsampling
+  /** Per-class cap for the balanced sample. */
+  private val BAL_CAP = 80
+
+  /** Class-balanced downsampling: keep at most [[BAL_CAP]] docs per
+    * language, chosen by content-hash order — the rebalancing step
+    * before training on a skewed corpus. Hash order (not doc_id order)
+    * makes the kept set independent of ingest order and stable under
+    * re-runs — the q_stratified_sample determinism argument, with an
+    * exact per-class COUNT guarantee instead of a keep-rate. The rank
+    * window is partitioned by language (class-parallel, the declared
+    * window class). Summary output: per-language kept/total + the
+    * content-hash of the kept set (so the oracle proves the exact
+    * MEMBERSHIP, not just counts). */
+  def balancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), charHashFast(col("text")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("keep", (col("rk") <= BAL_CAP).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_kept"),
+        sum(when(col("keep") === 1, col("doc_id"))).as("kept_id_sum"),
+        sum(when(col("keep") === 1, col("h"))).as("kept_hash_sum"))
+      .orderBy("lang")
+  }
+
+  val balancedSampleSql: String =
+    s"""WITH h AS (SELECT doc_id, lang, ${sqlCharHash("text")} AS h FROM documents),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+       |      FROM h),
+       |k AS (SELECT lang, doc_id, h,
+       |             CASE WHEN rk <= $BAL_CAP THEN 1 ELSE 0 END AS keep FROM r)
+       |SELECT lang, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN keep = 1 THEN doc_id END) AS BIGINT) AS kept_id_sum,
+       |       CAST(sum(CASE WHEN keep = 1 THEN h END) AS BIGINT) AS kept_hash_sum
+       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_balanced_sample"     -> balancedSample _,
     "q_quality_calibrated"  -> qualityCalibrated _,
     "q_token_entropy"       -> tokenEntropy _,
     "q_boilerplate_spans"   -> boilerplateSpans _,
@@ -423,6 +464,7 @@ object Curation {
     "q_dsir_weights"        -> dsirWeights _)
 
   val oracles: Map[String, String] = Map(
+    "q_balanced_sample"     -> balancedSampleSql,
     "q_quality_calibrated"  -> qualityCalibratedSql,
     "q_token_entropy"       -> tokenEntropySql,
     "q_boilerplate_spans"   -> boilerplateSpansSql,

@@ -232,13 +232,54 @@ object ScalePatterns {
        | AND c.c_acctbal <= s.s_acctbal + CAST($RANGE_W AS DOUBLE)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ join-key skew report
+  /** Hot keys reported. */
+  private val SKEW_TOPN = 10
+
+  /** Join-key skew diagnostics for the events.user_id key — the
+    * MEASUREMENT that decides when [[skewSaltedJoin]]'s hot/cold split
+    * or AQE skew handling is worth enabling: per hot key its row count,
+    * share of all rows, and skew factor (count / mean-per-key). One
+    * (key) count shuffle, a 1-row (N, K) totals broadcast, and a
+    * distributed TakeOrderedAndProject for the top-N — the detection
+    * pass costs one aggregate, never a sort of the key space. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = events(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = perKey.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    perKey
+      .orderBy(col("cnt").desc, col("user_id").asc)
+      .limit(SKEW_TOPN)
+      .crossJoin(broadcast(tot))
+      .select(col("user_id"), col("cnt"),
+        (col("cnt").cast("double") / col("n_rows").cast("double")).as("share"),
+        (col("cnt").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")).as("skew_factor"))
+      .orderBy(col("cnt").desc, col("user_id").asc)
+  }
+
+  val skewReportSql: String =
+    s"""WITH pk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+       |            FROM events GROUP BY 1),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |             CAST(count(*) AS BIGINT) AS n_keys FROM pk),
+       |h AS (SELECT * FROM pk ORDER BY cnt DESC, user_id ASC LIMIT $SKEW_TOPN)
+       |SELECT user_id, cnt,
+       |       CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
+       |       CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+       |         AS skew_factor
+       |FROM h, t ORDER BY cnt DESC, user_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_report" -> skewReport _,
     "q_asof_join"   -> asofEventOrder _,
     "q_salted_agg"  -> saltedTypeStats _,
     "q_skew_join"   -> skewSaltedJoin _,
     "q_range_join"  -> rangeJoinBucketed _)
 
   val oracles: Map[String, String] = Map(
+    "q_skew_report" -> skewReportSql,
     "q_asof_join"   -> asofEventOrderSql,
     "q_salted_agg"  -> saltedTypeStatsSql,
     "q_skew_join"   -> skewSaltedJoinSql,

@@ -50,7 +50,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_label_centroids",
     // q_negative_pairs: 1-row corpus-size broadcast over the anchor
     // fan-out (Similarity.negativePairs)
-    "q_negative_pairs")
+    "q_negative_pairs",
+    // q_skew_report: 1-row (N rows, K keys) totals broadcast over the
+    // top-N hot-key slice (ScalePatterns.skewReport)
+    "q_skew_report")
 
   /** Queries whose NLJ must additionally broadcast an AGGREGATE (a
     * 1-row/few-row bound, not base data): q_above_avg_orders (global

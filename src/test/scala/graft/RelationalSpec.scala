@@ -8,6 +8,18 @@ import graft.operators.ScalePatterns
 class ScalePatternsSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("skew report matches a plain-Scala hot-key recount") {
+    val keys = Tables.events(spark, sf).select("user_id").collect().map(_.getLong(0))
+    val perKey = keys.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val (nRows, nKeys) = (keys.length.toLong, perKey.size.toLong)
+    val expected = perKey.sortBy { case (k, c) => (-c, k) }.take(10)
+      .map { case (k, c) =>
+        (k, c, c.toDouble / nRows, c.toDouble * nKeys / nRows) }
+    val got = ScalePatterns.skewReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expected, s"skew mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+  }
+
   test("as-of join matches the latest at-or-before order of the same customer") {
     val r = ScalePatterns.asofEventOrder(spark, sf)
     assert(r.count() == Tables.events(spark, sf).count()) // left-join cardinality

@@ -145,6 +145,41 @@ object StreamingAnalytics {
       .select(c("user_id"), col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Streaming heavy hitters with BOUNDED state: each micro-batch
+    * aggregates its own CountMinSketch (fixed D×W counter array — the
+    * distributed agg runs on the cluster, only the 8 KiB sketch reaches
+    * the driver), which merges into a running sketch by element-wise
+    * addition. CMS merge is exact-associative, so the streamed sketch is
+    * BIT-IDENTICAL to the batch sketch over the same rows regardless of
+    * batch boundaries — the property StreamingSpec asserts. This is the
+    * unbounded-cardinality face of streaming top-k: per-key state grows
+    * with distinct keys, the sketch never does.
+    *
+    * Returns the started query and an accessor for the running sketch
+    * (stable once the query has processed all available data). */
+  def runCmsAccumulation(ev: DataFrame, key: String,
+                         checkpointDir: String): (StreamingQuery, () => Array[Long]) = {
+    val acc = new java.util.concurrent.atomic.AtomicReference(
+      new Array[Long](graft.functions.CountMinSketchAgg.D *
+        graft.functions.CountMinSketchAgg.W))
+    val q = ev.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sk = batch.agg(graft.functions.SketchAgg.cms(col(key)).as("s"))
+          .head().getSeq[Long](0).toArray
+        acc.updateAndGet { prev =>
+          val out = new Array[Long](prev.length)
+          var i = 0
+          while (i < out.length) { out(i) = prev(i) + sk(i); i += 1 }
+          out
+        }
+        ()
+      }
+      .start()
+    (q, () => acc.get())
+  }
+
   // ------------------------------------------------------------ runners
 
   /** Correct stateful mode: watermark + windowed agg, append to parquet.

@@ -458,6 +458,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CMS merge is bit-identical to the batch sketch") {
+    val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+    val base = mkEvents(150)
+    val ckpt = Files.createTempDirectory("graft_cms_ckpt").toString
+    val (q, sketch) = StreamingAnalytics.runCmsAccumulation(
+      stream.toDF(), "user_id", ckpt)
+    try {
+      // three uneven micro-batches — merge must be boundary-invariant
+      stream.addData(base.take(40)); q.processAllAvailable()
+      stream.addData(base.slice(40, 90)); q.processAllAvailable()
+      stream.addData(base.drop(90)); q.processAllAvailable()
+      val streamed = sketch()
+      val batchSketch = base.toDF()
+        .agg(graft.functions.SketchAgg.cms(col("user_id")).as("s"))
+        .head().getSeq[Long](0).toArray
+      assert(streamed.sameElements(batchSketch),
+        "streamed CMS differs from the batch sketch")
+      assert(streamed.sum > 0, "degenerate sketch")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join equals the batch attribution join") {
     val clicks = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
     val buys = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)

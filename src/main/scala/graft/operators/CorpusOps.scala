@@ -428,25 +428,29 @@ object CorpusOps {
     * ends (linear, vocab-keyed), a 1-row totals broadcast, and a
     * distributed TakeOrderedAndProject for the top-K. No pair space
     * beyond the corpus's own adjacent bigrams. */
-  /** (doc_id, x, y) adjacent-pair relation — the scan-local bigram
-    * extraction shared by [[pmiBigrams]] and [[bigramSurprise]],
-    * materialized once per registry run so the per-doc transform HOF
-    * runs ONE corpus pass total, not one per consumer. */
+  /** Scan-local (doc_id, x, y) adjacent-pair extraction. NOT
+    * materialized here: [[pmiBigrams]] consumes it exactly once (into
+    * the materialized cxy counts), so a write would be pure overhead;
+    * [[bigramSurprise]], which references the pairs twice, materializes
+    * this under the `bgpairs` tag. */
+  private def bigramPairsRaw(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("x"),
+            element_at(col("toks"), i + 1).as("y")))).as("p"))
+      .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"))
+
   private def bigramPairs(spark: SparkSession, dir: String): DataFrame =
     Materializer.materialize(Materializer.tagFor("bgpairs", dir),
-      documents(spark, dir)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(col("toks")) - 1),
-            i => struct(element_at(col("toks"), i).as("x"),
-              element_at(col("toks"), i + 1).as("y")))).as("p"))
-        .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y")))
+      bigramPairsRaw(spark, dir))
 
   def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
     def lnMu(c: Column): Column =
       floor(log(c.cast("double")) * 1000000.0 + lit(0.5)).cast("long")
-    val pairs = bigramPairs(spark, dir).select(col("x"), col("y"))
+    val pairs = bigramPairsRaw(spark, dir).select(col("x"), col("y"))
     // both count relations are multiply referenced (cx: two annotation
     // joins + the totals agg; cxy: totals + main) — materialize so the
     // corpus scan/shuffle runs once per relation, not once per reference

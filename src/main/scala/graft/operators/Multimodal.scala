@@ -144,12 +144,50 @@ object Multimodal {
         max(col("px")).as("max_px"))
       .orderBy("media_id")
 
+  /** Exact media dedup — md5 over the raw BINARY payload (codec-free:
+    * byte-identical copies dedupe regardless of what the bytes encode,
+    * the first pass every media pipeline runs before any perceptual
+    * hash). Per kind: volumes, unique payloads, dup fraction, and bytes
+    * reclaimable by keeping one copy per digest. One digest shuffle on
+    * the scan-local md5; the payload column itself never shuffles
+    * (only its length and 16-byte digest do) — the property that makes
+    * this viable when payloads are megabytes. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("media_id"), col("kind"), md5(col("payload")).as("digest"),
+        length(col("payload")).cast("long").as("nbytes"))
+      .groupBy(col("kind"), col("digest"))
+      .agg(count(lit(1)).as("copies"), min(col("media_id")).as("keeper"),
+        max(col("nbytes")).as("nbytes"))
+      .groupBy(col("kind"))
+      .agg(sum(col("copies")).as("n_media"),
+        count(lit(1)).as("n_unique"),
+        (lit(1.0) - count(lit(1)).cast("double") / sum(col("copies")))
+          .as("dup_frac"),
+        sum((col("copies") - 1) * col("nbytes")).as("reclaimable_bytes"))
+      .orderBy("kind")
+
+  val mediaDedupSql: String =
+    s"""WITH m AS ($sqlMediaTable),
+       |d AS (SELECT kind, md5(CAST(payload AS VARCHAR)) AS digest,
+       |             CAST(count(*) AS BIGINT) AS copies,
+       |             min(media_id) AS keeper,
+       |             CAST(max(octet_length(payload)) AS BIGINT) AS nbytes
+       |      FROM m GROUP BY 1, 2)
+       |SELECT kind, CAST(sum(copies) AS BIGINT) AS n_media,
+       |       CAST(count(*) AS BIGINT) AS n_unique,
+       |       CAST(1.0 AS DOUBLE) - CAST(count(*) AS DOUBLE) / sum(copies) AS dup_frac,
+       |       CAST(sum((copies - 1) * nbytes) AS BIGINT) AS reclaimable_bytes
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_metadata" -> mediaMetadata _,
-    "q_media_features" -> mediaFeatures _)
+    "q_media_features" -> mediaFeatures _,
+    "q_media_dedup"    -> mediaDedup _)
 
   /** q_media_features intentionally omitted (stub codec not
     * SQL-expressible → rows-only check). */
   val oracles: Map[String, String] = Map(
-    "q_media_metadata" -> mediaMetadataSql)
+    "q_media_metadata" -> mediaMetadataSql,
+    "q_media_dedup"    -> mediaDedupSql)
 }

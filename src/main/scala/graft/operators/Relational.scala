@@ -671,7 +671,49 @@ object Relational {
        |       CAST(cnt AS DOUBLE) / CAST(prev_cnt AS DOUBLE) AS wow_growth
        |FROM l WHERE prev_cnt IS NOT NULL ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- shipping latency
+  /** Days late before an item counts as an SLA breach. */
+  private val SHIP_SLA_DAYS = 30
+
+  /** Order→ship latency by supplier nation — the 4-way star: the
+    * lineitem↔orders fact-fact equi-join shuffles on orderkey (the one
+    * unavoidable wide exchange), supplier and nation broadcast as dims.
+    * Latency stats from exact integer day-diffs: avg is one division of
+    * exact longs, the SLA-breach fraction an integer-count ratio. */
+  def shipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val delay = datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+    lineitem(spark, dir)
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), delay.cast("long").as("delay"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(col("delay")).cast("double") / count(lit(1))).as("avg_delay_days"),
+        max(col("delay")).as("max_delay_days"),
+        (sum(when(col("delay") > SHIP_SLA_DAYS, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("late_frac"))
+      .orderBy("n_name")
+  }
+
+  val shipLatencySql: String =
+    s"""WITH j AS (
+       |  SELECT n_name,
+       |         CAST(date_diff('day', CAST(o_orderdate AS DATE),
+       |                        CAST(l_shipdate AS DATE)) AS BIGINT) AS delay
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey)
+       |SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+       |       CAST(sum(delay) AS DOUBLE) / count(*) AS avg_delay_days,
+       |       max(delay) AS max_delay_days,
+       |       CAST(sum(CASE WHEN delay > $SHIP_SLA_DAYS THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / count(*) AS late_frac
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ship_latency"            -> shipLatency _,
     "q_weekly_growth"           -> weeklyGrowth _,
     "q_revenue_trend"           -> revenueTrend _,
     "q_anomaly_days"            -> anomalyDays _,
@@ -694,6 +736,7 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_ship_latency"            -> shipLatencySql,
     "q_weekly_growth"           -> weeklyGrowthSql,
     "q_revenue_trend"           -> revenueTrendSql,
     "q_anomaly_days"            -> anomalyDaysSql,

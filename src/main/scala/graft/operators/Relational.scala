@@ -712,7 +712,41 @@ object Relational {
        |         / count(*) AS late_frac
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- brand affinity
+  private val AFFINITY_TOPK = 15
+
+  /** Market-basket co-occurrence: brand pairs appearing in the same
+    * order, top-K by support — the classic affinity statistic. The
+    * pair space is the within-order self-join on orderkey: per-order
+    * fan-out is (distinct brands per order)², bounded by the handful of
+    * lines an order has — NEVER a cross-order product. Brand annotation
+    * is a broadcast dim join; the distinct collapses multiple lines of
+    * the same brand before pairing. */
+  def brandAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val ob = lineitem(spark, dir)
+      .join(broadcast(part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    ob.as("a").join(ob.as("b"),
+        col("a.okey") === col("b.okey") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("brand_a").asc, col("brand_b").asc)
+      .limit(AFFINITY_TOPK)
+  }
+
+  val brandAffinitySql: String =
+    s"""WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+       |            FROM lineitem JOIN part ON l_partkey = p_partkey)
+       |SELECT a.brand AS brand_a, b.brand AS brand_b,
+       |       CAST(count(*) AS BIGINT) AS n_orders
+       |FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+       |GROUP BY 1, 2
+       |ORDER BY n_orders DESC, brand_a ASC, brand_b ASC
+       |LIMIT $AFFINITY_TOPK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_brand_affinity"          -> brandAffinity _,
     "q_ship_latency"            -> shipLatency _,
     "q_weekly_growth"           -> weeklyGrowth _,
     "q_revenue_trend"           -> revenueTrend _,
@@ -736,6 +770,7 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_brand_affinity"          -> brandAffinitySql,
     "q_ship_latency"            -> shipLatencySql,
     "q_weekly_growth"           -> weeklyGrowthSql,
     "q_revenue_trend"           -> revenueTrendSql,

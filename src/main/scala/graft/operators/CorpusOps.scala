@@ -612,7 +612,60 @@ object CorpusOps {
        |FROM pd, m ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ TF-IDF salient terms
+  /** Salient terms kept per document. */
+  private val TFIDF_TOPK = 3
+
+  /** Top-K TF-IDF terms per document — the keyword-extraction primitive
+    * (doc tags, index keys, topic seeds). score = tf · ln(N/df), all in
+    * exact integers: tf is a count, ln(N) and ln(df) are micro-unit
+    * longs, so the per-term score is an exact long and the per-doc
+    * ranking has no float ties. The rank window is PARTITIONED by
+    * doc_id (doc-parallel; ≤ |doc vocab| rows per partition).
+    *
+    * Shape: one (doc, tok) tf shuffle, one df aggregate from it, one
+    * vocab-keyed join back, a 1-row ln(N) broadcast, the partitioned
+    * rank — linear end to end. */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    def lnMu(c: Column): Column =
+      floor(log(c.cast("double")) * 1000000.0 + lit(0.5)).cast("long")
+    val tf = Materializer.materialize(Materializer.tagFor("tfidftf", dir),
+      documents(spark, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c")))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = documents(spark, dir).agg(lnMu(count(lit(1))).as("lnN"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_mu").desc, col("tok").asc)
+    tf.join(df, "tok")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"),
+        (col("c") * (col("lnN") - lnMu(col("df")))).as("score_mu"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TFIDF_TOPK)
+      .select(col("doc_id"), col("rk"), col("tok"),
+        (col("score_mu").cast("double") / 1000000.0).as("tfidf"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfTermsSql: String = {
+    def lnMu(e: String): String =
+      s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    s"""WITH tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM (
+       |  SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT ${lnMu("count(*)")} AS lnN FROM documents),
+       |s AS (SELECT doc_id, tok, c * (lnN - ${lnMu("df")}) AS score_mu
+       |      FROM tf JOIN df USING (tok), n),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY score_mu DESC, tok ASC) AS INT) AS rk FROM s)
+       |SELECT doc_id, rk, tok, CAST(score_mu AS DOUBLE) / 1000000.0 AS tfidf
+       |FROM r WHERE rk <= $TFIDF_TOPK ORDER BY doc_id, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf_terms"     -> tfidfTerms _,
     "q_bigram_surprise" -> bigramSurprise _,
     "q_vocab_coverage" -> vocabCoverage _,
     "q_pmi_bigrams"   -> pmiBigrams _,
@@ -624,6 +677,7 @@ object CorpusOps {
     "q_source_report" -> sourceReport _)
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf_terms"     -> tfidfTermsSql,
     "q_bigram_surprise" -> bigramSurpriseSql,
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_pmi_bigrams"   -> pmiBigramsSql,

@@ -97,6 +97,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no supported collocations at test SF")
   }
 
+  test("tfidf terms match a plain-Scala recount") {
+    val WS = "[ \\t\\n\\f\\r]+"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split(WS).filter(_.nonEmpty)))
+    def lnMu(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    val tf = docs.map { case (id, t) =>
+      id -> t.groupBy(identity).view.mapValues(_.size.toLong).toMap }.toMap
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val lnN = lnMu(docs.length.toLong)
+    val expected = docs.map(_._1).sorted.flatMap { id =>
+      tf(id).toSeq
+        .map { case (tok, c) => (tok, c * (lnN - lnMu(dfm(tok)))) }
+        .sortBy { case (tok, s) => (-s, tok) }.take(3).zipWithIndex
+        .map { case ((tok, s), i) => (id, i + 1, tok, s.toDouble / 1e6) }
+    }.toSeq
+    val got = try CorpusOps.tfidfTerms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+    finally Materializer.clear()
+    assert(got == expected, s"tfidf mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+  }
+
   test("bigram surprise matches a plain-Scala recount") {
     val WS = "[ \\t\\n\\f\\r]+"
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()

@@ -53,7 +53,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_negative_pairs",
     // q_skew_report: 1-row (N rows, K keys) totals broadcast over the
     // top-N hot-key slice (ScalePatterns.skewReport)
-    "q_skew_report")
+    "q_skew_report",
+    // q_tfidf_terms: 1-row ln(N) broadcast over the tf⋈df relation
+    // (CorpusOps.tfidfTerms)
+    "q_tfidf_terms")
 
   /** Queries whose NLJ must additionally broadcast an AGGREGATE (a
     * 1-row/few-row bound, not base data): q_above_avg_orders (global

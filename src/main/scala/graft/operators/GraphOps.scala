@@ -161,11 +161,70 @@ object GraphOps {
        |FROM sq WHERE p1 IS NOT NULL GROUP BY 1, 2, 3
        |ORDER BY cnt DESC, p1 ASC, p2 ASC, p3 ASC LIMIT $PATH_TOPK""".stripMargin
 
+  /** Per-page degree audit over the transition graph: weighted
+    * in/out degrees, distinct neighbor counts, and the reciprocity
+    * flagged ratio (how much of the out-weight returns on reverse
+    * edges) — the structural companion to [[pageRank]]'s authority
+    * scores. Shapes: two aggregates of the materialized edge list +
+    * one full-outer id join + one self-join on reversed edges for the
+    * reciprocated weight — all key-hashed, linear in |E|. */
+  def graphDegrees(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Materializer.materialize(Materializer.tagFor("predges", dir),
+      transitionEdges(spark, dir))
+    val out = edges.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("out_w"), count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("node"))
+      .agg(sum(col("w")).as("in_w"), count(lit(1)).as("in_deg"))
+    val recip = edges.as("e").join(
+        edges.select(col("src").as("rsrc"), col("dst").as("rdst"),
+          col("w").as("rw")),
+        col("e.src") === col("rdst") && col("e.dst") === col("rsrc"))
+      .groupBy(col("e.src").as("node"))
+      .agg(sum(least(col("w"), col("rw"))).as("recip_w"))
+    out.join(in, Seq("node"), "full_outer")
+      .join(recip, Seq("node"), "left")
+      .select(col("node").as("page"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"),
+        when(coalesce(col("out_w"), lit(0L)) > 0,
+          coalesce(col("recip_w"), lit(0L)).cast("double") / col("out_w"))
+          .otherwise(lit(0.0)).as("reciprocity"))
+      .orderBy("page")
+  }
+
+  val graphDegreesSql: String =
+    s"""WITH ev AS (SELECT user_id, ts, event_id,
+       |  CAST(json_extract(props, '$$.k') AS INT) AS page FROM events),
+       |sq AS (SELECT page, lag(page) OVER (
+       |         PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev FROM ev),
+       |edges AS (SELECT prev AS src, page AS dst, CAST(count(*) AS BIGINT) AS w
+       |          FROM sq WHERE prev IS NOT NULL AND prev <> page GROUP BY 1, 2),
+       |o AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS out_w,
+       |             CAST(count(*) AS BIGINT) AS out_deg FROM edges GROUP BY 1),
+       |i AS (SELECT dst AS node, CAST(sum(w) AS BIGINT) AS in_w,
+       |             CAST(count(*) AS BIGINT) AS in_deg FROM edges GROUP BY 1),
+       |rc AS (SELECT e.src AS node, CAST(sum(least(e.w, r.w)) AS BIGINT) AS recip_w
+       |       FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src
+       |       GROUP BY 1)
+       |SELECT coalesce(o.node, i.node) AS page,
+       |       coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg,
+       |       coalesce(out_w, 0) AS out_w, coalesce(in_w, 0) AS in_w,
+       |       CASE WHEN coalesce(out_w, 0) > 0
+       |            THEN CAST(coalesce(recip_w, 0) AS DOUBLE) / out_w
+       |            ELSE CAST(0.0 AS DOUBLE) END AS reciprocity
+       |FROM o FULL OUTER JOIN i ON o.node = i.node
+       |LEFT JOIN rc ON coalesce(o.node, i.node) = rc.node
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"      -> (pageRank _),
-    "q_session_paths" -> (sessionPaths _))
+    "q_session_paths" -> (sessionPaths _),
+    "q_graph_degrees" -> (graphDegrees _))
 
   val oracles: Map[String, String] = Map(
     "q_pagerank"      -> pageRankSql,
-    "q_session_paths" -> sessionPathsSql)
+    "q_session_paths" -> sessionPathsSql,
+    "q_graph_degrees" -> graphDegreesSql)
 }

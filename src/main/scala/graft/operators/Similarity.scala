@@ -924,6 +924,48 @@ object Similarity {
        |FROM cn a JOIN cn b ON a.label < b.label
        |ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------- embedding-space audit
+  /** Highest-variance dims reported. */
+  private val ESTAT_TOPK = 5
+
+  /** Embedding-space audit: the top-[[ESTAT_TOPK]] highest-variance
+    * dimensions with their mean/variance — the collapsed-dimension /
+    * dead-unit check run after every embedding model change (a dim with
+    * ~zero variance carries no information; a dominant one distorts
+    * cosine geometry). Values go through micro-units so the moments are
+    * exact longs; the ranking orders by the integer variance NUMERATOR
+    * n·Σx²−(Σx)² (n is the same for every dim, so the order equals the
+    * variance order with no float ties). One posexplode + one (dim)
+    * aggregate + a distributed TakeOrderedAndProject. */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    val mu = floor(col("x").cast("double") * 1000000.0 + lit(0.5)).cast("long")
+    embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("d"), mu.as("m"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
+        sum(col("m") * col("m")).as("sq"))
+      .withColumn("num", col("n") * col("sq") - col("s") * col("s"))
+      .orderBy(col("num").desc, col("d").asc)
+      .limit(ESTAT_TOPK)
+      .select(col("d").cast("long").as("dim"), col("n"),
+        (col("s").cast("double") / col("n") / 1000000.0).as("mean"),
+        (col("num").cast("double") / (col("n") * col("n")).cast("double") /
+          1.0e12).as("variance"))
+  }
+
+  val embeddingStatsSql: String =
+    s"""WITH e AS (SELECT i - 1 AS d,
+       |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS m
+       |  FROM embeddings, (SELECT unnest(generate_series(1, $DIM)) AS i) dims),
+       |mo AS (SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s,
+       |              CAST(sum(m * m) AS BIGINT) AS sq FROM e GROUP BY 1),
+       |r AS (SELECT *, n * sq - s * s AS num FROM mo
+       |      ORDER BY num DESC, d ASC LIMIT $ESTAT_TOPK)
+       |SELECT d AS dim, n, CAST(s AS DOUBLE) / n / 1000000.0 AS mean,
+       |       CAST(num AS DOUBLE) / CAST(n * n AS DOUBLE) / 1.0e12 AS variance
+       |FROM r ORDER BY num DESC, dim ASC""".stripMargin
+
   // ------------------------------------------- negative-pair sampling
   /** Negatives drawn per anchor. */
   private val NEG_K = 5
@@ -1085,7 +1127,8 @@ object Similarity {
     "q_ann_pq"            -> annPq _,
     "q_retrieval_eval"    -> retrievalEval _,
     "q_label_centroids"   -> labelCentroids _,
-    "q_negative_pairs"    -> negativePairs _)
+    "q_negative_pairs"    -> negativePairs _,
+    "q_embedding_stats"   -> embeddingStats _)
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce"    -> annBruteforceSql,
@@ -1101,5 +1144,6 @@ object Similarity {
     "q_ann_pq"            -> annPqSql,
     "q_retrieval_eval"    -> retrievalEvalSql,
     "q_label_centroids"   -> labelCentroidsSql,
-    "q_negative_pairs"    -> negativePairsSql)
+    "q_negative_pairs"    -> negativePairsSql,
+    "q_embedding_stats"   -> embeddingStatsSql)
 }

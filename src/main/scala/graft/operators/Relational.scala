@@ -745,7 +745,94 @@ object Relational {
        |ORDER BY n_orders DESC, brand_a ASC, brand_b ASC
        |LIMIT $AFFINITY_TOPK""".stripMargin
 
+  // ------------------------------------------------- calendar gap fill
+  /** Dense (type × day) grid with zero-filled gaps — the resampling
+    * step every time-series consumer needs before windowed math (a
+    * missing day is silently absent from a groupBy, which corrupts
+    * moving averages and anomaly baselines downstream). The date spine
+    * generates from a 1-row min/max broadcast (never a driver loop);
+    * the grid is |types| × |days| rows, joined back to the sparse
+    * daily counts with a left join. */
+  def calendarFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val spine = events(spark, dir).select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day").cast("timestamp").as("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        col("cnt").isNull.cast("int").as("is_gap"))
+      .orderBy("event_type", "day")
+  }
+
+  val calendarFillSql: String =
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |                      CAST(count(*) AS BIGINT) AS cnt
+       |               FROM events GROUP BY 1, 2),
+       |b AS (SELECT min(day) AS mn, max(day) AS mx FROM daily),
+       |t AS (SELECT DISTINCT event_type FROM events),
+       |spine AS (SELECT event_type,
+       |                 unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+       |          FROM t, b)
+       |SELECT s.event_type, CAST(s.day AS TIMESTAMP) AS day,
+       |       coalesce(d.cnt, 0) AS cnt,
+       |       CAST(d.cnt IS NULL AS INT) AS is_gap
+       |FROM spine s LEFT JOIN daily d
+       |  ON s.event_type = d.event_type AND CAST(s.day AS DATE) = d.day
+       |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------ Pareto concentration
+  /** Revenue-concentration (Pareto) audit per market segment: how many
+    * customers carry 80 % of the segment's revenue. Revenue in exact
+    * integer cents; the 80 % test is the integer inequality
+    * 5·cum ≥ 4·total (no float thresholds). The rank/cumsum window is
+    * PARTITIONED by segment — segment-parallel, never global. */
+  def paretoSegment(spark: SparkSession, dir: String): DataFrame = {
+    val rev = orders(spark, dir)
+      .join(customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + lit(0.5)).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cents").desc, col("c_custkey").asc)
+    rev
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum(col("cents")).over(w))
+      .withColumn("tot", sum(col("cents")).over(Window.partitionBy(col("c_mktsegment"))))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (max(col("tot")).cast("double") / 100.0).as("total_revenue"),
+        min(when(col("cum") * 5 >= col("tot") * 4, col("rk"))).cast("long").as("n_top80"),
+        (min(when(col("cum") * 5 >= col("tot") * 4, col("rk"))).cast("double") /
+          count(lit(1))).as("top80_frac"))
+      .orderBy("c_mktsegment")
+  }
+
+  val paretoSegmentSql: String =
+    s"""WITH rev AS (
+       |  SELECT c_mktsegment, c_custkey,
+       |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |r AS (SELECT *,
+       |        row_number() OVER w AS rk,
+       |        CAST(sum(cents) OVER w AS BIGINT) AS cum,
+       |        CAST(sum(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS tot
+       |      FROM rev
+       |      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents DESC, c_custkey ASC))
+       |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+       |       CAST(max(tot) AS DOUBLE) / 100.0 AS total_revenue,
+       |       CAST(min(CASE WHEN cum * 5 >= tot * 4 THEN rk END) AS BIGINT) AS n_top80,
+       |       CAST(min(CASE WHEN cum * 5 >= tot * 4 THEN rk END) AS DOUBLE) / count(*)
+       |         AS top80_frac
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_calendar_fill"           -> calendarFill _,
+    "q_pareto_segment"          -> paretoSegment _,
     "q_brand_affinity"          -> brandAffinity _,
     "q_ship_latency"            -> shipLatency _,
     "q_weekly_growth"           -> weeklyGrowth _,
@@ -770,6 +857,8 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_calendar_fill"           -> calendarFillSql,
+    "q_pareto_segment"          -> paretoSegmentSql,
     "q_brand_affinity"          -> brandAffinitySql,
     "q_ship_latency"            -> shipLatencySql,
     "q_weekly_growth"           -> weeklyGrowthSql,

@@ -56,7 +56,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_skew_report",
     // q_tfidf_terms: 1-row ln(N) broadcast over the tf⋈df relation
     // (CorpusOps.tfidfTerms)
-    "q_tfidf_terms")
+    "q_tfidf_terms",
+    // q_calendar_fill: 1-row (min,max) date-bounds broadcast under the
+    // spine generator (Relational.calendarFill)
+    "q_calendar_fill")
 
   /** Queries whose NLJ must additionally broadcast an AGGREGATE (a
     * 1-row/few-row bound, not base data): q_above_avg_orders (global

@@ -830,7 +830,40 @@ object Relational {
        |         AS top80_frac
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- moving average
+  /** Trailing window width, days. */
+  private val MA_DAYS = 7
+
+  /** 7-day trailing moving average per event type over the GAP-FILLED
+    * calendar ([[calendarFill]] — on the sparse daily counts a rows-
+    * frame would silently span missing days and lie). Integer frame
+    * sums / frame counts → one IEEE division; the frame window is
+    * type-partitioned (a handful of daily rows per partition). The
+    * composition calendarFill → frame math is exactly why the gap-fill
+    * operator exists. */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      .rowsBetween(-(MA_DAYS - 1), 0)
+    calendarFill(spark, dir)
+      .withColumn("frame_sum", sum(col("cnt")).over(w))
+      .withColumn("frame_n", count(lit(1)).over(w))
+      .select(col("event_type"), col("day"), col("cnt"),
+        (col("frame_sum").cast("double") / col("frame_n").cast("double"))
+          .as("ma7"))
+      .orderBy("event_type", "day")
+  }
+
+  val movingAvgSql: String =
+    s"""WITH base AS ($calendarFillSql)
+       |SELECT event_type, day, cnt,
+       |       CAST(sum(cnt) OVER w AS DOUBLE) / count(*) OVER w AS ma7
+       |FROM base
+       |WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+       |             ROWS BETWEEN ${MA_DAYS - 1} PRECEDING AND CURRENT ROW)
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_moving_avg"              -> movingAvg _,
     "q_calendar_fill"           -> calendarFill _,
     "q_pareto_segment"          -> paretoSegment _,
     "q_brand_affinity"          -> brandAffinity _,
@@ -857,6 +890,7 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_moving_avg"              -> movingAvgSql,
     "q_calendar_fill"           -> calendarFillSql,
     "q_pareto_segment"          -> paretoSegmentSql,
     "q_brand_affinity"          -> brandAffinitySql,

@@ -58,8 +58,8 @@ class PlanGuardSpec extends AnyFunSuite {
     // (CorpusOps.tfidfTerms)
     "q_tfidf_terms",
     // q_calendar_fill: 1-row (min,max) date-bounds broadcast under the
-    // spine generator (Relational.calendarFill)
-    "q_calendar_fill")
+    // spine generator (Relational.calendarFill); q_moving_avg composes it
+    "q_calendar_fill", "q_moving_avg")
 
   /** Queries whose NLJ must additionally broadcast an AGGREGATE (a
     * 1-row/few-row bound, not base data): q_above_avg_orders (global

@@ -664,7 +664,81 @@ object CorpusOps {
        |FROM r WHERE rk <= $TFIDF_TOPK ORDER BY doc_id, rk""".stripMargin
   }
 
+  // ------------------------------------------------- length histogram
+  /** Histogram bucket width, chars. */
+  private val HIST_W = 100
+
+  /** Fixed-width document-length histogram per source — the profiling
+    * primitive behind every length-filter decision (C4 drops short
+    * docs; the cutoff comes from exactly this view). Scan-local integer
+    * bucketing (n_chars div width), one (source, bucket) count shuffle;
+    * share is an integer-count ratio via a per-source total join. */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val b = documents(spark, dir)
+      .groupBy(col("source"), expr(s"n_chars DIV $HIST_W").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = b.groupBy(col("source")).agg(sum(col("n_docs")).as("tot"))
+    b.join(broadcast(tot), "source")
+      .select(col("source"), col("bucket"),
+        (col("bucket") * HIST_W).as("lo_chars"),
+        col("n_docs"),
+        (col("n_docs").cast("double") / col("tot").cast("double")).as("share"))
+      .orderBy("source", "bucket")
+  }
+
+  val lengthHistogramSql: String =
+    s"""WITH b AS (SELECT source, n_chars // $HIST_W AS bucket,
+       |                  CAST(count(*) AS BIGINT) AS n_docs
+       |           FROM documents GROUP BY 1, 2),
+       |t AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS tot FROM b GROUP BY 1)
+       |SELECT b.source, bucket, bucket * $HIST_W AS lo_chars, n_docs,
+       |       CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+       |FROM b JOIN t ON b.source = t.source
+       |ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------- schema profiling
+  /** Column-completeness profile of the events feed — the null/empty
+    * audit a pipeline runs on every new ingest before trusting it; one
+    * scan, one 1-row aggregate, emitted as a per-column relation via a
+    * literal struct-array explode (single pass, no union re-scans). */
+  def profileEvents(spark: SparkSession, dir: String): DataFrame = {
+    val agg = events(spark, dir).agg(
+      count(lit(1)).as("n"),
+      sum(col("user_id").isNull.cast("long")).as("nu"),
+      sum((col("event_type").isNull || col("event_type") === "").cast("long")).as("ne"),
+      sum(col("value").isNull.cast("long")).as("nv"),
+      sum((col("props").isNull || col("props") === "").cast("long")).as("np"),
+      sum(col("ts").isNull.cast("long")).as("nt"))
+    def row(name: String, bad: Column) =
+      struct(lit(name).as("column_name"), col("n").as("n_rows"),
+        bad.as("n_missing"),
+        (lit(1.0) - bad.cast("double") / col("n")).as("completeness"))
+    agg.select(explode(array(
+        row("event_type", col("ne")), row("props", col("np")),
+        row("ts", col("nt")), row("user_id", col("nu")),
+        row("value", col("nv")))).as("r"))
+      .select(col("r.column_name").as("column_name"), col("r.n_rows").as("n_rows"),
+        col("r.n_missing").as("n_missing"), col("r.completeness").as("completeness"))
+      .orderBy("column_name")
+  }
+
+  val profileEventsSql: String =
+    s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+       |  CAST(sum(CASE WHEN event_type IS NULL OR event_type = '' THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+       |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nv,
+       |  CAST(sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nt
+       |  FROM events)
+       |SELECT u.column_name, a.n AS n_rows, u.m AS n_missing,
+       |       CAST(1.0 AS DOUBLE) - CAST(u.m AS DOUBLE) / a.n AS completeness
+       |FROM a, LATERAL (VALUES ('event_type', ne), ('props', np), ('ts', nt),
+       |                        ('user_id', nu), ('value', nv)) AS u(column_name, m)
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_length_histogram" -> lengthHistogram _,
+    "q_profile_events"  -> profileEvents _,
     "q_tfidf_terms"     -> tfidfTerms _,
     "q_bigram_surprise" -> bigramSurprise _,
     "q_vocab_coverage" -> vocabCoverage _,
@@ -677,6 +751,8 @@ object CorpusOps {
     "q_source_report" -> sourceReport _)
 
   val oracles: Map[String, String] = Map(
+    "q_length_histogram" -> lengthHistogramSql,
+    "q_profile_events"  -> profileEventsSql,
     "q_tfidf_terms"     -> tfidfTermsSql,
     "q_bigram_surprise" -> bigramSurpriseSql,
     "q_vocab_coverage" -> vocabCoverageSql,

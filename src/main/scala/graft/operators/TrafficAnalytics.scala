@@ -563,7 +563,62 @@ object TrafficAnalytics {
        |FROM cells JOIN sz ON cells.cohort = sz.c0
        |ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------- last-touch attribution
+  /** Attribution horizon, minutes. */
+  private val ATTRIB_MIN = 10
+
+  /** Batch last-touch attribution — each purchase attributed to the
+    * same user's latest click at-or-before it, within [[ATTRIB_MIN]]
+    * minutes; the ORACLED batch twin of the streaming interval join
+    * (`StreamingAnalytics.attributionJoin`'s state-retention contract
+    * is exactly this horizon). Shape: the as-of tagged-union trick
+    * (q_asof_join) — one user-keyed carry-forward window instead of a
+    * pair join, then a scan-local horizon filter. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("t"), lit(0).as("src"),
+        col("event_id").as("click_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("t"), lit(1).as("src"),
+        col("event_id").as("click_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").asc, col("src").asc, col("click_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(buys)
+      .withColumn("last_click_ts",
+        last(when(col("src") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("click_id").as("purchase_id"), col("user_id"),
+        col("t").as("purchase_ts"),
+        when(col("last_click_ts") >=
+          col("t") - expr(s"INTERVAL $ATTRIB_MIN MINUTES"), col("last_click_ts"))
+          .as("attributed_click_ts"))
+      .withColumn("attributed",
+        col("attributed_click_ts").isNotNull.cast("int"))
+      .orderBy("purchase_id")
+  }
+
+  val attributionSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id, ts AS t, 0 AS src, event_id AS click_id
+       |  FROM events WHERE event_type = 'click'
+       |  UNION ALL
+       |  SELECT user_id, ts, 1, event_id FROM events WHERE event_type = 'purchase'),
+       |c AS (SELECT *,
+       |        last_value(CASE WHEN src = 0 THEN t END IGNORE NULLS) OVER (
+       |          PARTITION BY user_id ORDER BY t ASC, src ASC, click_id ASC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+       |      FROM u)
+       |SELECT click_id AS purchase_id, user_id, t AS purchase_ts,
+       |       CASE WHEN last_click_ts >= t - INTERVAL $ATTRIB_MIN MINUTES
+       |            THEN last_click_ts END AS attributed_click_ts,
+       |       CAST(CASE WHEN last_click_ts >= t - INTERVAL $ATTRIB_MIN MINUTES
+       |            THEN last_click_ts END IS NOT NULL AS INT) AS attributed
+       |FROM c WHERE src = 1 ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution"             -> attribution _,
     "q_cohort_retention"        -> cohortRetention _,
     "q_funnel"                  -> funnel _,
     "q_json_decode"             -> jsonDecode _,
@@ -581,6 +636,7 @@ object TrafficAnalytics {
     "q_comparison_accuracy"     -> comparisonAccuracy _)
 
   val oracles: Map[String, String] = Map(
+    "q_attribution"             -> attributionSql,
     "q_cohort_retention"        -> cohortRetentionSql,
     "q_funnel"                  -> funnelSql,
     "q_json_decode"             -> jsonDecodeSql,

@@ -56,6 +56,32 @@ class TrafficAnalyticsSpec extends AnyFunSuite {
     assert(c3 > 0, "no user completes the funnel at test SF — thresholds drifted")
   }
 
+  test("attribution is consistent with the interval-join pair space") {
+    val attributed = TrafficAnalytics.attribution(spark, sf)
+      .filter(col("attributed") === 1)
+      .select(col("user_id"), col("attributed_click_ts"), col("purchase_ts"))
+    assert(attributed.count() > 0, "no attributed purchases at test SF")
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    // every attributed (click_ts, purchase_ts) must be a real click of
+    // that user satisfying the interval-join horizon condition …
+    val orphan = attributed.join(clicks,
+      col("user_id") === col("cu") &&
+        col("attributed_click_ts") === col("cts") &&
+        col("cts") <= col("purchase_ts") &&
+        col("purchase_ts") <= col("cts") + expr("INTERVAL 10 MINUTES"),
+      "left_anti")
+    assert(orphan.isEmpty, "attributed click not in the interval-join pair space")
+    // … and no attributed click may be earlier than another in-horizon
+    // click of the same user (last-touch = max qualifying)
+    val later = attributed.join(clicks,
+      col("user_id") === col("cu") &&
+        col("cts") > col("attributed_click_ts") &&
+        col("cts") <= col("purchase_ts"))
+    assert(later.isEmpty, "a later in-horizon click was not attributed")
+  }
+
   test("cohort retention matches a plain-Scala cohort recount") {
     val act = Tables.events(spark, sf)
       .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS day").collect()

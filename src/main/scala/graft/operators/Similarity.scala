@@ -924,6 +924,70 @@ object Similarity {
        |FROM cn a JOIN cn b ON a.label < b.label
        |ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------- JL random-projection audit
+  /** Projected dimensionality. */
+  private val JL_K = 16
+
+  /** Deterministic ±1 JL matrix entry (LCG bit per (j,d)) — literal in
+    * both the Spark plan and the oracle SQL, like the LSH planes. */
+  private def jlSign(j: Int, d: Int): Int =
+    if ((((1103515245L * (j * DIM + d) + 12345L) >> 16) & 1L) == 0L) 1 else -1
+
+  private def jlPlaneLit(j: Int): Column =
+    array((0 until DIM).map(d => lit(jlSign(j, d).toFloat)): _*)
+
+  private def sqlJlPlane(j: Int): String =
+    (0 until DIM).map(d => s"${jlSign(j, d)}.0").mkString("[", ",", "]")
+
+  /** Johnson–Lindenstrauss projection audit: project the query subset
+    * to [[JL_K]] dims with a fixed ±1 matrix and measure, over all
+    * query pairs, the squared-distance ratio
+    * ‖Pa−Pb‖² / (K·‖a−b‖²) — concentrated near 1 when the projection
+    * preserves geometry (E[‖Pu‖²] = K·‖u‖² for ±1 rows). This is the
+    * go/no-go measurement for running ANN on 4× narrower vectors.
+    * Ratios are micro-unit-rounded so the summary means are exact
+    * integer sums; the pair space is the |queries|² subset only, never
+    * the corpus. */
+  def jlProjection(spark: SparkSession, dir: String): DataFrame = {
+    val q = embeddings(spark, dir).filter(col("vec_id") % QUERY_MOD === 0)
+      .select(col("vec_id"), col("embedding"),
+        array((0 until JL_K).map(j =>
+          dotF(col("embedding"), jlPlaneLit(j)).cast("float")): _*).as("proj"))
+    val a = q.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+      col("proj").as("p1"))
+    val b = q.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+      col("proj").as("p2"))
+    def d2(x: Column, y: Column): Column =
+      dotF(x, x) + dotF(y, y) - lit(2.0) * dotF(x, y)
+    val ratioMu = floor(
+      d2(col("p1"), col("p2")) / (lit(JL_K.toDouble) * d2(col("e1"), col("e2"))) *
+        1000000.0 + lit(0.5)).cast("long")
+    a.join(b, col("v1") < col("v2"))
+      .select(ratioMu.as("r"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("r")).cast("double") / count(lit(1)) / 1000000.0).as("mean_ratio"),
+        (min(col("r")).cast("double") / 1000000.0).as("min_ratio"),
+        (max(col("r")).cast("double") / 1000000.0).as("max_ratio"))
+  }
+
+  val jlProjectionSql: String = {
+    val projCols = (0 until JL_K).map(j =>
+      s"CAST(${sqlDot("embedding", sqlJlPlane(j))} AS REAL)").mkString("[", ",\n", "]")
+    def d2(x: String, y: String): String =
+      s"(${sqlDot(x, x)} + ${sqlDot(y, y)} - 2.0 * ${sqlDot(x, y)})"
+    s"""WITH q AS (SELECT vec_id, embedding, $projCols AS proj
+       |           FROM embeddings WHERE vec_id % $QUERY_MOD = 0),
+       |pr AS (SELECT CAST(floor(
+       |         ${d2("a.proj", "b.proj")} / ($JL_K.0 * ${d2("a.embedding", "b.embedding")})
+       |         * 1000000.0 + 0.5) AS BIGINT) AS r
+       |       FROM q a JOIN q b ON a.vec_id < b.vec_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(r) AS DOUBLE) / count(*) / 1000000.0 AS mean_ratio,
+       |       CAST(min(r) AS DOUBLE) / 1000000.0 AS min_ratio,
+       |       CAST(max(r) AS DOUBLE) / 1000000.0 AS max_ratio
+       |FROM pr""".stripMargin
+  }
+
   // --------------------------------------------- embedding-space audit
   /** Highest-variance dims reported. */
   private val ESTAT_TOPK = 5
@@ -1128,7 +1192,8 @@ object Similarity {
     "q_retrieval_eval"    -> retrievalEval _,
     "q_label_centroids"   -> labelCentroids _,
     "q_negative_pairs"    -> negativePairs _,
-    "q_embedding_stats"   -> embeddingStats _)
+    "q_embedding_stats"   -> embeddingStats _,
+    "q_jl_projection"     -> jlProjection _)
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce"    -> annBruteforceSql,
@@ -1145,5 +1210,6 @@ object Similarity {
     "q_retrieval_eval"    -> retrievalEvalSql,
     "q_label_centroids"   -> labelCentroidsSql,
     "q_negative_pairs"    -> negativePairsSql,
-    "q_embedding_stats"   -> embeddingStatsSql)
+    "q_embedding_stats"   -> embeddingStatsSql,
+    "q_jl_projection"     -> jlProjectionSql)
 }

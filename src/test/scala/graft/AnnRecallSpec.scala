@@ -136,6 +136,39 @@ class AnnRecallSpec extends AnyFunSuite {
       s"centroid mismatch: got=${got.take(2)}… exp=${expected.take(2)}…")
   }
 
+  test("JL projection audit matches a plain-Scala recount and preserves geometry") {
+    val all = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .filter(_._1 % 50 == 0).sortBy(_._1)
+    def sign(j: Int, d: Int): Double =
+      if ((((1103515245L * (j * 64 + d) + 12345L) >> 16) & 1L) == 0L) 1.0 else -1.0
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var (s, i) = (0.0, 0)
+      while (i < math.min(a.length, b.length)) { s += a(i).toDouble * b(i); i += 1 }
+      s
+    }
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      dot(a, a) + dot(b, b) - 2.0 * dot(a, b)
+    val projected = all.map { case (id, e) =>
+      (id, (0 until 16).map(j =>
+        (0 until 64).map(d => e(d).toDouble * sign(j, d)).sum.toFloat).toArray)
+    }
+    val ratios = for {
+      ((v1, e1), i) <- all.zipWithIndex; ((v2, e2), k) <- all.zipWithIndex if v1 < v2
+    } yield math.floor(
+      d2(projected(i)._2, projected(k)._2) / (16.0 * d2(e1, e2)) * 1e6 + 0.5).toLong
+    val expected = (ratios.length.toLong,
+      ratios.sum.toDouble / ratios.length / 1e6,
+      ratios.min.toDouble / 1e6, ratios.max.toDouble / 1e6)
+    val got = Similarity.jlProjection(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).head
+    assert(got == expected, s"JL recount mismatch: got=$got exp=$expected")
+    // the JL guarantee this audit exists to measure: mean ratio near 1
+    assert(math.abs(got._2 - 1.0) < 0.25, s"mean distortion off: ${got._2}")
+    assert(got._3 > 0.0, s"some pair collapsed to ~0: ${got._3}")
+  }
+
   test("retrieval eval matches a plain-Scala IR-metric recount") {
     val all = Tables.embeddings(spark, sf)
       .selectExpr("vec_id", "embedding", "label").collect()

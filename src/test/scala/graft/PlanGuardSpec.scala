@@ -48,6 +48,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_label_centroids: a<b join over the |labels|-row centroid
     // aggregate — constant pair space by construction
     "q_label_centroids",
+    // q_jl_projection: a<b join over the |queries|-subset only — the
+    // declared bounded pair space of the distortion audit
+    "q_jl_projection",
     // q_negative_pairs: 1-row corpus-size broadcast over the anchor
     // fan-out (Similarity.negativePairs)
     "q_negative_pairs",

@@ -42,6 +42,8 @@ object TextHash {
     Bridge.column(ShingleHashesExpr(Bridge.expression(s)))
   def tokenCountFast(s: Column): Column =
     Bridge.column(TokenCountExpr(Bridge.expression(s)))
+  def kgramHashesFast(s: Column, k: Int): Column =
+    Bridge.column(KgramHashesExpr(Bridge.expression(s), k))
   def stopCountFast(s: Column, words: Seq[String]): Column =
     Bridge.column(StopCountExpr(Bridge.expression(s), words))
 

@@ -79,6 +79,26 @@ object TextHashImpl {
     out
   }
 
+  /** Positional K-token k-gram hashes (duplicates kept): kg_i =
+    * fold(th[i..i+k-1], 0, (h, t) => (h*31 + t) % P) over the token
+    * hashes — the generalization of [[shingleHashes]] to arbitrary k
+    * (dup-span extraction uses k = 8). Empty for docs with fewer than
+    * k tokens. */
+  def kgramHashes(s: String, k: Int): Array[Long] = {
+    val th = tokenHashes(s)
+    val n = math.max(th.length - k + 1, 0)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 31 + th(i + j)) % P; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
   /** Whitespace-delimited token count (empty tokens dropped) — the
     * `size(tokens(s))` value in one pass, no array materialized. */
   def tokenCount(s: String): Long = {
@@ -153,6 +173,28 @@ case class TokenHashesExpr(child: Expression) extends UnaryExpression {
       "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.functions.TextHashImpl.tokenHashes($c.toString()))")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Positional k-token k-gram hashes as a native expression:
+  * string → ARRAY<BIGINT> (k fixed per instance, a plan-time literal
+  * like the shingle width). */
+case class KgramHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+  // analysis-time input check (ExpectsInputTypes is private[sql] in Spark 4):
+  // a non-string child must fail resolution, not ClassCastException at exec
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input and k >= 1, got ${child.dataType.catalogString}, k=$k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kgram_hashes"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextHashImpl.kgramHashes(v.asInstanceOf[UTF8String].toString, k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.TextHashImpl.kgramHashes($c.toString(), $k))")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** size(tokens(s)) as a native expression: string → BIGINT. */

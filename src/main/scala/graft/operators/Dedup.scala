@@ -535,7 +535,75 @@ object Dedup {
        |       CAST(d = min(r) AS INT) AS is_keeper
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------- duplicated-span extraction
+  /** Span k-gram width (tokens). */
+  private val SPAN_K = 8
+  /** Minimum reported span length (tokens). */
+  private val SPAN_MIN_LEN = 12
+
+  /** Exact duplicated-span extraction — the suffix-array exact-substring
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better") re-expressed relationally: every maximal token
+    * span ≥ [[SPAN_MIN_LEN]] shared verbatim by two documents, located
+    * by (start_a, start_b, length). Positional 8-gram hashes (native
+    * codegen'd expression) are matched across documents; matches on the
+    * same alignment diagonal (pa − pb) with consecutive positions are
+    * merged into maximal spans via the gaps-and-islands pattern
+    * (pa − row_number over the diagonal — a (da,db,diag)-PARTITIONED
+    * window, never global). The hot-k-gram [[DF_CAP]] bounds fan-out at
+    * df² exactly like the shingle index; a duplicated span's interior
+    * k-grams are rare by construction, so the cap costs no true span at
+    * this threshold. Index materialized once (both sides of the
+    * self-join scan it). */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val kg = docsParallel(spark, dir).select(col("doc_id"),
+      posexplode(kgramHashesFast(col("text"), SPAN_K)).as(Seq("pos0", "kg")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("kg"))
+    val idx = Materializer.materialize(Materializer.tagFor("spanidx", dir),
+      kg.withColumn("df", count(lit(1)).over(Window.partitionBy(col("kg"))))
+        .filter(col("df") <= DF_CAP).drop("df"))
+    val m = idx.as("a").join(idx.as("b"),
+        col("a.kg") === col("b.kg") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val w = Window.partitionBy(col("da"), col("db"), col("diag"))
+      .orderBy(col("pa").asc)
+    m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("da"), col("db"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + lit(SPAN_K - 1).cast("long")).as("span_len"))
+      .filter(col("span_len") >= SPAN_MIN_LEN)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("start_a"), col("start_b"), col("span_len"))
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+  }
+
+  val dupSpansSql: String =
+    s"""WITH t AS (SELECT doc_id, ${sqlTokenHashes(sqlTokens("text"))} AS th FROM documents),
+       |kg AS (SELECT doc_id, i AS pos,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+${SPAN_K - 1}]),
+       |           (h, c) -> (h*31 + c) % ${graft.functions.TextHash.P}) AS kg
+       |       FROM (SELECT doc_id, th, unnest(generate_series(1, len(th) - ${SPAN_K - 1})) AS i
+       |             FROM t)),
+       |idx AS (SELECT doc_id, pos, kg FROM
+       |          (SELECT *, count(*) OVER (PARTITION BY kg) AS df FROM kg)
+       |        WHERE df <= $DF_CAP),
+       |m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+       |             a.pos - b.pos AS diag
+       |      FROM idx a JOIN idx b ON a.kg = b.kg AND a.doc_id < b.doc_id),
+       |r AS (SELECT *, pa - row_number()
+       |        OVER (PARTITION BY da, db, diag ORDER BY pa ASC) AS grp
+       |      FROM m)
+       |SELECT da AS doc_a, db AS doc_b,
+       |       CAST(min(pa) AS INT) AS start_a, CAST(min(pb) AS INT) AS start_b,
+       |       CAST(count(*) + ${SPAN_K - 1} AS BIGINT) AS span_len
+       |FROM r GROUP BY da, db, diag, grp
+       |HAVING count(*) + ${SPAN_K - 1} >= $SPAN_MIN_LEN
+       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_spans"      -> dupSpans _,
     "q_exact_dedup"    -> exactDedup _,
     "q_ngram_jaccard"  -> ngramJaccard _,
     "q_containment"    -> containment _,
@@ -546,6 +614,7 @@ object Dedup {
     "q_incremental_neardup" -> incrementalNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q_dup_spans"      -> dupSpansSql,
     "q_exact_dedup"    -> exactDedupSql,
     "q_ngram_jaccard"  -> ngramJaccardSql,
     "q_containment"    -> containmentSql,

@@ -862,7 +862,223 @@ object Relational {
        |             ROWS BETWEEN ${MA_DAYS - 1} PRECEDING AND CURRENT ROW)
        |ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------- RFM segmentation
+  /** RFM (recency / frequency / monetary) quintile segmentation per
+    * market segment: each customer scored 1–5 on last-order recency,
+    * order count, and lifetime spend (exact integer cents), rolled up
+    * to (segment, r, f, m) cells with size and average spend. ntile
+    * ties are broken by custkey so bucketing is deterministic at any
+    * partition count; all three ranking windows are PARTITIONED by
+    * segment (segment-parallel, never global — at larger key spaces
+    * the quintile boundaries would come from the banded-quantile
+    * pattern of [[quantilesDisc]] instead of a rank window). */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val base = orders(spark, dir)
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(max(col("o_orderdate")).as("last_ts"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("o_totalprice") * 100.0 + lit(0.5)).cast("long")).as("cents"))
+    def quintile(ord: Column): Column =
+      ntile(5).over(Window.partitionBy(col("c_mktsegment"))
+        .orderBy(ord, col("c_custkey").asc))
+    base
+      .withColumn("r_q", quintile(col("last_ts").desc))
+      .withColumn("f_q", quintile(col("freq").desc))
+      .withColumn("m_q", quintile(col("cents").desc))
+      .groupBy(col("c_mktsegment"), col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("cents")).cast("double") / count(lit(1)) / 100.0).as("avg_monetary"))
+      .orderBy("c_mktsegment", "r_q", "f_q", "m_q")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH base AS (
+      |  SELECT c_mktsegment, c_custkey, max(o_orderdate) AS last_ts,
+      |         count(*) AS freq,
+      |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |s AS (SELECT c_mktsegment, cents,
+      |        CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+      |          ORDER BY last_ts DESC, c_custkey ASC) AS INT) AS r_q,
+      |        CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+      |          ORDER BY freq DESC, c_custkey ASC) AS INT) AS f_q,
+      |        CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+      |          ORDER BY cents DESC, c_custkey ASC) AS INT) AS m_q
+      |      FROM base)
+      |SELECT c_mktsegment, r_q, f_q, m_q,
+      |       CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 AS avg_monetary
+      |FROM s GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin
+
+  // ----------------------------------------------------- snapshot diff
+  /** First snapshot cutoff (exclusive). */
+  private val SNAP_D1 = "1996-01-01"
+  /** Second snapshot cutoff (exclusive). */
+  private val SNAP_D2 = "1997-01-01"
+
+  /** SCD-style snapshot diff: per-customer cumulative spend at two
+    * cutoff dates, classified insert (absent at D1) / update (spend
+    * changed) / unchanged, rolled up to per-status counts and revenue
+    * delta. ONE scan of the fact table with conditional aggregation —
+    * the single-pass form of "diff two table versions" that at 100 TB
+    * replaces re-reading both snapshots (grow-only facts make the
+    * older snapshot a predicate, not a second copy). */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100.0 + lit(0.5)).cast("long")
+    val inD1 = col("o_orderdate") < lit(SNAP_D1).cast("timestamp")
+    orders(spark, dir)
+      .filter(col("o_orderdate") < lit(SNAP_D2).cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(inD1, lit(1L)).otherwise(lit(0L))).as("n1"),
+        sum(when(inD1, cents).otherwise(lit(0L))).as("s1"),
+        sum(cents).as("s2"))
+      .withColumn("status",
+        when(col("n1") === 0, lit("insert"))
+          .when(col("s1") =!= col("s2"), lit("update"))
+          .otherwise(lit("unchanged")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_keys"),
+        (sum(col("s2") - col("s1")).cast("double") / 100.0).as("delta_revenue"))
+      .orderBy("status")
+  }
+
+  val snapshotDiffSql: String =
+    s"""WITH per AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$SNAP_D1 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$SNAP_D1 00:00:00'
+       |             THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '$SNAP_D2 00:00:00'
+       |  GROUP BY 1),
+       |cls AS (SELECT CASE WHEN n1 = 0 THEN 'insert'
+       |                    WHEN s1 <> s2 THEN 'update'
+       |                    ELSE 'unchanged' END AS status, s2 - s1 AS delta
+       |        FROM per)
+       |SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+       |       CAST(sum(delta) AS DOUBLE) / 100.0 AS delta_revenue
+       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------- grouping sets
+  /** Irregular GROUPING SETS — the generalization rollup/cube can't
+    * express: the three pairwise margins (priority×status,
+    * priority×year, status×year) WITHOUT the singles or the grand
+    * total, each row tagged by per-column grouping flags. Plans as one
+    * Expand (3× row multiplier, constant) + one hash aggregate — the
+    * same single-shuffle shape as [[cubeStatus]]. */
+  def groupingSetsAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"),
+        year(col("o_orderdate")).as("yr"),
+        floor(col("o_totalprice") * 100.0 + lit(0.5)).cast("long").as("cents"))
+    o.groupingSets(
+        Seq(Seq(col("priority"), col("status")),
+          Seq(col("priority"), col("yr")),
+          Seq(col("status"), col("yr"))),
+        col("priority"), col("status"), col("yr"))
+      .agg(grouping(col("priority")).cast("int").as("g_pri"),
+        grouping(col("status")).cast("int").as("g_stat"),
+        grouping(col("yr")).cast("int").as("g_yr"),
+        count(lit(1)).as("n_orders"),
+        (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+      .orderBy(col("g_pri"), col("g_stat"), col("g_yr"),
+        col("priority"), col("status"), col("yr"))
+  }
+
+  val groupingSetsAuditSql: String =
+    """SELECT priority, status, yr,
+      |       CAST(GROUPING(priority) AS INT) AS g_pri,
+      |       CAST(GROUPING(status) AS INT) AS g_stat,
+      |       CAST(GROUPING(yr) AS INT) AS g_yr,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+      |FROM (SELECT o_orderpriority AS priority, o_orderstatus AS status,
+      |             CAST(year(o_orderdate) AS INT) AS yr,
+      |             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |      FROM orders)
+      |GROUP BY GROUPING SETS ((priority, status), (priority, yr), (status, yr))
+      |ORDER BY g_pri, g_stat, g_yr, priority, status, yr""".stripMargin
+
+  // ------------------------------------------------------- winsorizing
+  /** Winsorization audit per market segment: clamp order totals to the
+    * segment's discrete [p05, p95] and report clip counts plus raw vs
+    * winsorized means (the outlier-robust preprocessing step before
+    * any mean-based downstream stat). Percentile ranks are
+    * floor(q·(n−1))+1 over a SEGMENT-PARTITIONED deterministic order
+    * (cents, orderkey) — IEEE double on both sides so the rank math is
+    * engine-identical; everything stays integer cents until the final
+    * divisions. The rank window recomputes for the threshold probe and
+    * the clamp join (two segment-parallel passes over the same
+    * shuffle), which beats materializing at this size; the 5-row
+    * threshold relation broadcasts. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val rev = orders(spark, dir)
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100.0 + lit(0.5)).cast("long").as("cents"))
+    val ranked = rev
+      .withColumn("rk", row_number().over(Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("cents").asc, col("o_orderkey").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+    def rankAt(q: Double): Column =
+      floor(lit(q) * (col("n") - 1).cast("double")).cast("long") + 1
+    val thr = ranked
+      .filter(col("rk") === rankAt(0.05) || col("rk") === rankAt(0.95))
+      .groupBy(col("c_mktsegment"))
+      .agg(min(when(col("rk") === rankAt(0.05), col("cents"))).as("lo"),
+        min(when(col("rk") === rankAt(0.95), col("cents"))).as("hi"))
+    rev.join(broadcast(thr), Seq("c_mktsegment"))
+      .withColumn("wins", least(greatest(col("cents"), col("lo")), col("hi")))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("cents") < col("lo"), lit(1L)).otherwise(lit(0L))).as("n_clip_lo"),
+        sum(when(col("cents") > col("hi"), lit(1L)).otherwise(lit(0L))).as("n_clip_hi"),
+        (min(col("lo")).cast("double") / 100.0).as("p05"),
+        (min(col("hi")).cast("double") / 100.0).as("p95"),
+        (sum(col("cents")).cast("double") / count(lit(1)) / 100.0).as("mean_raw"),
+        (sum(col("wins")).cast("double") / count(lit(1)) / 100.0).as("mean_winsorized"))
+      .orderBy("c_mktsegment")
+  }
+
+  val winsorizeSql: String =
+    """WITH rev AS (
+      |  SELECT c_mktsegment, o_orderkey,
+      |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |ranked AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents ASC, o_orderkey ASC) AS rk,
+      |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM rev),
+      |thr AS (
+      |  SELECT c_mktsegment,
+      |    min(CASE WHEN rk = CAST(floor(CAST(0.05 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+      |        THEN cents END) AS lo,
+      |    min(CASE WHEN rk = CAST(floor(CAST(0.95 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+      |        THEN cents END) AS hi
+      |  FROM ranked
+      |  WHERE rk = CAST(floor(CAST(0.05 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+      |     OR rk = CAST(floor(CAST(0.95 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+      |  GROUP BY 1)
+      |SELECT r.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+      |       CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+      |       CAST(min(lo) AS DOUBLE) / 100.0 AS p05,
+      |       CAST(min(hi) AS DOUBLE) / 100.0 AS p95,
+      |       CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 AS mean_raw,
+      |       CAST(sum(least(greatest(cents, lo), hi)) AS DOUBLE) / count(*) / 100.0
+      |         AS mean_winsorized
+      |FROM rev r JOIN thr t ON r.c_mktsegment = t.c_mktsegment
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_segments"            -> rfmSegments _,
+    "q_snapshot_diff"           -> snapshotDiff _,
+    "q_grouping_sets"           -> groupingSetsAudit _,
+    "q_winsorize"               -> winsorize _,
     "q_moving_avg"              -> movingAvg _,
     "q_calendar_fill"           -> calendarFill _,
     "q_pareto_segment"          -> paretoSegment _,
@@ -890,6 +1106,10 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_rfm_segments"            -> rfmSegmentsSql,
+    "q_snapshot_diff"           -> snapshotDiffSql,
+    "q_grouping_sets"           -> groupingSetsAuditSql,
+    "q_winsorize"               -> winsorizeSql,
     "q_moving_avg"              -> movingAvgSql,
     "q_calendar_fill"           -> calendarFillSql,
     "q_pareto_segment"          -> paretoSegmentSql,

@@ -237,4 +237,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     val nd = Similarity.embeddingNeardup(spark, sf)
     assert(nd.filter(col("v1") >= col("v2") || col("cosine") < 0.4).isEmpty)
   }
+
+  test("dup spans are verbatim-equal token runs and token-maximal") {
+    // soundness against the RAW text, not the hash pipeline: the claimed
+    // (start_a, start_b, len) really is an identical token run, and it
+    // cannot be extended by one token on either side (one-token
+    // extension implies an adjacent matched 8-gram, which the island
+    // merge would have absorbed — so this also exercises the merge).
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("[ \t\n\f\r]+").filter(_.nonEmpty))
+      .toMap
+    val got = try Dedup.dupSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    finally Materializer.clear()
+    assert(got.nonEmpty, "no duplicated spans found — testdata drifted")
+    for ((da, db, sa, sb, len) <- got) {
+      val (ta, tb) = (docs(da), docs(db))
+      val (ia, ib, l) = (sa - 1, sb - 1, len.toInt) // 1-based starts
+      assert(l >= 12 && ia + l <= ta.length && ib + l <= tb.length,
+        s"span out of range: ($da,$db,$sa,$sb,$len)")
+      assert(ta.slice(ia, ia + l).sameElements(tb.slice(ib, ib + l)),
+        s"span not verbatim: ($da,$db,$sa,$sb,$len)")
+      val leftExtends = ia > 0 && ib > 0 && ta(ia - 1) == tb(ib - 1)
+      val rightExtends = ia + l < ta.length && ib + l < tb.length &&
+        ta(ia + l) == tb(ib + l)
+      assert(!leftExtends && !rightExtends,
+        s"span not maximal: ($da,$db,$sa,$sb,$len)")
+    }
+  }
 }

@@ -251,4 +251,127 @@ class RelationalSpec extends AnyFunSuite {
     got.zip(perType).foreach { case ((t, _, dec, raw), _) =>
       assert(dec <= raw + 1e-9, s"$t decayed > raw") }
   }
+
+  private def custSegments: Map[Long, String] =
+    Tables.customer(spark, sf).selectExpr("c_custkey", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+
+  /** SQL ntile(n) over an already-ordered key sequence: the first
+    * (size mod n) buckets get one extra row. */
+  private def ntileOf(n: Int, ordered: Seq[Long]): Map[Long, Int] = {
+    val sz = ordered.size
+    val base = sz / n
+    val extra = sz % n
+    ordered.zipWithIndex.map { case (k, i) =>
+      val r = i + 1
+      val b =
+        if (r <= extra * (base + 1)) (r + base) / (base + 1)
+        else extra + (r - extra * (base + 1) + base - 1) / base
+      k -> b
+    }.toMap
+  }
+
+  test("RFM segmentation matches a plain-Scala ntile recount") {
+    val seg = custSegments
+    val rows = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(o_orderdate AS STRING) AS ts", "o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+    val base = rows.groupBy(_._1).toSeq.map { case (ck, os) =>
+      (seg(ck), ck, os.map(_._2).max, os.size.toLong, os.map(_._3).sum)
+    }
+    val expected = base.groupBy(_._1).flatMap { case (s, cs) =>
+      val rq = ntileOf(5, cs.sortBy(c => (c._3, c._2))(
+        Ordering.Tuple2(Ordering[String].reverse, Ordering[Long])).map(_._2))
+      val fq = ntileOf(5, cs.sortBy(c => (c._4, c._2))(
+        Ordering.Tuple2(Ordering[Long].reverse, Ordering[Long])).map(_._2))
+      val mq = ntileOf(5, cs.sortBy(c => (c._5, c._2))(
+        Ordering.Tuple2(Ordering[Long].reverse, Ordering[Long])).map(_._2))
+      cs.groupBy(c => (rq(c._2), fq(c._2), mq(c._2))).map { case ((r, f, m), g) =>
+        (s, r, f, m, g.size.toLong,
+          g.map(_._5).sum.toDouble / g.size / 100.0)
+      }
+    }.toSeq.sortBy(e => (e._1, e._2, e._3, e._4))
+    val got = Relational.rfmSegments(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected, s"rfm mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+  }
+
+  test("snapshot diff matches a plain-Scala two-cutoff recount") {
+    val rows = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(o_orderdate AS STRING) AS ts", "o_totalprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+      .filter(_._2 < "1997-01-01")
+    val expected = rows.groupBy(_._1).toSeq.map { case (_, os) =>
+      val s1 = os.filter(_._2 < "1996-01-01").map(_._3).sum
+      val n1 = os.count(_._2 < "1996-01-01")
+      val s2 = os.map(_._3).sum
+      val status = if (n1 == 0) "insert" else if (s1 != s2) "update" else "unchanged"
+      (status, s2 - s1)
+    }.groupBy(_._1).map { case (st, ds) =>
+      (st, ds.size.toLong, ds.map(_._2).sum.toDouble / 100.0)
+    }.toSeq.sortBy(_._1)
+    val got = Relational.snapshotDiff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected, s"diff mismatch: got=$got exp=$expected")
+    assert(got.map(_._1).toSet.subsetOf(Set("insert", "update", "unchanged")))
+  }
+
+  test("grouping sets emits exactly the three pairwise margins") {
+    val rows = Tables.orders(spark, sf)
+      .selectExpr("o_orderpriority", "o_orderstatus",
+        "CAST(year(o_orderdate) AS INT) AS yr", "o_totalprice")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        math.floor(r.getDouble(3) * 100.0 + 0.5).toLong))
+    def margin[K](key: ((String, String, Int, Long)) => K,
+        shape: (K, Long, Double) => (Option[String], Option[String], Option[Int], Int, Int, Int, Long, Double)) =
+      rows.groupBy(key).map { case (k, g) =>
+        shape(k, g.size.toLong, g.map(_._4).sum.toDouble / 100.0) }.toSeq
+    val expected = (
+      margin(r => (r._1, r._2), (k: (String, String), n, rev) =>
+        (Some(k._1), Some(k._2), None, 0, 0, 1, n, rev)) ++
+      margin(r => (r._1, r._3), (k: (String, Int), n, rev) =>
+        (Some(k._1), None, Some(k._2), 0, 1, 0, n, rev)) ++
+      margin(r => (r._2, r._3), (k: (String, Int), n, rev) =>
+        (None, Some(k._1), Some(k._2), 1, 0, 0, n, rev))).sortBy(_.toString)
+    val got = Relational.groupingSetsAudit(spark, sf).collect().map { r =>
+      (if (r.isNullAt(0)) None else Some(r.getString(0)),
+        if (r.isNullAt(1)) None else Some(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getInt(3), r.getInt(4), r.getInt(5), r.getLong(6), r.getDouble(7))
+    }.toSeq.sortBy(_.toString)
+    assert(got == expected,
+      s"grouping sets mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+  }
+
+  test("winsorize matches a plain-Scala percentile-clamp recount") {
+    val seg = custSegments
+    val rows = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "o_orderkey", "o_totalprice").collect()
+      .map(r => (seg(r.getLong(0)), r.getLong(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+    val expected = rows.groupBy(_._1).toSeq.map { case (s, g) =>
+      val sorted = g.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = sorted.size
+      val lo = sorted(math.floor(0.05 * (n - 1).toDouble).toInt)
+      val hi = sorted(math.floor(0.95 * (n - 1).toDouble).toInt)
+      (s, n.toLong,
+        sorted.count(_ < lo).toLong, sorted.count(_ > hi).toLong,
+        lo.toDouble / 100.0, hi.toDouble / 100.0,
+        sorted.sum.toDouble / n / 100.0,
+        sorted.map(c => math.min(math.max(c, lo), hi)).sum.toDouble / n / 100.0)
+    }.sortBy(_._1)
+    val got = Relational.winsorize(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSeq
+    assert(got == expected, s"winsorize mismatch: got=${got.take(2)}… exp=${expected.take(2)}…")
+    // clip counts stay within the quantile tails by construction
+    got.foreach { g =>
+      assert(g._3 <= g._2 * 0.05 + 1 && g._4 <= g._2 * 0.05 + 1, s"clip overflow: $g") }
+  }
 }

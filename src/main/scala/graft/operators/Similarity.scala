@@ -988,6 +988,126 @@ object Similarity {
        |FROM pr""".stripMargin
   }
 
+  // ------------------------------------------------ MMR diversification
+  /** Candidate pool per query (exact top-N by cosine). */
+  private val MMR_POOL = 20
+  /** Diversified selections per query. */
+  private val MMR_K = 5
+
+  /** Maximal-marginal-relevance diversified retrieval (Carbonell &
+    * Goldstein 1998): from each query's exact top-[[MMR_POOL]] pool,
+    * greedily pick [[MMR_K]] results maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) with λ = 0.7 — the
+    * re-ranking that keeps near-duplicate hits from crowding a result
+    * page. The greedy argmax is inherently sequential, so the K rounds
+    * are unrolled as K bounded relational steps (constant work per
+    * query: ≤ POOL² pair sims, ≤ POOL scored rows per round), each
+    * picked via the min-of-struct hash aggregate (no ranking window),
+    * with the pool and pair-sim relations materialized once. Scores
+    * are exact integer micro-units (score_num = 7·relµ − 3·maxsimµ),
+    * ties broken by candidate id — deterministic at any partition
+    * count, and the selection path is hash-oracle-able in DuckDB. */
+  def mmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val q = e.filter(col("vec_id") % QUERY_MOD === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cid").asc)
+    val cand = Materializer.materialize(Materializer.tagFor("mmrcand", dir),
+      broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("cid"),
+          cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= MMR_POOL)
+        .select(col("query_id"), col("cid"),
+          floor(col("cosine") * 1000000.0 + lit(0.5)).cast("long").as("rel_mu")))
+    val sims = Materializer.materialize(Materializer.tagFor("mmrsims", dir),
+      cand.select(col("query_id"), col("cid").as("c1"))
+        .join(cand.select(col("query_id"), col("cid").as("c2")), "query_id")
+        .filter(col("c1") =!= col("c2"))
+        .join(e.select(col("vec_id"), col("embedding").as("e1"), col("nrm").as("n1")),
+          col("c1") === col("vec_id")).drop("vec_id")
+        .join(e.select(col("vec_id"), col("embedding").as("e2"), col("nrm").as("n2")),
+          col("c2") === col("vec_id")).drop("vec_id")
+        .select(col("query_id"), col("c1"), col("c2"),
+          floor(cosine(col("e1"), col("n1"), col("e2"), col("n2")) * 1000000.0 +
+            lit(0.5)).cast("long").as("sim_mu")))
+    // round 1: pure relevance (max over the empty selected set = 0)
+    var selected = cand.groupBy(col("query_id"))
+      .agg(min(struct((-col("rel_mu") * 7).as("ns"), col("cid"))).as("b"))
+      .select(col("query_id"), col("b.cid").as("cid"),
+        lit(1).as("rank"), (-col("b.ns")).as("score_num"))
+    for (r <- 2 to MMR_K) {
+      val sel = selected.select(col("query_id"), col("cid"))
+      val rem = cand.join(sel, Seq("query_id", "cid"), "left_anti")
+      val ms = sims.join(sel.withColumnRenamed("cid", "c2"), Seq("query_id", "c2"))
+        .groupBy(col("query_id"), col("c1")).agg(max(col("sim_mu")).as("max_sim"))
+      val pick = rem.join(ms,
+          rem("query_id") === ms("query_id") && col("cid") === col("c1"))
+        .select(rem("query_id"),
+          struct((-(col("rel_mu") * 7 - col("max_sim") * 3)).as("ns"), col("cid")).as("s"))
+        .groupBy(col("query_id")).agg(min(col("s")).as("b"))
+        .select(col("query_id"), col("b.cid").as("cid"),
+          lit(r).as("rank"), (-col("b.ns")).as("score_num"))
+      selected = Materializer.materialize(Materializer.tagFor(s"mmrsel$r", dir),
+        selected.unionAll(pick))
+    }
+    selected
+      .select(col("query_id"), col("rank"), col("cid").as("cand_id"),
+        (col("score_num").cast("double") / 10000000.0).as("mmr_score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val mmrDiversifySql: String = {
+    val rounds = (2 to MMR_K).map { r =>
+      s"""rem$r AS (SELECT c.* FROM cand c LEFT JOIN sel${r - 1} s
+         |            ON c.query_id = s.query_id AND c.cid = s.cid
+         |          WHERE s.cid IS NULL),
+         |ms$r AS (SELECT m.query_id, m.c1, max(m.sim_mu) AS max_sim
+         |         FROM sims m JOIN sel${r - 1} s
+         |           ON m.query_id = s.query_id AND m.c2 = s.cid
+         |         GROUP BY 1, 2),
+         |pick$r AS (SELECT query_id, cid, $r AS rank, score_num FROM
+         |            (SELECT x.*, row_number() OVER (PARTITION BY query_id
+         |               ORDER BY score_num DESC, cid ASC) AS rn
+         |             FROM (SELECT r.query_id, r.cid,
+         |                     7*r.rel_mu - 3*m.max_sim AS score_num
+         |                   FROM rem$r r JOIN ms$r m
+         |                     ON r.query_id = m.query_id AND r.cid = m.c1) x)
+         |           WHERE rn = 1),
+         |sel$r AS (SELECT query_id, cid, rank, score_num FROM sel${r - 1}
+         |          UNION ALL SELECT query_id, cid, rank, score_num FROM pick$r),"""
+        .stripMargin
+    }.mkString("\n")
+    s"""WITH n AS ($sqlWithNorm),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM n
+       |      WHERE vec_id % $QUERY_MOD = 0),
+       |cand AS (SELECT query_id, cid, CAST(floor(cosine * 1000000.0 + 0.5) AS BIGINT) AS rel_mu
+       |         FROM (SELECT query_id, n.vec_id AS cid,
+       |                 ${sqlCosine("qe", "qn", "n.embedding", "n.nrm")} AS cosine,
+       |                 row_number() OVER (PARTITION BY query_id ORDER BY
+       |                   ${sqlCosine("qe", "qn", "n.embedding", "n.nrm")} DESC,
+       |                   n.vec_id ASC) AS rn
+       |               FROM q JOIN n ON n.vec_id != q.query_id)
+       |         WHERE rn <= $MMR_POOL),
+       |sims AS (SELECT a.query_id, a.cid AS c1, b.cid AS c2,
+       |           CAST(floor(${sqlCosine("x.embedding", "x.nrm", "y.embedding", "y.nrm")}
+       |                * 1000000.0 + 0.5) AS BIGINT) AS sim_mu
+       |         FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cid != b.cid
+       |         JOIN n x ON a.cid = x.vec_id
+       |         JOIN n y ON b.cid = y.vec_id),
+       |sel1 AS (SELECT query_id, cid, 1 AS rank, 7*rel_mu AS score_num FROM
+       |          (SELECT c.*, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY rel_mu DESC, cid ASC) AS rn FROM cand c)
+       |         WHERE rn = 1),
+       |$rounds
+       |final AS (SELECT * FROM sel$MMR_K)
+       |SELECT query_id, CAST(rank AS INT) AS rank, cid AS cand_id,
+       |       CAST(score_num AS DOUBLE) / 10000000.0 AS mmr_score
+       |FROM final ORDER BY query_id, rank""".stripMargin
+  }
+
   // --------------------------------------------- embedding-space audit
   /** Highest-variance dims reported. */
   private val ESTAT_TOPK = 5
@@ -1193,7 +1313,8 @@ object Similarity {
     "q_label_centroids"   -> labelCentroids _,
     "q_negative_pairs"    -> negativePairs _,
     "q_embedding_stats"   -> embeddingStats _,
-    "q_jl_projection"     -> jlProjection _)
+    "q_jl_projection"     -> jlProjection _,
+    "q_mmr_diversify"     -> mmrDiversify _)
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce"    -> annBruteforceSql,
@@ -1211,5 +1332,6 @@ object Similarity {
     "q_label_centroids"   -> labelCentroidsSql,
     "q_negative_pairs"    -> negativePairsSql,
     "q_embedding_stats"   -> embeddingStatsSql,
-    "q_jl_projection"     -> jlProjectionSql)
+    "q_jl_projection"     -> jlProjectionSql,
+    "q_mmr_diversify"     -> mmrDiversifySql)
 }

@@ -169,6 +169,48 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(got._3 > 0.0, s"some pair collapsed to ~0: ${got._3}")
   }
 
+  test("MMR diversification matches a plain-Scala greedy recount") {
+    val all = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val emb = all.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def mu(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val expected = all.filter(_._1 % 50 == 0).sortBy(_._1).toSeq.flatMap {
+      case (qid, qe) =>
+        val pool = all.filter(_._1 != qid)
+          .map { case (id, e) => (id, cos(qe, e)) }
+          .sortBy { case (id, c) => (-c, id) }.take(20)
+          .map { case (id, c) => (id, mu(c)) }.toSeq
+        var sel = Vector.empty[(Long, Int, Long)]
+        for (r <- 1 to 5) {
+          val (cid, sc) = pool.filter(p => !sel.exists(_._1 == p._1))
+            .map { case (cid, rel) =>
+              val maxSim =
+                if (sel.isEmpty) 0L
+                else sel.map(s => mu(cos(emb(cid), emb(s._1)))).max
+              (cid, 7 * rel - 3 * maxSim)
+            }.minBy { case (c, s) => (-s, c) }
+          sel = sel :+ ((cid, r, sc))
+        }
+        sel.map(s => (qid, s._2, s._1, s._3.toDouble / 1e7))
+    }
+    val got = try Similarity.mmrDiversify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    finally Materializer.clear()
+    assert(got == expected, s"mmr mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+    // rank 1 must be the pure-relevance argmax; K distinct picks per query
+    got.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).distinct.size == 5, s"duplicate picks: $g") }
+  }
+
   test("retrieval eval matches a plain-Scala IR-metric recount") {
     val all = Tables.embeddings(spark, sf)
       .selectExpr("vec_id", "embedding", "label").collect()

@@ -1074,7 +1074,52 @@ object Relational {
       |FROM rev r JOIN thr t ON r.c_mktsegment = t.c_mktsegment
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ target encoding (LOO)
+  /** Leave-one-out target encoding of the market segment by customer
+    * spend — the leakage-safe categorical encoding for ML features:
+    * enc(c) = (segment total − c's own total) / (segment orders − c's
+    * orders), so no row's feature contains its own target. Exact
+    * integer cents to the one final division; the 5-row segment
+    * aggregate broadcasts back over the per-customer aggregate (no
+    * second fact scan, no window). Degenerate single-customer segments
+    * yield NULL via the n_s > n_c guard. */
+  def targetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + lit(0.5)).cast("long")).as("cents_c"),
+        count(lit(1)).as("n_c"))
+      .join(broadcast(customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    val perSeg = perCust.groupBy(col("c_mktsegment").as("seg"))
+      .agg(sum(col("cents_c")).as("cents_s"), sum(col("n_c")).as("n_s"))
+    perCust.join(broadcast(perSeg), col("c_mktsegment") === col("seg"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_c").as("n_orders"),
+        when(col("n_s") > col("n_c"),
+          (col("cents_s") - col("cents_c")).cast("double") /
+            (col("n_s") - col("n_c")).cast("double") / 100.0).as("loo_enc"))
+      .orderBy("c_custkey")
+  }
+
+  val targetEncodeSql: String =
+    """WITH pc AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents_c,
+      |         count(*) AS n_c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |ps AS (SELECT c_mktsegment AS seg, CAST(sum(cents_c) AS BIGINT) AS cents_s,
+      |              CAST(sum(n_c) AS BIGINT) AS n_s
+      |       FROM pc GROUP BY 1)
+      |SELECT c_custkey, c_mktsegment, n_c AS n_orders,
+      |       CASE WHEN n_s > n_c THEN
+      |         CAST(cents_s - cents_c AS DOUBLE) / CAST(n_s - n_c AS DOUBLE) / 100.0
+      |       END AS loo_enc
+      |FROM pc JOIN ps ON c_mktsegment = seg
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_target_encode"           -> targetEncode _,
     "q_rfm_segments"            -> rfmSegments _,
     "q_snapshot_diff"           -> snapshotDiff _,
     "q_grouping_sets"           -> groupingSetsAudit _,
@@ -1106,6 +1151,7 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_target_encode"           -> targetEncodeSql,
     "q_rfm_segments"            -> rfmSegmentsSql,
     "q_snapshot_diff"           -> snapshotDiffSql,
     "q_grouping_sets"           -> groupingSetsAuditSql,

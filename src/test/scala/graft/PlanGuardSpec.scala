@@ -70,7 +70,7 @@ class PlanGuardSpec extends AnyFunSuite {
     * mismatch extractors + accuracy rollup (1-row max-batch-id snapshot
     * bound). */
   private val nljAggBounded = Set(
-    "q_above_avg_orders", "q_quantiles_disc",
+    "q_above_avg_orders", "q_quantiles_disc", "q_quantiles_cont",
     "q_session_cat_mismatch", "q_page_views_mismatch",
     "q_engagement_mismatch", "q_comparison_accuracy",
     "q_cms_heavy_hitters",
@@ -155,6 +155,8 @@ class PlanGuardSpec extends AnyFunSuite {
     * |distinct keys| rows through one task at 100 TB (the r3 q_skew_join
     * weak mark). */
   private val globalWindowAllowed = Set("q_quantiles_disc",
+    // q_quantiles_cont: same constant-NBANDS band-count cumulative window
+    "q_quantiles_cont",
     // q_zipf_fit: the rank window runs over an orderBy().limit(ZIPF_TOPR)
     // input — constant ≤ 100 rows by construction, fed by a distributed
     // TakeOrderedAndProject (CorpusOps.zipfFit)

@@ -349,6 +349,26 @@ class RelationalSpec extends AnyFunSuite {
       s"grouping sets mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
   }
 
+  test("interpolated quantiles match a plain-Scala sorted recount") {
+    val prices = Tables.orders(spark, sf)
+      .selectExpr("o_totalprice", "o_orderkey").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sortBy(p => (p._1, p._2))
+      .map(_._1)
+    val n = prices.length
+    val expected = Seq(0.25, 0.5, 0.75, 0.9).map { q =>
+      val pos = q * (n - 1).toDouble
+      val lo = math.floor(pos).toInt
+      val hi = math.min(lo + 1, n - 1)
+      val frac = pos - math.floor(pos)
+      (q, prices(lo) + frac * (prices(hi) - prices(lo)))
+    }
+    val got = Relational.quantilesCont(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(got == expected, s"cont quantiles mismatch: got=$got exp=$expected")
+    // cont never below disc's floor-rank value, and monotone in q
+    assert(got.map(_._2) == got.map(_._2).sorted)
+  }
+
   test("leave-one-out target encoding matches a plain-Scala recount") {
     val seg = custSegments
     val rows = Tables.orders(spark, sf)

@@ -431,6 +431,45 @@ object TextOps {
        |       min(doc_id) AS first_doc
        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Weighted sample size. */
+  private val WSAMPLE_K = 20
+
+  /** Deterministic weighted sampling WITHOUT replacement — the
+    * Efraimidis–Spirakis A-Res scheme (each item ranked by
+    * u^(1/w) ⟺ ln(u)/w, top-k kept), with the uniform u derived from
+    * the CONTENT hash instead of rand(): (charHash+1)/(P+1) ∈ (0,1).
+    * Weights = token counts, so long documents are proportionally more
+    * likely — the length-weighted corpus subsample. rand()-free means
+    * the sample is reproducible under re-runs, re-partitions, and
+    * retries (the property every other sampler here shares); ln is
+    * micro-unit-rounded before the one IEEE division so the key is
+    * engine-identical. Scan-local key + distributed
+    * TakeOrderedAndProject: no shuffle at any corpus size. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (charHashFast(col("text")) + 1).cast("double") /
+      lit((graft.functions.TextHash.P + 1).toDouble)
+    val keyMu = floor(log(u) * 1000000.0 + lit(0.5)).cast("long")
+    documents(spark, dir)
+      .select(col("doc_id"),
+        greatest(tokenCountFast(col("text")), lit(1L)).as("weight"),
+        keyMu.as("key_mu"))
+      .select(col("doc_id"), col("weight"),
+        (col("key_mu").cast("double") / col("weight").cast("double")).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id").asc)
+      .limit(WSAMPLE_K)
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    CAST(floor(ln(CAST(${sqlCharHash("text")} + 1 AS DOUBLE) /
+       |      ${(graft.functions.TextHash.P + 1).toDouble}) * 1000000.0 + 0.5) AS BIGINT) AS key_mu,
+       |    greatest(CAST(len(${sqlTokens("text")}) AS BIGINT), 1) AS weight
+       |  FROM documents)
+       |SELECT doc_id, weight,
+       |       CAST(key_mu AS DOUBLE) / CAST(weight AS DOUBLE) AS es_key
+       |FROM h ORDER BY es_key DESC, doc_id ASC LIMIT $WSAMPLE_K""".stripMargin
+
   // Corpus-level top-k tokens — the vocabulary head (tokenizer/vocab
   // audits, stop-list discovery). Explode is codegen'd (split + explode +
   // relational length filter, NO interpreted lambda); the count is one
@@ -586,6 +625,7 @@ object TextOps {
     "q_corpus_curation"    -> corpusCuration _,
     "q_repetition_stats"   -> repetitionStats _,
     "q_hash_split"         -> hashSplit _,
+    "q_weighted_sample"    -> weightedSample _,
     "q_token_topk"         -> tokenTopk _,
     "q_stratified_sample"  -> stratifiedSample _,
     "q_doc_chunks"         -> docChunks _,
@@ -601,6 +641,7 @@ object TextOps {
     "q_corpus_curation"    -> corpusCurationSql,
     "q_repetition_stats"   -> repetitionStatsSql,
     "q_hash_split"         -> hashSplitSql,
+    "q_weighted_sample"    -> weightedSampleSql,
     "q_token_topk"         -> tokenTopkSql,
     "q_stratified_sample"  -> stratifiedSampleSql,
     "q_doc_chunks"         -> docChunksSql,

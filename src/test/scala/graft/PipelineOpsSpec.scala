@@ -238,6 +238,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(nd.filter(col("v1") >= col("v2") || col("cosine") < 0.4).isEmpty)
   }
 
+  test("weighted sample matches a plain-Scala Efraimidis-Spirakis recount") {
+    import graft.functions.TextHashImpl
+    val docs = Tables.documents(spark, sf).selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, t) =>
+      val u = (TextHashImpl.polyHash(t) + 1).toDouble / (TextHashImpl.P + 1).toDouble
+      val w = math.max(TextHashImpl.tokenCount(t), 1L)
+      val keyMu = math.floor(math.log(u) * 1e6 + 0.5).toLong
+      (id, w, keyMu.toDouble / w.toDouble)
+    }.sortBy { case (id, _, k) => (-k, id) }.take(20).toSeq
+    val got = TextOps.weightedSample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected,
+      s"weighted sample mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+    assert(got.forall(_._3 <= 0.0), "ES keys must be ln(u)/w <= 0")
+  }
+
   test("dup spans are verbatim-equal token runs and token-maximal") {
     // soundness against the RAW text, not the hash pipeline: the claimed
     // (start_a, start_b, len) really is an identical token run, and it

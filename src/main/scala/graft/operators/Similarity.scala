@@ -772,12 +772,18 @@ object Similarity {
     * break on neighbor_id. Encode-side argmin compares raw doubles from
     * an identical fold in both engines, tie-break min centroid id. */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val d = embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(normSq(col("embedding"))).as("len"))
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => (x.cast("double") / col("len")).cast("float")).as("embedding"))
+    // L2-normalization is an interpreted HOF transform (CodegenFallback)
+    // and `d` feeds THREE subtrees (centroids, code assignment, query
+    // distance tables) — materialize it once so the lambda interpreter
+    // runs one corpus pass, not three, and the downstream joins scan
+    // codegen-friendly parquet
+    val d = Materializer.materialize(Materializer.tagFor("pqnorm", dir),
+      embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(normSq(col("embedding"))).as("len"))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") / col("len")).cast("float")).as("embedding")))
     val cents = d.filter(col("vec_id") % PQ_KMOD === PQ_RESIDUE)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
     // (id, m, sub-vector, |sub|²) rows: each 4-dim slice and its norm

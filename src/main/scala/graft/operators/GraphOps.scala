@@ -218,13 +218,77 @@ object GraphOps {
        |LEFT JOIN rc ON coalesce(o.node, i.node) = rc.node
        |ORDER BY 1""".stripMargin
 
+  /** Triangle count + local clustering coefficient per page over the
+    * UNDIRECTED transition graph — the cohesion metric next to
+    * [[graphDegrees]]' volume metrics. Classic oriented enumeration:
+    * edges deduped to a < b pairs, each triangle found exactly once via
+    * two equi-joins (wedge a−b−c closed by the (a,c) edge), per-node
+    * counts by exploding the 3 corners, coefficient = 2T / d(d−1).
+    * Shapes: equi-joins keyed on node ids, linear in Σ wedge counts; at
+    * web scale the standard refinement is degree-ordered orientation
+    * (orient each edge low-degree → high-degree) so hub wedges don't
+    * dominate — id orientation is kept here because the oracle must
+    * mirror the exact pair set. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Materializer.materialize(Materializer.tagFor("predges", dir),
+      transitionEdges(spark, dir))
+    val und = Materializer.materialize(Materializer.tagFor("undedges", dir),
+      edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct())
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e2.a") === col("e1.b"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("page"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          coalesce(col("n_triangles"), lit(0L)).cast("double") * 2.0 /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering_coef"))
+      .orderBy("page")
+  }
+
+  val triangleCountSql: String =
+    s"""WITH ev AS (SELECT user_id, ts, event_id,
+       |  CAST(json_extract(props, '$$.k') AS INT) AS page FROM events),
+       |sq AS (SELECT page, lag(page) OVER (
+       |         PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev FROM ev),
+       |und AS (SELECT DISTINCT least(prev, page) AS a, greatest(prev, page) AS b
+       |        FROM sq WHERE prev IS NOT NULL AND prev <> page),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |        FROM und e1 JOIN und e2 ON e2.a = e1.b
+       |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       |       FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY 1),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+       |          (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+       |        GROUP BY 1)
+       |SELECT CAST(deg.node AS INT) AS page, degree,
+       |       coalesce(n_triangles, 0) AS n_triangles,
+       |       CASE WHEN degree >= 2
+       |            THEN CAST(coalesce(n_triangles, 0) AS DOUBLE) * 2.0 /
+       |                 CAST(degree * (degree - 1) AS DOUBLE)
+       |            ELSE CAST(0.0 AS DOUBLE) END AS clustering_coef
+       |FROM deg LEFT JOIN pn ON deg.node = pn.node
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank"      -> (pageRank _),
-    "q_session_paths" -> (sessionPaths _),
-    "q_graph_degrees" -> (graphDegrees _))
+    "q_pagerank"       -> (pageRank _),
+    "q_session_paths"  -> (sessionPaths _),
+    "q_graph_degrees"  -> (graphDegrees _),
+    "q_triangle_count" -> (triangleCount _))
 
   val oracles: Map[String, String] = Map(
-    "q_pagerank"      -> pageRankSql,
-    "q_session_paths" -> sessionPathsSql,
-    "q_graph_degrees" -> graphDegreesSql)
+    "q_pagerank"       -> pageRankSql,
+    "q_session_paths"  -> sessionPathsSql,
+    "q_graph_degrees"  -> graphDegreesSql,
+    "q_triangle_count" -> triangleCountSql)
 }

@@ -65,4 +65,35 @@ class GraphOpsSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
     assert(got == expected, s"paths mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
   }
+
+  test("triangle counts match a plain-Scala closed-wedge recount") {
+    val rows = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS tsu", "event_id",
+        "from_json(props, 'k INT').k AS page")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val und = rows.groupBy(_._1).iterator.flatMap { case (_, es) =>
+      val p = es.sortBy(e => (e._2, e._3)).map(_._4)
+      p.zip(p.drop(1)).filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    }.toSet
+    val adj = (und.toSeq ++ und.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triPerNode = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    for { (a, b) <- und; c <- adj(a) if c > b && adj(b).contains(c) } {
+      triPerNode(a) += 1; triPerNode(b) += 1; triPerNode(c) += 1
+    }
+    val expected = adj.keys.toSeq.sorted.map { n =>
+      val d = adj(n).size.toLong
+      val t = triPerNode(n)
+      (n, d, t, if (d >= 2) t.toDouble * 2.0 / (d * (d - 1)).toDouble else 0.0)
+    }
+    val got = try GraphOps.triangleCount(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    finally Materializer.clear()
+    assert(got == expected,
+      s"triangle mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+    assert(got.exists(_._3 > 0), "no triangles found — graph drifted")
+    got.foreach { g => assert(g._4 >= 0.0 && g._4 <= 1.0, s"coef out of range: $g") }
+  }
 }

@@ -453,7 +453,62 @@ object Curation {
        |       CAST(sum(CASE WHEN keep = 1 THEN h END) AS BIGINT) AS kept_hash_sum
        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------- score→dup reliability
+  /** Reliability (calibration/lift) table for the quality score against
+    * the exact-dup outcome: docs bucketed by fixed-width score bins
+    * (floor(score·10), the reliability-diagram binning — equal-count
+    * deciles would need a global rank), each bin reporting its
+    * duplicated-content rate and lift vs the corpus base rate. The
+    * standard "is this signal predictive enough to gate on" audit
+    * before wiring a score into a filter. One scan computes score +
+    * content digest; dup flag via a digest-partitioned count window
+    * (the [[Dedup.exactDedup]] shape); base rate joins back as a 1-row
+    * broadcast. */
+  def qualityLift(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = documents(spark, dir)
+      .select(col("doc_id"),
+        TextOps.qualityScoreOf(col("text")).as("score"),
+        md5(col("text")).as("h"))
+      .withColumn("is_dup",
+        (count(lit(1)).over(Window.partitionBy(col("h"))) >= 2).cast("long"))
+      .withColumn("bucket",
+        least(floor(col("score") * 10.0).cast("int"), lit(9)))
+    val binned = perDoc.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+    val tot = binned.agg(sum(col("n_docs")).as("t_docs"),
+      sum(col("n_dups")).as("t_dups"))
+    binned.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_docs"), col("n_dups"),
+        (col("n_dups").cast("double") / col("n_docs").cast("double")).as("dup_rate"),
+        when(col("t_dups") > 0,
+          (col("n_dups").cast("double") / col("n_docs").cast("double")) /
+            (col("t_dups").cast("double") / col("t_docs").cast("double")))
+          .as("lift"))
+      .orderBy("bucket")
+  }
+
+  val qualityLiftSql: String =
+    s"""WITH t AS (SELECT doc_id, text, ${sqlTokens("text")} AS toks,
+       |                  length(text) AS nc FROM documents),
+       |d AS (SELECT doc_id, (${TextOps.sqlQualityOf}) AS score,
+       |             CASE WHEN count(*) OVER (PARTITION BY md5(text)) >= 2
+       |                  THEN 1 ELSE 0 END AS is_dup
+       |      FROM t),
+       |b AS (SELECT least(CAST(floor(score * 10.0) AS INT), 9) AS bucket,
+       |             CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(sum(is_dup) AS BIGINT) AS n_dups
+       |      FROM d GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t_docs,
+       |               CAST(sum(n_dups) AS BIGINT) AS t_dups FROM b)
+       |SELECT CAST(bucket AS INT) AS bucket, n_docs, n_dups,
+       |       CAST(n_dups AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+       |       CASE WHEN t_dups > 0 THEN
+       |         (CAST(n_dups AS DOUBLE) / CAST(n_docs AS DOUBLE)) /
+       |         (CAST(t_dups AS DOUBLE) / CAST(t_docs AS DOUBLE)) END AS lift
+       |FROM b, tot ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_lift"        -> qualityLift _,
     "q_balanced_sample"     -> balancedSample _,
     "q_quality_calibrated"  -> qualityCalibrated _,
     "q_token_entropy"       -> tokenEntropy _,
@@ -464,6 +519,7 @@ object Curation {
     "q_dsir_weights"        -> dsirWeights _)
 
   val oracles: Map[String, String] = Map(
+    "q_quality_lift"        -> qualityLiftSql,
     "q_balanced_sample"     -> balancedSampleSql,
     "q_quality_calibrated"  -> qualityCalibratedSql,
     "q_token_entropy"       -> tokenEntropySql,

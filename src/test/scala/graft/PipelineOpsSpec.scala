@@ -283,4 +283,33 @@ class PipelineOpsSpec extends AnyFunSuite {
         s"span not maximal: ($da,$db,$sa,$sb,$len)")
     }
   }
+
+  test("blocked edit-distance near-dup matches a plain-Scala DP recount") {
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lang", "n_chars DIV 40 AS band",
+        "substring(text, 1, 48) AS pfx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    val expected = docs.groupBy(d => (d._2, d._3)).toSeq.flatMap { case (_, g) =>
+      for {
+        a <- g; b <- g if a._1 < b._1
+        d = lev(a._4, b._4) if d <= 12
+      } yield (a._1, b._1, a._2, d)
+    }.sortBy(p => (p._1, p._2))
+    val got = graft.operators.Dedup.editNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSeq
+    assert(got == expected, s"edit near-dup mismatch: got=${got.take(3)} exp=${expected.take(3)}")
+    assert(got.nonEmpty, "test data should contain at least one prefix near-dup")
+  }
 }

@@ -457,4 +457,23 @@ class RelationalSpec extends AnyFunSuite {
     // smoothed self-comparison contributions cancel bucket by bucket
     got.foreach { g => assert(g._4 > -1.0 && g._4 < 25.0, s"psi out of range: $g") }
   }
+
+  test("pivot crosstab matches a conditional-sum recount and covers all cells") {
+    val rows = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)),
+        col("o_custkey") === col("c_custkey"))
+      .selectExpr("c_mktsegment", "o_orderpriority",
+        "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val expected = rows.groupBy(_._1).toSeq.map { case (seg, g) =>
+      seg -> prios.map(p => g.filter(_._2 == p).map(_._3).sum.toDouble / 100.0)
+    }.sortBy(_._1)
+    val got = Relational.pivotWide(spark, sf).collect()
+      .map(r => r.getString(0) -> (1 to 5).map(r.getDouble).toSeq).toSeq
+    assert(got == expected, s"pivot mismatch: got=${got.take(2)} exp=${expected.take(2)}")
+    val cols = Relational.pivotWide(spark, sf).columns.toSeq
+    assert(cols == Seq("c_mktsegment", "rev_1_urgent", "rev_2_high",
+      "rev_3_medium", "rev_4_not_specified", "rev_5_low"))
+  }
 }

@@ -736,7 +736,90 @@ object CorpusOps {
        |                        ('user_id', nu), ('value', nv)) AS u(column_name, m)
        |ORDER BY 1""".stripMargin
 
+  // ------------------------------------- Jensen–Shannon domain-mix audit
+  /** Per-source Jensen–Shannon divergence between the source's unigram
+    * distribution and the corpus-wide distribution — the domain-mix
+    * distance behind every "is this source worth its sampling weight"
+    * curation call (bounded [0, ln 2], symmetric, defined for disjoint
+    * vocabularies, unlike raw KL).
+    *
+    * Scale shape: the (source, token) counts are ONE shuffle; corpus
+    * counts and per-source totals roll up FROM that relation (no second
+    * corpus scan). The q-side sum over tokens ABSENT from the source —
+    * the full-vocab blowup — is folded analytically: p=0 ⇒ m=q/2 ⇒ the
+    * whole absent tail contributes (1 − Σ_present q)·ln 2, one number
+    * from counts already in hand. So the join space is only tokens
+    * PRESENT per source.
+    *
+    * Determinism: with integer counts, every log argument is an
+    * integer — ln(p/m) = lnMu(2·c·n) − lnMu(c·n + ct·ns) — so both
+    * engines take ln of identical ints, round to micro-units, multiply
+    * by one fixed-chain double share, round again, and the per-source
+    * sum is exact longs. (Products stay < 2^63 through sf0.1 ×1000;
+    * the extreme-scale variant rescales counts or goes DECIMAL.) */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    def lnMu(c: Column): Column =
+      floor(log(c.cast("double")) * 1000000.0 + lit(0.5)).cast("long")
+    val sc = documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val ctab = sc.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+    val nsrc = sc.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val ntot = sc.agg(sum(col("c")).as("n"))
+    val pm = col("c") * col("n") + col("ct") * col("ns")
+    val pMu = floor((col("c").cast("double") / col("ns").cast("double")) *
+      (lnMu(lit(2L) * col("c") * col("n")) - lnMu(pm)).cast("double") + lit(0.5)).cast("long")
+    val qMu = floor((col("ct").cast("double") / col("n").cast("double")) *
+      (lnMu(lit(2L) * col("ct") * col("ns")) - lnMu(pm)).cast("double") + lit(0.5)).cast("long")
+    val LN2_MU = 693147L // floor(ln(2)·1e6 + 0.5), identical in both engines
+    sc.join(ctab, "tok").join(broadcast(nsrc), "source").crossJoin(broadcast(ntot))
+      .select(col("source"), col("ns"), col("n"), col("ct"), pMu.as("p_mu"), qMu.as("q_mu"))
+      .groupBy(col("source"))
+      .agg(min(col("ns")).as("n_tokens"),
+        (sum(col("p_mu")) + sum(col("q_mu")) +
+          floor((min(col("n")) - sum(col("ct"))).cast("double") /
+            min(col("n")).cast("double") * lit(LN2_MU.toDouble) + lit(0.5)).cast("long"))
+          .as("jsd2_mu"))
+      .select(col("source"), col("n_tokens"),
+        (col("jsd2_mu").cast("double") / 2.0 / 1000000.0).as("jsd_nats"),
+        (col("jsd2_mu").cast("double") / 2.0 / LN2_MU.toDouble).as("jsd_norm"))
+      .orderBy("source")
+  }
+
+  val jsDivergenceSql: String = {
+    def lnMu(e: String): String =
+      s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    s"""WITH sc AS (
+       |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT source, unnest(${sqlTokens("text")}) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |ctab AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM sc GROUP BY 1),
+       |nsrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sc GROUP BY 1),
+       |ntot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sc),
+       |terms AS (
+       |  SELECT source, ns, n, ct,
+       |    CAST(floor((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+       |      * CAST(${lnMu("2 * c * n")} - ${lnMu("c * n + ct * ns")} AS DOUBLE)
+       |      + 0.5) AS BIGINT) AS p_mu,
+       |    CAST(floor((CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * CAST(${lnMu("2 * ct * ns")} - ${lnMu("c * n + ct * ns")} AS DOUBLE)
+       |      + 0.5) AS BIGINT) AS q_mu
+       |  FROM sc JOIN ctab USING (tok) JOIN nsrc USING (source), ntot),
+       |per AS (
+       |  SELECT source, min(ns) AS n_tokens,
+       |         CAST(sum(p_mu) + sum(q_mu)
+       |           + CAST(floor(CAST(min(n) - sum(ct) AS DOUBLE)
+       |                        / CAST(min(n) AS DOUBLE) * 693147.0 + 0.5) AS BIGINT)
+       |           AS BIGINT) AS jsd2_mu
+       |  FROM terms GROUP BY 1)
+       |SELECT source, n_tokens,
+       |       CAST(jsd2_mu AS DOUBLE) / 2.0 / 1000000.0 AS jsd_nats,
+       |       CAST(jsd2_mu AS DOUBLE) / 2.0 / 693147.0 AS jsd_norm
+       |FROM per ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_js_divergence" -> jsDivergence _,
     "q_length_histogram" -> lengthHistogram _,
     "q_profile_events"  -> profileEvents _,
     "q_tfidf_terms"     -> tfidfTerms _,
@@ -751,6 +834,7 @@ object CorpusOps {
     "q_source_report" -> sourceReport _)
 
   val oracles: Map[String, String] = Map(
+    "q_js_divergence"   -> jsDivergenceSql,
     "q_length_histogram" -> lengthHistogramSql,
     "q_profile_events"  -> profileEventsSql,
     "q_tfidf_terms"     -> tfidfTermsSql,

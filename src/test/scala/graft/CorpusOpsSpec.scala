@@ -207,4 +207,36 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(p > 0 && p < n, s"degenerate prune rate $p/$n")
     } finally Materializer.clear()
   }
+
+  test("JS divergence matches a plain-Scala recount and stays in [0, 1]") {
+    def lnMu(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    val rows = Tables.documents(spark, sf)
+      .select(col("source"), explode(graft.functions.TextHash.tokens(col("text"))).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val sc = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ns = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    val expected = sc.keys.map(_._1).toSeq.distinct.sorted.map { src =>
+      val present = sc.keys.filter(_._1 == src).map(_._2).toSeq
+      val nsv = ns(src)
+      val (pSum, qSum, ctSum) = present.foldLeft((0L, 0L, 0L)) { case ((ps, qs, cs), t) =>
+        val c = sc((src, t)); val cT = ct(t)
+        val pm = c * n + cT * nsv
+        val p = math.floor(c.toDouble / nsv.toDouble *
+          (lnMu(2 * c * n) - lnMu(pm)).toDouble + 0.5).toLong
+        val q = math.floor(cT.toDouble / n.toDouble *
+          (lnMu(2 * cT * nsv) - lnMu(pm)).toDouble + 0.5).toLong
+        (ps + p, qs + q, cs + cT)
+      }
+      val rem = math.floor((n - ctSum).toDouble / n.toDouble * 693147.0 + 0.5).toLong
+      val jsd2 = pSum + qSum + rem
+      (src, nsv, jsd2.toDouble / 2.0 / 1e6, jsd2.toDouble / 2.0 / 693147.0)
+    }
+    val got = CorpusOps.jsDivergence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expected, s"jsd mismatch: got=${got.take(3)} exp=${expected.take(3)}")
+    got.foreach { g =>
+      assert(g._4 >= -0.001 && g._4 <= 1.001, s"jsd_norm out of [0,1]: $g") }
+  }
 }

@@ -1365,7 +1365,73 @@ object Relational {
        |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // --------------------------------------- chi-square association audit
+  /** Chi-square independence test + Cramér's V for market segment ×
+    * order priority — the are-these-columns-associated screen behind
+    * every categorical feature-selection and leakage audit. The
+    * contingency table is ONE (seg, pri) count shuffle off the fact
+    * join; margins and the grand total roll up FROM those 25 cells
+    * (tiny aggregates, broadcast back — no global window, no second
+    * fact scan), so the plan is flat at any row count.
+    *
+    * Determinism: (o−e)²/e is algebraically (o·n − rt·ct)²/(n·rt·ct);
+    * the numerator root is an exact long (< 2^35 here), the square and
+    * divisions run as ONE fixed IEEE chain per cell mirrored in the
+    * oracle, each cell rounds to micro-units, and the 25-cell sum is
+    * exact integer. V = sqrt(chi2/(n·min(r−1,c−1))) is one final fixed
+    * chain on a 1-row relation. */
+  def chi2Assoc(spark: SparkSession, dir: String): DataFrame = {
+    val cells = orders(spark, dir)
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("o"))
+    val rts = cells.groupBy(col("c_mktsegment")).agg(sum(col("o")).as("rt"))
+    val cts = cells.groupBy(col("o_orderpriority")).agg(sum(col("o")).as("ct"))
+    val ntot = cells.agg(sum(col("o")).as("n"))
+    val num = (col("o") * col("n") - col("rt") * col("ct")).cast("double")
+    val contribMu = floor(num * num / (col("rt") * col("ct")).cast("double") /
+      col("n").cast("double") * 1000000.0 + lit(0.5)).cast("long")
+    val agg = cells
+      .join(broadcast(rts), "c_mktsegment")
+      .join(broadcast(cts), "o_orderpriority")
+      .crossJoin(broadcast(ntot))
+      .agg(min(col("n")).as("n"),
+        countDistinct(col("c_mktsegment")).as("r"),
+        countDistinct(col("o_orderpriority")).as("c"),
+        sum(contribMu).as("chi2_mu"))
+    agg.select(col("n"),
+        ((col("r") - 1) * (col("c") - 1)).as("df"),
+        (col("chi2_mu").cast("double") / 1000000.0).as("chi2"),
+        sqrt(col("chi2_mu").cast("double") / 1000000.0 /
+          (col("n") * least(col("r") - 1, col("c") - 1)).cast("double"))
+          .as("cramers_v"))
+  }
+
+  val chi2AssocSql: String =
+    """WITH cells AS (
+      |  SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS o
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |rts AS (SELECT c_mktsegment, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |cts AS (SELECT o_orderpriority, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |ntot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |agg AS (
+      |  SELECT min(n) AS n,
+      |         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS r,
+      |         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS c,
+      |         CAST(sum(CAST(floor(
+      |           CAST(o * n - rt * ct AS DOUBLE) * CAST(o * n - rt * ct AS DOUBLE)
+      |             / CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+      |           AS BIGINT)) AS BIGINT) AS chi2_mu
+      |  FROM cells JOIN rts USING (c_mktsegment) JOIN cts USING (o_orderpriority), ntot)
+      |SELECT n, (r - 1) * (c - 1) AS df,
+      |       CAST(chi2_mu AS DOUBLE) / 1000000.0 AS chi2,
+      |       sqrt(CAST(chi2_mu AS DOUBLE) / 1000000.0
+      |            / CAST(n * least(r - 1, c - 1) AS DOUBLE)) AS cramers_v
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chi2_assoc"              -> chi2Assoc _,
     "q_pivot_wide"              -> pivotWide _,
     "q_drift_psi"               -> driftPsi _,
     "q_target_encode"           -> targetEncode _,
@@ -1401,6 +1467,7 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_chi2_assoc"              -> chi2AssocSql,
     "q_pivot_wide"              -> pivotWideSql,
     "q_drift_psi"               -> driftPsiSql,
     "q_target_encode"           -> targetEncodeSql,

@@ -476,4 +476,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(cols == Seq("c_mktsegment", "rev_1_urgent", "rev_2_high",
       "rev_3_medium", "rev_4_not_specified", "rev_5_low"))
   }
+
+  test("chi-square association matches a plain-Scala contingency recount") {
+    val rows = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val cells = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rt = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ct = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    val chi2Mu = cells.map { case ((s, p), o) =>
+      val num = (o * n - rt(s) * ct(p)).toDouble
+      math.floor(num * num / (rt(s) * ct(p)).toDouble / n.toDouble * 1e6 + 0.5).toLong
+    }.sum
+    val (r, c) = (rt.size.toLong, ct.size.toLong)
+    val expected = (n, (r - 1) * (c - 1), chi2Mu.toDouble / 1e6,
+      math.sqrt(chi2Mu.toDouble / 1e6 / (n * math.min(r - 1, c - 1)).toDouble))
+    val got = Relational.chi2Assoc(spark, sf).collect().map(row =>
+      (row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))).toSeq
+    assert(got == Seq(expected), s"chi2 mismatch: got=$got exp=$expected")
+    // Cramér's V is a [0,1] association coefficient by construction
+    assert(got.head._4 >= 0.0 && got.head._4 <= 1.0)
+  }
 }

@@ -630,8 +630,11 @@ object Dedup {
     d.as("a").join(d.as("b"),
         col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
-      .withColumn("dist", levenshtein(col("a.pfx"), col("b.pfx")))
-      .filter(col("dist") <= EDIT_T)
+      // 3-arg threshold form: banded O(k·n) DP with early abandon (returns
+      // -1 past the threshold) instead of the full O(n·m) table — the
+      // per-pair cost cap that matters when blocks are thousands wide
+      .withColumn("dist", levenshtein(col("a.pfx"), col("b.pfx"), EDIT_T))
+      .filter(col("dist") >= 0 && col("dist") <= EDIT_T)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.lang").as("lang"), col("dist"))
       .orderBy("doc_a", "doc_b")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -280,15 +280,77 @@ object GraphOps {
        |FROM deg LEFT JOIN pn ON deg.node = pn.node
        |ORDER BY 1""".stripMargin
 
+  // -------------------------------------- outgoing-transition entropy
+  /** Per-page Shannon entropy of the OUTGOING transition distribution —
+    * the navigational-predictability audit (H ≈ 0: every visitor goes
+    * the same place next, a funnel; H ≈ ln(out_degree): a hub whose next
+    * hop is unpredictable). Evenness normalizes by the degree ceiling.
+    *
+    * One (src,dst) count shuffle (the shared `predges` materialization)
+    * + one src rollup — linear in |E| at any scale. Determinism:
+    * H = ln W − (Σ w·ln w)/W over integer counts, so every ln argument
+    * is an integer: Σ w·lnMu(w) is an exact long (w·lnMu(w) < 2^44 at
+    * sf0.1×1000), the division is one fixed IEEE chain, and the final
+    * H_mu is an exact long per page. */
+  def transitionEntropy(spark: SparkSession, dir: String): DataFrame = {
+    def lnMu(c: Column): Column =
+      floor(log(c.cast("double")) * 1000000.0 + lit(0.5)).cast("long")
+    val edges = Materializer.materialize(Materializer.tagFor("predges", dir),
+      transitionEdges(spark, dir))
+    val hMu = lnMu(col("wtot")) -
+      floor(col("swl").cast("double") / col("wtot").cast("double") + lit(0.5)).cast("long")
+    edges.groupBy(col("src").as("page"))
+      .agg(count(lit(1)).as("out_degree"), sum(col("w")).as("wtot"),
+        sum(col("w") * lnMu(col("w"))).as("swl"))
+      .select(col("page"), col("out_degree"), col("wtot").as("n_transitions"),
+        hMu.as("h_mu"),
+        when(col("out_degree") > 1,
+          hMu.cast("double") / lnMu(col("out_degree")).cast("double"))
+          .otherwise(lit(0.0)).as("evenness"))
+      .select(col("page"), col("out_degree"), col("n_transitions"),
+        (col("h_mu").cast("double") / 1000000.0).as("entropy_nats"), col("evenness"))
+      .orderBy("page")
+  }
+
+  val transitionEntropySql: String = {
+    def lnMu(e: String): String =
+      s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+    s"""WITH ev AS (SELECT user_id, ts, event_id,
+       |  CAST(json_extract(props, '$$.k') AS INT) AS page FROM events),
+       |sq AS (SELECT page, lag(page) OVER (
+       |         PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev FROM ev),
+       |edges AS (SELECT prev AS src, page AS dst, CAST(count(*) AS BIGINT) AS w
+       |          FROM sq WHERE prev IS NOT NULL AND prev <> page GROUP BY 1, 2),
+       |per AS (
+       |  SELECT src AS page, CAST(count(*) AS BIGINT) AS out_degree,
+       |         CAST(sum(w) AS BIGINT) AS wtot,
+       |         CAST(sum(w * ${lnMu("w")}) AS BIGINT) AS swl
+       |  FROM edges GROUP BY 1),
+       |h AS (
+       |  SELECT page, out_degree, wtot,
+       |         ${lnMu("wtot")}
+       |           - CAST(floor(CAST(swl AS DOUBLE) / CAST(wtot AS DOUBLE) + 0.5) AS BIGINT)
+       |           AS h_mu
+       |  FROM per)
+       |SELECT page, out_degree, wtot AS n_transitions,
+       |       CAST(h_mu AS DOUBLE) / 1000000.0 AS entropy_nats,
+       |       CASE WHEN out_degree > 1
+       |            THEN CAST(h_mu AS DOUBLE) / CAST(${lnMu("out_degree")} AS DOUBLE)
+       |            ELSE 0.0 END AS evenness
+       |FROM h ORDER BY page""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"       -> (pageRank _),
     "q_session_paths"  -> (sessionPaths _),
     "q_graph_degrees"  -> (graphDegrees _),
-    "q_triangle_count" -> (triangleCount _))
+    "q_triangle_count" -> (triangleCount _),
+    "q_transition_entropy" -> (transitionEntropy _))
 
   val oracles: Map[String, String] = Map(
     "q_pagerank"       -> pageRankSql,
     "q_session_paths"  -> sessionPathsSql,
     "q_graph_degrees"  -> graphDegreesSql,
-    "q_triangle_count" -> triangleCountSql)
+    "q_triangle_count" -> triangleCountSql,
+    "q_transition_entropy" -> transitionEntropySql)
 }

@@ -96,4 +96,34 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0), "no triangles found — graph drifted")
     got.foreach { g => assert(g._4 >= 0.0 && g._4 <= 1.0, s"coef out of range: $g") }
   }
+
+  test("transition entropy matches a plain-Scala recount") {
+    def lnMu(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    val rows = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS tsu", "event_id",
+        "from_json(props, 'k INT').k AS page")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val edges = rows.groupBy(_._1).iterator.flatMap { case (_, es) =>
+      val p = es.sortBy(e => (e._2, e._3)).map(_._4)
+      p.zip(p.drop(1)).filter { case (a, b) => a != b }
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val expected = edges.groupBy(_._1._1).toSeq.map { case (page, out) =>
+      val deg = out.size.toLong
+      val wtot = out.map(_._2).sum
+      val swl = out.map { case (_, w) => w * lnMu(w) }.sum
+      val hMu = lnMu(wtot) - math.floor(swl.toDouble / wtot.toDouble + 0.5).toLong
+      val even = if (deg > 1) hMu.toDouble / lnMu(deg).toDouble else 0.0
+      (page, deg, wtot, hMu.toDouble / 1e6, even)
+    }.sortBy(_._1)
+    val got = try GraphOps.transitionEntropy(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    finally Materializer.clear()
+    assert(got == expected, s"entropy mismatch: got=${got.take(3)}… exp=${expected.take(3)}…")
+    // entropy is bounded by ln(out_degree); evenness by 1
+    got.foreach { g =>
+      assert(g._4 >= 0.0 && g._4 <= math.log(g._2.toDouble) / 1.0 + 1e-6, s"H out of range: $g")
+      assert(g._5 >= 0.0 && g._5 <= 1.0 + 1e-9, s"evenness out of range: $g") }
+  }
 }

@@ -1430,7 +1430,78 @@ object Relational {
       |            / CAST(n * least(r - 1, c - 1) AS DOUBLE)) AS cramers_v
       |FROM agg""".stripMargin
 
+  // ------------------------------------- MAD robust outliers (per segment)
+  /** Median-absolute-deviation outlier audit per market segment — the
+    * robust alternative to [[anomalyDays]]'s z-score (mean/stddev are
+    * themselves dragged by the outliers they're meant to catch; median
+    * and MAD have a 50% breakdown point). An order is flagged when its
+    * deviation from the segment median exceeds 3×MAD.
+    *
+    * Shape: two segment-partitioned rank windows (median of cents, then
+    * median of |cents − median|) — the winsorize discrete-percentile
+    * machinery applied twice, with the 5-row median/MAD relations
+    * broadcast back. At real scale each rank sort swaps for a mergeable
+    * quantile sketch; everything else is unchanged. All arithmetic is
+    * exact integer cents; the only double is the final share. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val rev = orders(spark, dir)
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100.0 + lit(0.5)).cast("long").as("cents"))
+    def medianOf(df: DataFrame, v: String, out: String): DataFrame = df
+      .withColumn("rk", row_number().over(Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col(v).asc, col("o_orderkey").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+      .filter(col("rk") === floor(lit(0.5) * (col("n") - 1).cast("double")).cast("long") + 1)
+      .groupBy(col("c_mktsegment")).agg(min(col(v)).as(out))
+    val med = medianOf(rev, "cents", "med")
+    val dev = rev.join(broadcast(med), "c_mktsegment")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = medianOf(dev, "dev", "mad")
+    dev.join(broadcast(mad), "c_mktsegment")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        (min(col("med")).cast("double") / 100.0).as("median"),
+        (min(col("mad")).cast("double") / 100.0).as("mad"),
+        sum((col("dev") > lit(3L) * col("mad")).cast("long")).as("n_outliers"),
+        (sum((col("dev") > lit(3L) * col("mad")).cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("outlier_share"))
+      .orderBy("c_mktsegment")
+  }
+
+  val madOutliersSql: String =
+    """WITH rev AS (
+      |  SELECT c_mktsegment, o_orderkey,
+      |         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |r1 AS (SELECT *,
+      |         row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents ASC, o_orderkey ASC) AS rk,
+      |         count(*) OVER (PARTITION BY c_mktsegment) AS n
+      |       FROM rev),
+      |med AS (SELECT c_mktsegment, min(cents) AS med FROM r1
+      |        WHERE rk = CAST(floor(CAST(0.5 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+      |        GROUP BY 1),
+      |dev AS (SELECT r.c_mktsegment, r.o_orderkey, r.cents,
+      |               abs(r.cents - m.med) AS dev, m.med
+      |        FROM rev r JOIN med m ON r.c_mktsegment = m.c_mktsegment),
+      |r2 AS (SELECT *,
+      |         row_number() OVER (PARTITION BY c_mktsegment ORDER BY dev ASC, o_orderkey ASC) AS rk,
+      |         count(*) OVER (PARTITION BY c_mktsegment) AS n
+      |       FROM dev),
+      |mad AS (SELECT c_mktsegment, min(dev) AS mad FROM r2
+      |        WHERE rk = CAST(floor(CAST(0.5 AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1
+      |        GROUP BY 1)
+      |SELECT d.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(min(d.med) AS DOUBLE) / 100.0 AS median,
+      |       CAST(min(t.mad) AS DOUBLE) / 100.0 AS mad,
+      |       CAST(sum(CASE WHEN d.dev > 3 * t.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       CAST(sum(CASE WHEN d.dev > 3 * t.mad THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS outlier_share
+      |FROM dev d JOIN mad t ON d.c_mktsegment = t.c_mktsegment
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mad_outliers"            -> madOutliers _,
     "q_chi2_assoc"              -> chi2Assoc _,
     "q_pivot_wide"              -> pivotWide _,
     "q_drift_psi"               -> driftPsi _,
@@ -1467,6 +1538,7 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_mad_outliers"            -> madOutliersSql,
     "q_chi2_assoc"              -> chi2AssocSql,
     "q_pivot_wide"              -> pivotWideSql,
     "q_drift_psi"               -> driftPsiSql,

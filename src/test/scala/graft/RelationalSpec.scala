@@ -500,4 +500,29 @@ class RelationalSpec extends AnyFunSuite {
     // Cramér's V is a [0,1] association coefficient by construction
     assert(got.head._4 >= 0.0 && got.head._4 <= 1.0)
   }
+
+  test("MAD outliers match a plain-Scala double-median recount") {
+    val rows = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)),
+        col("o_custkey") === col("c_custkey"))
+      .selectExpr("c_mktsegment", "o_orderkey",
+        "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def medBy(xs: Seq[(Long, Long)]): Long = { // (value, tiebreak key)
+      val sorted = xs.sortBy(identity).map(_._1)
+      sorted(math.floor(0.5 * (sorted.size - 1).toDouble).toInt)
+    }
+    val expected = rows.groupBy(_._1).toSeq.map { case (seg, g) =>
+      val med = medBy(g.map(r => (r._3, r._2)))
+      val devs = g.map(r => (math.abs(r._3 - med), r._2))
+      val mad = medBy(devs)
+      val out = devs.count(_._1 > 3 * mad).toLong
+      (seg, g.size.toLong, med.toDouble / 100.0, mad.toDouble / 100.0,
+        out, out.toDouble / g.size.toDouble)
+    }.sortBy(_._1)
+    val got = Relational.madOutliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == expected, s"mad mismatch: got=${got.take(2)} exp=${expected.take(2)}")
+  }
 }

@@ -1500,7 +1500,60 @@ object Relational {
       |FROM dev d JOIN mad t ON d.c_mktsegment = t.c_mktsegment
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------ Benford digit audit
+  /** First-significant-digit distribution of order totals against
+    * Benford's law — the classic fabricated-data / fraud screen for
+    * financial facts (organically-grown magnitudes follow
+    * P(d) = log10(1 + 1/d); invented numbers don't). Emits per-digit
+    * observed vs expected shares and the digit's micro-unit excess.
+    *
+    * Shape: scan-local digit extraction (first char of the integer
+    * cents — identical string semantics in both engines), one 9-row
+    * count shuffle, 1-row total broadcast back. Fully linear; the
+    * 9-row tail is constant at any scale. Expected shares are the
+    * fixed IEEE chain ln(1 + 1/d)/ln(10) over integer d, mirrored
+    * literally in the oracle. */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val digits = orders(spark, dir)
+      .select(substring(floor(col("o_totalprice") * 100.0 + lit(0.5))
+        .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    val tot = digits.agg(sum(col("n_orders")).as("n"))
+    val share = col("n_orders").cast("double") / col("n").cast("double")
+    // ln(1 + 1/d) = ln(d+1) − ln(d): keeps every ln argument an INTEGER
+    // (the only ln inputs both engines agree on bit-for-bit after
+    // micro-unit rounding); lnMu(10) = 2302585
+    def lnMu(c: Column): Column =
+      floor(log(c.cast("double")) * 1000000.0 + lit(0.5)).cast("long")
+    val benford = (lnMu(col("digit") + 1) - lnMu(col("digit"))).cast("double") / 2302585.0
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_orders"), share.as("share"),
+        benford.as("benford"),
+        floor((share - benford) * 1000000.0 + lit(0.5)).cast("long").as("excess_mu"))
+      .orderBy("digit")
+  }
+
+  val benfordDigitsSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+      |                             AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders),
+      |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_orders FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n FROM c)
+      |SELECT digit, n_orders,
+      |       CAST(n_orders AS DOUBLE) / CAST(n AS DOUBLE) AS share,
+      |       CAST(CAST(floor(ln(CAST(digit + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      |            - CAST(floor(ln(CAST(digit AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      |            AS DOUBLE) / 2302585.0 AS benford,
+      |       CAST(floor((CAST(n_orders AS DOUBLE) / CAST(n AS DOUBLE)
+      |                   - CAST(CAST(floor(ln(CAST(digit + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      |                          - CAST(floor(ln(CAST(digit AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      |                          AS DOUBLE) / 2302585.0)
+      |                  * 1000000.0 + 0.5) AS BIGINT) AS excess_mu
+      |FROM c, t ORDER BY digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford"                 -> benfordDigits _,
     "q_mad_outliers"            -> madOutliers _,
     "q_chi2_assoc"              -> chi2Assoc _,
     "q_pivot_wide"              -> pivotWide _,
@@ -1538,6 +1591,7 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_benford"                 -> benfordDigitsSql,
     "q_mad_outliers"            -> madOutliersSql,
     "q_chi2_assoc"              -> chi2AssocSql,
     "q_pivot_wide"              -> pivotWideSql,

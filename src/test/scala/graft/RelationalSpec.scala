@@ -525,4 +525,24 @@ class RelationalSpec extends AnyFunSuite {
         r.getLong(4), r.getDouble(5))).toSeq
     assert(got == expected, s"mad mismatch: got=${got.take(2)} exp=${expected.take(2)}")
   }
+
+  test("Benford digit audit matches a plain-Scala recount; shares sum to 1") {
+    def lnMu(x: Long): Long = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    val cents = Tables.orders(spark, sf)
+      .selectExpr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c").collect()
+      .map(_.getLong(0)).toSeq
+    val byDigit = cents.map(_.toString.head.asDigit).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val n = cents.size.toLong
+    val expected = byDigit.toSeq.sortBy(_._1).map { case (d, c) =>
+      val share = c.toDouble / n.toDouble
+      val benford = (lnMu(d + 1L) - lnMu(d.toLong)).toDouble / 2302585.0
+      (d, c, share, benford, math.floor((share - benford) * 1e6 + 0.5).toLong)
+    }
+    val got = Relational.benfordDigits(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected, s"benford mismatch: got=${got.take(3)} exp=${expected.take(3)}")
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-9, "observed shares must sum to 1")
+  }
 }

@@ -112,8 +112,98 @@ object CountMinSketchAgg {
   val B: Array[Long] = Array(7L, 11L, 13L, 17L)
 }
 
+/** Fixed-domain binned histogram as a mergeable TYPED AGGREGATE — the
+  * quantile sketch the rank-based operators (winsorize, MAD, PSI,
+  * equi-depth cuts) document as their 100 TB swap-in: instead of
+  * sorting the fact table per group (a full shuffle + sort), each map
+  * task folds its slice into a fixed `BINS`-cell count array, the
+  * shuffle carries ONE array per partition, and quantiles come off the
+  * merged histogram with a `BINS`-row cumulative scan. Rank error is
+  * bounded by one bin width of the (lo, hi) domain.
+  *
+  * Unlike sample/GK sketches, binned counts are exact integer SUMS —
+  * associative, partition-order-proof, and rebuildable relationally —
+  * so a query over this sketch still carries a full DuckDB value
+  * oracle (`q_sketch_quantiles`): approximate vs the true quantile,
+  * EXACT vs the oracle running the same algorithm.
+  *
+  * (lo, hi, bins) are plan-time constants — the production shape for
+  * domain-known facts (money, latencies); out-of-domain values clamp
+  * to the edge bins, so the sketch never drops rows. */
+case class HistogramSketchAgg(
+    child: Expression,
+    lo: Long,
+    hi: Long,
+    bins: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  private val span: Long = hi - lo + 1
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bins)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      val idx =
+        if (x < lo) 0
+        else if (x > hi) bins - 1
+        else (((x - lo) * bins) / span).toInt // (span-1)*bins/span < bins
+      buf(idx) += 1L
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "hist_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"hist_sketch expects BIGINT input, got ${child.dataType}")
+    else if (lo >= hi || bins < 2)
+      TypeCheckResult.TypeCheckFailure(
+        s"hist_sketch needs lo < hi and bins >= 2, got ($lo, $hi, $bins)")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HistogramSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HistogramSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HistogramSketchAgg =
+    copy(child = newChild)
+}
+
 object SketchAgg {
   /** CMS over a BIGINT key column → flat ARRAY<BIGINT> of D×W cells. */
   def cms(key: Column): Column =
     Bridge.column(CountMinSketchAgg(Bridge.expression(key)).toAggregateExpression())
+
+  /** Fixed-domain histogram sketch over a BIGINT column → ARRAY<BIGINT>
+    * of `bins` counts; values outside [lo, hi] clamp to the edge bins. */
+  def histogram(v: Column, lo: Long, hi: Long, bins: Int): Column =
+    Bridge.column(
+      HistogramSketchAgg(Bridge.expression(v), lo, hi, bins).toAggregateExpression())
 }

@@ -57,6 +57,18 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_drift_psi: 1-row (min,max)-day split-point broadcast over the
     // events scan (Relational.driftPsi)
     "q_drift_psi",
+    // q_sketch_quantiles: constant 5-row quantile-spec broadcast over
+    // the ≤(segments×4096)-row histogram relation (ScalePatterns)
+    "q_sketch_quantiles",
+    // q_benford: 1-row order-count broadcast over the 9-digit relation
+    // (Relational.benfordDigits)
+    "q_benford",
+    // q_chi2_assoc: 1-row grand-total broadcast over the 25-cell
+    // contingency relation (Relational.chi2Assoc)
+    "q_chi2_assoc",
+    // q_js_divergence: 1-row corpus-token-total broadcast over the
+    // per-source token counts (CorpusOps.jsDivergence)
+    "q_js_divergence",
     // q_skew_report: 1-row (N rows, K keys) totals broadcast over the
     // top-N hot-key slice (ScalePatterns.skewReport)
     "q_skew_report",

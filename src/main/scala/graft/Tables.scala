@@ -15,21 +15,32 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
-    * for — read it as raw nanos (legacy long mode) and truncate to micros,
-    * matching DuckDB's own nanos→micros scan truncation.
+  /** events.ts has shipped in two physical parquet encodings across
+    * testdata generations; dispatch on the type Spark actually read so
+    * either generation yields the same session-local TimestampType column:
     *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (set by GraftSession.builder and every entry-point main). It is a
-    * session-level reader flag, deliberately NOT mutated here: a conf
-    * write inside a table reader would race concurrent queries and
-    * surprise later nanos-parquet reads elsewhere in the session. */
+    *  - TIMESTAMP(NANOS): Spark has no native nanos type; with the
+    *    session's `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    *    GraftSession.builder) it surfaces as LongType raw nanos — truncate
+    *    to micros, matching DuckDB's own nanos→micros scan truncation.
+    *  - timestamp[us] (TIMESTAMP_NTZ or TIMESTAMP): already micros —
+    *    cast to session-local TimestampType so downstream epoch math and
+    *    the DuckDB oracle agree.
+    *
+    * Any other type is a loud failure, not a silent mis-read. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events requires spark.sql.legacy.parquet.nanosAsLong=true at session build " +
-        "(use GraftSession.builder)")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported parquet-derived type $other; " +
+            "expected LongType (nanos via spark.sql.legacy.parquet.nanosAsLong) " +
+            "or Timestamp/TimestampNTZ (micros)")
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")

@@ -34,6 +34,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tmpfs shuffle scratch: /tmp's virtio latency bursts randomly
+      // added 20-30 s to whichever query was mid-shuffle (see
+      // GraftSession.scratchRoot)
+      .config("spark.local.dir", GraftSession.scratchRoot)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -38,7 +38,11 @@ object Materializer {
 
   private def root: Path = synchronized {
     if (rootDir == null) {
-      rootDir = Files.createTempDirectory("graft-mat-")
+      // RAM-backed when available: materialized copies are hot-loop
+      // scratch, and the sandbox's /tmp virtio disk has multi-second
+      // latency bursts (see GraftSession.scratchRoot)
+      rootDir = Files.createTempDirectory(
+        java.nio.file.Paths.get(GraftSession.scratchRoot), "graft-mat-")
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(rootDir)))
     }
     rootDir

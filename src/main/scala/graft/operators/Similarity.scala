@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Materializer
 import graft.Tables._
+import graft.functions.PqEncode.{pqDists, pqEncode}
 import graft.functions.VectorOps._
 
 /** Similarity search over the `embeddings` table (ARRAY<FLOAT>, 64-dim):
@@ -710,28 +711,22 @@ object Similarity {
     * small enough for ADC to rank usefully (8×8 with the sparse IVF
     * codebook measured recall@5 = 0.06 — quantization noise swamped the
     * neighbor signal). */
-  private val PQ_M = 16
-  private val PQ_SUB = 4
+  private[graft] val PQ_M = 16
+  private[graft] val PQ_SUB = 4
 
   /** PQ codebook rule: every PQ_KMOD-th vector's sub-vectors (denser
     * than the IVF coarse-quantizer KMOD — a PQ codebook quantizes
     * residual detail, not cells). */
-  private val PQ_KMOD = 20
-  private val PQ_RESIDUE = 7
-
-  /** Sub-vector m (0-based) of an ARRAY<FLOAT> column. */
-  private def sub(a: Column, m: Int): Column = slice(a, m * PQ_SUB + 1, PQ_SUB)
+  private[graft] val PQ_KMOD = 20
+  private[graft] val PQ_RESIDUE = 7
 
   private def sqlSub(a: String, m: String): String =
     s"list_slice($a, ($m)*$PQ_SUB + 1, ($m)*$PQ_SUB + $PQ_SUB)"
 
-  /** ‖a_m − b_m‖² via the codegen'd dot: |a|² + |b|² − 2·a·b, every dot
-    * the same left-to-right double fold as the oracle. */
-  private def subDist(a: Column, b: Column, m: Int): Column = {
-    val (sa, sb) = (sub(a, m), sub(b, m))
-    dotF(sa, sa) + dotF(sb, sb) - lit(2.0) * dotF(sa, sb)
-  }
-
+  /** ‖a_m − b_m‖² as |a|² + |b|² − 2·a·b, every dot the same
+    * left-to-right double fold the Scala-side kernels
+    * ([[graft.functions.PqEncodeImpl]]/[[graft.functions.PqDistsImpl]])
+    * use. */
   private def sqlSubDist(a: String, b: String, m: String): String = {
     val (sa, sb) = (sqlSub(a, m), sqlSub(b, m))
     s"(${sqlDot(sa, sa)} + ${sqlDot(sb, sb)} - 2.0 * ${sqlDot(sa, sb)})"
@@ -769,9 +764,25 @@ object Similarity {
     * micro-units BEFORE the sum (a (query,vec) group's 8 rows may split
     * across partitions — a raw double sum would be order-dependent at
     * the ulp), so the summed distance is an exact long; ranking ties
-    * break on neighbor_id. Encode-side argmin compares raw doubles from
-    * an identical fold in both engines, tie-break min centroid id. */
+    * break on neighbor_id. Encode-side argmin packs
+    * (micro-unit dist, cent_id) into ONE long — dist_mu · PQ_PACK +
+    * cent_id — whose plain `min` IS the lexicographic (dist, cent)
+    * minimum. Both engines round dist from an identical double fold, so
+    * the packed longs agree bitwise. The packing exists for the PLAN:
+    * min over a struct falls back to SortAggregate (struct buffers
+    * can't hash-aggregate), which SORTED the N·K·M encode rows; min
+    * over a long is a codegen'd hash aggregate with map-side partial
+    * combine — the 100 TB shape. PQ_PACK bounds the codebook id, which
+    * holds by construction at every test SF; a production codebook
+    * would renumber centroids 0..K−1 and any PACK > K works. */
+  /** Packing base for the encode argmin: packed = dist_mu · PQ_PACK +
+    * cent_id. dist ≤ 4 on the unit sphere → dist_mu ≤ 4e6+1, so packed
+    * < 2^46; cent ids stay below PQ_PACK at every test SF (they are
+    * KMOD-residue vec_ids; a production codebook renumbers 0..K−1). */
+  private[graft] val PQ_PACK = 1L << 23
+
   def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // L2-normalization is an interpreted HOF transform (CodegenFallback)
     // and `d` feeds THREE subtrees (centroids, code assignment, query
     // distance tables) — materialize it once so the lambda interpreter
@@ -784,44 +795,52 @@ object Similarity {
         .select(col("vec_id"),
           transform(col("embedding"),
             x => (x.cast("double") / col("len")).cast("float")).as("embedding")))
-    val cents = d.filter(col("vec_id") % PQ_KMOD === PQ_RESIDUE)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    // (id, m, sub-vector, |sub|²) rows: each 4-dim slice and its norm
-    // computed ONCE per (vector, subspace) — the N×K pair rows below
-    // then carry 4-float arrays and pay a single dot each, instead of
-    // re-slicing the 64-float parent 3× per subspace per pair
-    def subRows(df: DataFrame, idCol: String, embCol: String,
-                id: String, sv: String, nm: String): DataFrame =
-      df.select(col(idCol).as(id), posexplode(array((0 until PQ_M).map { m =>
-        val s = sub(col(embCol), m)
-        struct(s.as("sv"), dotF(s, s).as("nm"))
-      }: _*)).as(Seq("m", "p")))
-        .select(col(id), col("m"), col("p.sv").as(sv), col("p.nm").as(nm))
-    val csub = subRows(cents, "cent_id", "ce", "cent_id", "cv", "cnorm")
-    // argmin as a hash aggregate (min over (dist, cent_id) structs is
-    // the lexicographic minimum — same tie-break as ORDER BY dist,
-    // cent_id) — partial aggregation shrinks the N×K×M pair rows
-    // map-side; a ranking window here would sort 20M rows instead.
-    // dist keeps subDist's exact |a|²+|b|²−2·a·b op order, so the
-    // doubles (and the oracle hash) are unchanged by the restructure.
+    // Encode via the [[graft.functions.PqEncodeExpr]] kernel: the
+    // K-centroid packed-long argmin runs as one tight generated loop
+    // per (vector, subspace) — the faiss IndexPQ assignment shape —
+    // instead of an N×K×M row fan-out through a join + hash aggregate
+    // (whose struct-min round-5 form fell all the way back to a
+    // single-core SortAggregate over 20M rows). The codebook is
+    // collected to the driver exactly as broadcast() would collect it
+    // (K rows — a model artifact, constant-size in the corpus) and
+    // rides into codegen as reference objects; sorted by cent_id so
+    // the driver-side order is deterministic (min is order-free, this
+    // just keeps plans reproducible). The corpus side is repartitioned
+    // first: the materialized d is one small parquet split at test SF.
+    val centRows = d.filter(col("vec_id") % PQ_KMOD === PQ_RESIDUE)
+      .select(col("vec_id"), col("embedding")).collect().sortBy(_.getLong(0))
+    val centIds = centRows.map(_.getLong(0)).toSeq
+    val centVecs = centRows.map(_.getSeq[Float](1)).toSeq
     val codes = Materializer.materialize(Materializer.tagFor("pqcodes", dir),
-      subRows(d, "vec_id", "embedding", "vec_id", "dv", "dnorm")
-        .join(broadcast(csub), "m")
-        .select(col("vec_id"), col("m"), col("cent_id"),
-          (col("dnorm") + col("cnorm") - lit(2.0) * dotF(col("dv"), col("cv")))
-            .as("dist"))
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("dist"), col("cent_id"))).as("best"))
-        .select(col("vec_id"), col("m"), col("best.cent_id").as("code")))
-    val qdist = subRows(d.filter(col("vec_id") % QUERY_MOD === 0),
-        "vec_id", "embedding", "query_id", "qv", "qnorm")
-      .join(broadcast(csub), "m")
-      .select(col("query_id"), col("m"), col("cent_id"),
-        floor((col("qnorm") + col("cnorm") - lit(2.0) * dotF(col("qv"), col("cv"))) *
-          1000000.0 + lit(0.5)).as("qdm"))
+      d.repartition(nPart, col("vec_id"))
+        .select(col("vec_id"),
+          posexplode(pqEncode(col("embedding"), centIds, centVecs,
+            PQ_M, PQ_SUB, PQ_PACK)).as(Seq("m", "code"))))
+    // Query-side ADC table via the [[graft.functions.PqDistsExpr]]
+    // kernel sibling (one flat Q·M·K long array per query, posexploded
+    // back to rows; m = idx div K, cent = codebook[idx mod K]).
+    // Materialized: the broadcast build job otherwise COMPUTES the
+    // whole subtree inside one driver-side task before hashing it;
+    // against the parquet copy the build is a plain scan of Q·M·K
+    // pre-computed rows
+    val K = centIds.length
+    val centIdLit = typedlit(centIds)
+    val qdist = Materializer.materialize(Materializer.tagFor("pqqdist", dir),
+      d.filter(col("vec_id") % QUERY_MOD === 0)
+        .repartition(nPart, col("vec_id"))
+        .select(col("vec_id").as("query_id"),
+          posexplode(pqDists(col("embedding"), centVecs, PQ_M, PQ_SUB))
+            .as(Seq("idx", "qdm")))
+        .select(col("query_id"),
+          (col("idx") / K).cast("int").as("m"),
+          element_at(centIdLit, pmod(col("idx"), lit(K)) + 1).as("cent_id"),
+          col("qdm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
-    codes.join(broadcast(qdist),
+    // codes re-spread after the scan-back: the materialized copy is a
+    // handful of AQE-coalesced splits, and the ADC probe below fans
+    // each code row ×Q — the exchange is 2 longs/row, the fan-out isn't
+    codes.repartition(nPart, col("vec_id")).join(broadcast(qdist),
         codes("m") === qdist("m") && codes("code") === qdist("cent_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -845,10 +864,10 @@ object Similarity {
        |enc AS (SELECT d.vec_id, pm.m, c.cent_id,
        |               ${sqlSubDist("d.embedding", "c.ce", "pm.m")} AS dist
        |        FROM d, c, pm),
-       |codes AS (SELECT vec_id, m, cent_id AS code FROM (
-       |  SELECT vec_id, m, cent_id,
-       |         row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, cent_id ASC) AS rk
-       |  FROM enc) WHERE rk = 1),
+       |codes AS (SELECT vec_id, m,
+       |         min(CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT) * $PQ_PACK + cent_id)
+       |           % $PQ_PACK AS code
+       |  FROM enc GROUP BY vec_id, m),
        |qd AS (SELECT d.vec_id AS query_id, pm.m, c.cent_id,
        |              CAST(floor(${sqlSubDist("d.embedding", "c.ce", "pm.m")} * 1000000.0 + 0.5) AS BIGINT) AS qdm
        |       FROM d, c, pm WHERE d.vec_id % $QUERY_MOD = 0),

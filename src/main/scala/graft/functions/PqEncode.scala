@@ -34,7 +34,9 @@ object PqEncodeImpl {
     *                [ms·sub, ms·sub+sub))
     * @param cnorms  cnorms(k)(ms) = left-to-right Σ c_i² over centroid
     *                k's subspace ms
-    * @return        code (= packed % pack = argmin cent id) per subspace */
+    * @return        the packed argmin (dist_mu · pack + cent_id) per
+    *                subspace — callers decompose: code = packed % pack,
+    *                quantization error dist_mu = packed div pack */
   def encode(vec: ArrayData, cents: Array[Array[Float]], cnorms: Array[Array[Double]],
              centIds: Array[Long], m: Int, sub: Int, pack: Long): Array[Long] = {
     val vlen = vec.numElements()
@@ -68,7 +70,7 @@ object PqEncodeImpl {
         if (packed < best) best = packed
         k += 1
       }
-      out(ms) = best % pack
+      out(ms) = best
       ms += 1
     }
     out
@@ -76,10 +78,11 @@ object PqEncodeImpl {
 }
 
 /** `pq_encode(embedding)` with a plan-time codebook: ARRAY<FLOAT> →
-  * ARRAY<BIGINT> of `m` codes. The codebook is a model artifact —
-  * constant-size in the corpus (K centroids) — carried as codegen
-  * reference objects exactly like a broadcast variable's driver-side
-  * copy. */
+  * ARRAY<BIGINT> of `m` packed argmins (code = packed % pack,
+  * quantization error dist_mu = packed div pack). The codebook is a
+  * model artifact — constant-size in the corpus (K centroids) —
+  * carried as codegen reference objects exactly like a broadcast
+  * variable's driver-side copy. */
 case class PqEncodeExpr(child: Expression, centIds: Seq[Long],
                         cents: Seq[Seq[Float]], m: Int, sub: Int, pack: Long)
     extends UnaryExpression {

@@ -781,13 +781,17 @@ object Similarity {
     * KMOD-residue vec_ids; a production codebook renumbers 0..K−1). */
   private[graft] val PQ_PACK = 1L << 23
 
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // L2-normalization is an interpreted HOF transform (CodegenFallback)
-    // and `d` feeds THREE subtrees (centroids, code assignment, query
-    // distance tables) — materialize it once so the lambda interpreter
-    // runs one corpus pass, not three, and the downstream joins scan
-    // codegen-friendly parquet
+  /** Shared PQ setup: the materialized L2-normalized corpus + the
+    * collected codebook. Normalization is an interpreted HOF transform
+    * (CodegenFallback) feeding several subtrees — materialized once so
+    * the lambda interpreter runs one corpus pass and every downstream
+    * reference scans codegen-friendly parquet. The codebook is
+    * collected to the driver exactly as broadcast() would collect it
+    * (K rows — a model artifact, constant-size in the corpus) and
+    * rides into codegen as reference objects; sorted by cent_id so the
+    * driver-side order is deterministic (the argmin is order-free,
+    * this just keeps plans reproducible). */
+  private def pqSetup(spark: SparkSession, dir: String): (DataFrame, Seq[Long], Seq[Seq[Float]]) = {
     val d = Materializer.materialize(Materializer.tagFor("pqnorm", dir),
       embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"),
@@ -795,27 +799,36 @@ object Similarity {
         .select(col("vec_id"),
           transform(col("embedding"),
             x => (x.cast("double") / col("len")).cast("float")).as("embedding")))
+    val centRows = d.filter(col("vec_id") % PQ_KMOD === PQ_RESIDUE)
+      .select(col("vec_id"), col("embedding")).collect().sortBy(_.getLong(0))
+    (d, centRows.map(_.getLong(0)).toSeq, centRows.map(_.getSeq[Float](1)).toSeq)
+  }
+
+  /** (vec_id, m, packed) rows from the encode kernel over the
+    * repartitioned corpus (the materialized d is one small parquet
+    * split at test SF; at real scale the scan is already split and the
+    * exchange is a cheap no-op relative to the N·K·M kernel work). */
+  private def pqPacked(spark: SparkSession, dir: String, d: DataFrame,
+                       centIds: Seq[Long], centVecs: Seq[Seq[Float]]): DataFrame = {
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    d.repartition(nPart, col("vec_id"))
+      .select(col("vec_id"),
+        posexplode(pqEncode(col("embedding"), centIds, centVecs,
+          PQ_M, PQ_SUB, PQ_PACK)).as(Seq("m", "packed")))
+  }
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // Encode via the [[graft.functions.PqEncodeExpr]] kernel: the
     // K-centroid packed-long argmin runs as one tight generated loop
     // per (vector, subspace) — the faiss IndexPQ assignment shape —
     // instead of an N×K×M row fan-out through a join + hash aggregate
     // (whose struct-min round-5 form fell all the way back to a
-    // single-core SortAggregate over 20M rows). The codebook is
-    // collected to the driver exactly as broadcast() would collect it
-    // (K rows — a model artifact, constant-size in the corpus) and
-    // rides into codegen as reference objects; sorted by cent_id so
-    // the driver-side order is deterministic (min is order-free, this
-    // just keeps plans reproducible). The corpus side is repartitioned
-    // first: the materialized d is one small parquet split at test SF.
-    val centRows = d.filter(col("vec_id") % PQ_KMOD === PQ_RESIDUE)
-      .select(col("vec_id"), col("embedding")).collect().sortBy(_.getLong(0))
-    val centIds = centRows.map(_.getLong(0)).toSeq
-    val centVecs = centRows.map(_.getSeq[Float](1)).toSeq
+    // single-core SortAggregate over 20M rows).
+    val (d, centIds, centVecs) = pqSetup(spark, dir)
     val codes = Materializer.materialize(Materializer.tagFor("pqcodes", dir),
-      d.repartition(nPart, col("vec_id"))
-        .select(col("vec_id"),
-          posexplode(pqEncode(col("embedding"), centIds, centVecs,
-            PQ_M, PQ_SUB, PQ_PACK)).as(Seq("m", "code"))))
+      pqPacked(spark, dir, d, centIds, centVecs)
+        .select(col("vec_id"), col("m"), (col("packed") % PQ_PACK).as("code")))
     // Query-side ADC table via the [[graft.functions.PqDistsExpr]]
     // kernel sibling (one flat Q·M·K long array per query, posexploded
     // back to rows; m = idx div K, cent = codebook[idx mod K]).
@@ -881,6 +894,80 @@ object Similarity {
        |FROM (SELECT query_id, neighbor_id, CAST(sq AS DOUBLE) / 1000000.0 AS adist FROM s)
        |QUALIFY rnk <= $TOPK
        |ORDER BY query_id, rnk""".stripMargin
+
+  /** PQ codebook-quality audit — per-subspace quantization error of
+    * the encode: mean and max micro-unit squared distance between each
+    * vector's subvector and its assigned centroid. The reconstruction-
+    * error curve is the check a codebook passes before ADC serves from
+    * it: a subspace with rising distortion is under-quantized (retrain
+    * it, or split the space differently — exactly the 8×8 → 16×4
+    * ablation AnnRecallSpec records as recall 0.06 → 0.34). The error
+    * comes FREE from the same packed argmin the encode computes
+    * (dist_mu = packed div PQ_PACK) — one kernel scan, one M-row
+    * aggregate; output constant-size in the corpus. */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val (d, centIds, centVecs) = pqSetup(spark, dir)
+    pqPacked(spark, dir, d, centIds, centVecs)
+      .select(col("m"), expr(s"packed div $PQ_PACK").as("dist_mu"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("dist_mu")).as("sd"), max(col("dist_mu")).as("mx"))
+      .select(col("m"), col("n_vectors"),
+        (col("sd").cast("double") / col("n_vectors") / 1000000.0).as("mean_sqdist"),
+        (col("mx").cast("double") / 1000000.0).as("max_sqdist"))
+      .orderBy("m")
+  }
+
+  val pqDistortionSql: String =
+    s"""WITH d AS (SELECT vec_id,
+       |             list_transform(embedding, x ->
+       |               CAST(CAST(x AS DOUBLE) / sqrt(${sqlDot("embedding", "embedding")}) AS FLOAT)) AS embedding
+       |           FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, embedding AS ce FROM d
+       |      WHERE vec_id % $PQ_KMOD = $PQ_RESIDUE),
+       |pm AS (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m),
+       |enc AS (SELECT d.vec_id, pm.m, c.cent_id,
+       |               ${sqlSubDist("d.embedding", "c.ce", "pm.m")} AS dist
+       |        FROM d, c, pm),
+       |pk AS (SELECT vec_id, m,
+       |         min(CAST(floor(dist * 1000000.0 + 0.5) AS BIGINT) * $PQ_PACK + cent_id)
+       |           // $PQ_PACK AS dist_mu
+       |       FROM enc GROUP BY 1, 2)
+       |SELECT CAST(m AS INT) AS m, CAST(count(*) AS BIGINT) AS n_vectors,
+       |       CAST(sum(dist_mu) AS DOUBLE) / count(*) / 1000000.0 AS mean_sqdist,
+       |       CAST(max(dist_mu) AS DOUBLE) / 1000000.0 AS max_sqdist
+       |FROM pk GROUP BY m ORDER BY m""".stripMargin
+
+  /** IVF cell-balance audit — member count, corpus share, and skew
+    * factor (n·K / corpus) per cell of the write-time IVF assignment:
+    * the partition-balance measurement behind the cell-partitioned
+    * storage design (`AnnStorageSpec`). A hot cell is a hot storage
+    * partition and a hot probe; the skew factor is the number that
+    * says when to split cells or retrain the coarse quantizer (the
+    * ANN-side sibling of `q_skew_report`). One assignment pass, one
+    * cell count shuffle, one 1-row totals broadcast. */
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val counts = ivfAssign(spark, dir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    val tot = counts.agg(sum(col("n_members")).as("total"),
+      count(lit(1)).as("k_cells"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_members"),
+        (col("n_members").cast("double") / col("total")).as("share"),
+        (col("n_members").cast("double") * col("k_cells") / col("total"))
+          .as("skew_factor"))
+      .orderBy("cell")
+  }
+
+  val ivfBalanceSql: String =
+    s"""WITH $sqlIvfAssignCtes,
+       |cc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members FROM a GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_members) AS BIGINT) AS total,
+       |             CAST(count(*) AS BIGINT) AS k_cells FROM cc)
+       |SELECT cell, n_members,
+       |       CAST(n_members AS DOUBLE) / total AS share,
+       |       CAST(n_members AS DOUBLE) * k_cells / total AS skew_factor
+       |FROM cc, t ORDER BY cell""".stripMargin
 
   /** Round 1's exact all-pairs form — kept (unregistered) as the recall
     * reference for AnnRecallSpec at tiny SF. Quadratic BY DESIGN; never
@@ -1334,6 +1421,8 @@ object Similarity {
     "q_knn_classify"      -> knnClassify _,
     "q_ann_sq8"           -> annSq8 _,
     "q_ann_pq"            -> annPq _,
+    "q_pq_distortion"     -> pqDistortion _,
+    "q_ivf_balance"       -> ivfBalance _,
     "q_retrieval_eval"    -> retrievalEval _,
     "q_label_centroids"   -> labelCentroids _,
     "q_negative_pairs"    -> negativePairs _,
@@ -1353,6 +1442,8 @@ object Similarity {
     "q_knn_classify"      -> knnClassifySql,
     "q_ann_sq8"           -> annSq8Sql,
     "q_ann_pq"            -> annPqSql,
+    "q_pq_distortion"     -> pqDistortionSql,
+    "q_ivf_balance"       -> ivfBalanceSql,
     "q_retrieval_eval"    -> retrievalEvalSql,
     "q_label_centroids"   -> labelCentroidsSql,
     "q_negative_pairs"    -> negativePairsSql,

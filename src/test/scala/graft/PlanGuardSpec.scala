@@ -42,6 +42,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // distance-table build — same centroid-broadcast shape as q_ann_ivf;
     // the ADC search itself is an equi-join on (subspace, code))
     "q_ann_pq",
+    // q_ivf_balance: embeds the q_ann_ivf assignment (corpus ×
+    // broadcast centroid set) + a 1-row totals broadcast over the
+    // K-row cell counts
+    "q_ivf_balance",
     // q_retrieval_eval: grades the exact-cosine ranking, so it embeds
     // the q_ann_bruteforce broadcast-query scan by definition
     "q_retrieval_eval",

@@ -36,11 +36,14 @@ class PqEncodeSpec extends AnyFunSuite {
     val centRows = centsDf.collect().sortBy(_.getLong(0))
     assert(centRows.length > 1, "degenerate codebook — testdata drifted")
 
+    // kernel emits the full packed (dist_mu, cent_id) argmin — compared
+    // against the relational min directly, so the distance rounding is
+    // checked too, not just the winning centroid
     val kernel = n.select(col("vec_id"),
       posexplode(pqEncode(col("embedding"),
         centRows.map(_.getLong(0)).toSeq,
         centRows.map(_.getSeq[Float](1)).toSeq,
-        M, Similarity.PQ_SUB, PACK)).as(Seq("m", "code")))
+        M, Similarity.PQ_SUB, PACK)).as(Seq("m", "packed")))
 
     val relational = n.as("v").crossJoin(centsDf.as("c"))
       .select(col("v.vec_id").as("vec_id"),
@@ -49,8 +52,7 @@ class PqEncodeSpec extends AnyFunSuite {
           floor((dotF(sv, sv) + dotF(cv, cv) - lit(2.0) * dotF(sv, cv)) *
             1000000.0 + lit(0.5)).cast("long") * PACK + col("c.cent_id")
         }: _*)).as(Seq("m", "packed")))
-      .groupBy(col("vec_id"), col("m")).agg(min(col("packed")).as("p"))
-      .select(col("vec_id"), col("m"), (col("p") % PACK).as("code"))
+      .groupBy(col("vec_id"), col("m")).agg(min(col("packed")).as("packed"))
 
     assert(kernel.count() == relational.count())
     assert(kernel.exceptAll(relational).isEmpty &&

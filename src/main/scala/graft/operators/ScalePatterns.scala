@@ -348,7 +348,73 @@ object ScalePatterns {
        |       CAST($HIST_LO + (bin * $HIST_SPAN) // $HIST_BINS AS DOUBLE) / 100.0 AS est_value
        |FROM sel ORDER BY c_mktsegment, q_pct""".stripMargin
 
+  // ------------------------------------------------ KMV distinct sketch
+  /** KMV hash multiplier: P is prime, so u ↦ (u mod P)·C mod P is a
+    * bijection on [0, P) — distinct users map to distinct hash points,
+    * uniformly spread for the estimator. Precondition user_id < P holds
+    * by orders of magnitude (TestdataSchemaSpec's id ranges). */
+  private val KMV_C = 2654435761L % graft.functions.TextHash.P
+  private val KMV_K = 64
+  private val KMV_P = graft.functions.TextHash.P
+
+  /** K-minimum-values distinct-count sketch per event type — the
+    * third mergeable sketch next to the CMS heavy hitters and the
+    * histogram quantiles, and the ORACLE-VERIFIABLE form of
+    * `q_approx_distinct` (whose built-in HLL is engine-private state,
+    * rows-only forever): the KMV estimate (k−1)·M/h₍k₎ depends only on
+    * the k smallest hash values under an engine-neutral hash, so DuckDB
+    * reproduces it bit-for-bit. At 100 TB the sketch state is k longs
+    * per group (mergeable: union the sets, keep the k smallest) instead
+    * of a distinct-set shuffle; here the k-smallest-per-group runs as a
+    * rank window that Spark executes with WindowGroupLimit pushdown —
+    * partial top-k per partition, never a full per-group sort. Exact
+    * distinct (cheap at audit SF) and the micro-unit relative error
+    * ride along, making this the calibration the sketch swap-in is
+    * judged by. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val hd = ev.select(col("event_type"),
+      (pmod(col("user_id"), lit(KMV_P)) * KMV_C % KMV_P).as("h")).distinct()
+    val exact = hd.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    val nRows = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_rows"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+    val kth = hd.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KMV_K)
+      .groupBy(col("event_type"))
+      .agg(max(col("h")).as("kth"), count(lit(1)).as("k_used"))
+    val est = when(col("k_used") < KMV_K, col("exact_distinct").cast("double"))
+      .otherwise(lit((KMV_K - 1) * KMV_P).cast("double") / col("kth"))
+    nRows.join(exact, "event_type").join(kth, "event_type")
+      .select(col("event_type"), col("n_rows"), col("exact_distinct"),
+        col("k_used"), est.as("est_distinct"),
+        floor(abs(est / col("exact_distinct") - 1.0) * 1000000.0 + lit(0.5))
+          .cast("long").as("err_mu"))
+      .orderBy("event_type")
+  }
+
+  val kmvDistinctSql: String =
+    s"""WITH hd AS (SELECT DISTINCT event_type,
+       |              ((user_id % $KMV_P) * $KMV_C) % $KMV_P AS h FROM events),
+       |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+       |       FROM hd GROUP BY 1),
+       |nr AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+       |       FROM events GROUP BY 1),
+       |kk AS (SELECT event_type, max(h) AS kth, CAST(count(*) AS BIGINT) AS k_used
+       |       FROM (SELECT event_type, h,
+       |               row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rk
+       |             FROM hd)
+       |       WHERE rk <= $KMV_K GROUP BY 1),
+       |e AS (SELECT nr.event_type, n_rows, exact_distinct, k_used,
+       |        CASE WHEN k_used < $KMV_K THEN CAST(exact_distinct AS DOUBLE)
+       |             ELSE CAST(${(KMV_K - 1) * KMV_P} AS DOUBLE) / kth END AS est_distinct
+       |      FROM nr JOIN ex USING (event_type) JOIN kk USING (event_type))
+       |SELECT event_type, n_rows, exact_distinct, k_used, est_distinct,
+       |       CAST(floor(abs(est_distinct / exact_distinct - 1) * 1000000.0 + 0.5) AS BIGINT) AS err_mu
+       |FROM e ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_distinct" -> kmvDistinct _,
     "q_sketch_quantiles" -> sketchQuantiles _,
     "q_skew_report" -> skewReport _,
     "q_asof_join"   -> asofEventOrder _,
@@ -357,6 +423,7 @@ object ScalePatterns {
     "q_range_join"  -> rangeJoinBucketed _)
 
   val oracles: Map[String, String] = Map(
+    "q_kmv_distinct" -> kmvDistinctSql,
     "q_sketch_quantiles" -> sketchQuantilesSql,
     "q_skew_report" -> skewReportSql,
     "q_asof_join"   -> asofEventOrderSql,

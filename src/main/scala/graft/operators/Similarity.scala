@@ -623,6 +623,61 @@ object Similarity {
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) = 1
        |ORDER BY query_id""".stripMargin
 
+  // ---------------------------------------------- hard-negative mining
+  /** Hard negatives kept per anchor. */
+  private val HARDNEG_K = 5
+
+  /** Hard-negative mining — for each held-out anchor, the [[HARDNEG_K]]
+    * most-similar vectors carrying a DIFFERENT label: the contrastive-
+    * training complement of [[negativePairs]]' random negatives (hard
+    * negatives are the pairs that actually move a contrastive loss),
+    * and simultaneously the label-noise audit — a 0.95-cosine
+    * cross-label pair is either a mislabel or a genuinely hard boundary
+    * case, and this is the query that surfaces them.
+    *
+    * Scale shape: identical to [[annBruteforce]]/[[knnClassify]] — the
+    * anchor set is broadcast, the labeled corpus streams through one
+    * codegen'd cosine projection, and the per-anchor top-k runs as a
+    * rank window with WindowGroupLimit pushdown. At 100 TB the exact
+    * scan swaps for [[annIvfAt]] candidates (same tail), trading
+    * recall for probe cost. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding"),
+      normSq(col("embedding")).as("nrm"), col("label"))
+    val q = e.filter(col("vec_id") % QUERY_MOD === 0)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("label").as("anchor_label"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(e,
+        col("anchor_id") =!= col("vec_id") && col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("anchor_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= HARDNEG_K)
+      .select(col("anchor_id"), col("anchor_label"), col("rnk"),
+        col("neighbor_id"), col("neighbor_label"), col("cosine"))
+      .orderBy("anchor_id", "rnk")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH n AS (SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm, label
+       |           FROM embeddings),
+       |q AS (SELECT vec_id AS anchor_id, embedding AS qe, nrm AS qn, label AS anchor_label
+       |      FROM n WHERE vec_id % $QUERY_MOD = 0),
+       |s AS (SELECT anchor_id, anchor_label, n.vec_id AS neighbor_id,
+       |             n.label AS neighbor_label,
+       |             ${sqlCosine("qe", "qn", "n.embedding", "n.nrm")} AS cosine
+       |      FROM q JOIN n ON n.vec_id != q.anchor_id AND n.label != q.anchor_label)
+       |SELECT anchor_id, anchor_label,
+       |       CAST(row_number() OVER (PARTITION BY anchor_id
+       |                               ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk,
+       |       neighbor_id, neighbor_label, cosine
+       |FROM s
+       |QUALIFY rnk <= $HARDNEG_K
+       |ORDER BY anchor_id, rnk""".stripMargin
+
   // ------------------------------------------- scalar-quantized (SQ8) ANN
   /** Int8 scalar-quantized ANN — the memory-side scale lever next to the
     * LSH/IVF pruning levers: per-dimension corpus min/max (one narrow
@@ -1419,6 +1474,7 @@ object Similarity {
     "q_semantic_dedup"    -> semanticDedup _,
     "q_hybrid_rrf"        -> hybridRrf _,
     "q_knn_classify"      -> knnClassify _,
+    "q_hard_negatives"    -> hardNegatives _,
     "q_ann_sq8"           -> annSq8 _,
     "q_ann_pq"            -> annPq _,
     "q_pq_distortion"     -> pqDistortion _,
@@ -1440,6 +1496,7 @@ object Similarity {
     "q_semantic_dedup"    -> semanticDedupSql,
     "q_hybrid_rrf"        -> hybridRrfSql,
     "q_knn_classify"      -> knnClassifySql,
+    "q_hard_negatives"    -> hardNegativesSql,
     "q_ann_sq8"           -> annSq8Sql,
     "q_ann_pq"            -> annPqSql,
     "q_pq_distortion"     -> pqDistortionSql,

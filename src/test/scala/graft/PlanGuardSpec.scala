@@ -34,6 +34,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_knn_classify: broadcast held-out query set × labeled corpus —
     // the q_ann_bruteforce exact-scan shape with a vote tail
     "q_knn_classify",
+    // q_hard_negatives: broadcast anchor set × labeled corpus — the
+    // same declared exact-scan shape, label-mismatch filtered
+    "q_hard_negatives",
     // q_ann_sq8: 1-row per-dim min/max stats broadcast (quantization) +
     // broadcast query-code set × code table (the exact-scan baseline
     // over 4×-compressed codes)

@@ -641,7 +641,52 @@ object TrafficAnalytics {
        |            THEN last_click_ts END IS NOT NULL AS INT) AS attributed
        |FROM c WHERE src = 1 ORDER BY purchase_id""".stripMargin
 
+  /** Multi-touch LINEAR attribution — every click of the user inside
+    * the [[ATTRIB_MIN]]-minute window before a purchase shares the
+    * credit equally (credit = 1/n_touches): the fairness-model
+    * complement of [[attribution]]'s last-touch (which hands 100% to
+    * the final click and systematically starves upper-funnel
+    * touchpoints). Purchases with no in-window click don't appear —
+    * the last-touch query's `attributed` flag already reports those.
+    *
+    * Shape: a user-keyed equi-join with the time-range as a post-join
+    * filter (the batch form of the streaming interval join
+    * `StreamingAnalytics.attributionJoin` — same horizon, same state
+    * contract); fan-out is bounded by the user's click rate × horizon,
+    * never a cross-user pair space. The per-purchase touch count is a
+    * purchase-keyed window over that bounded fan-out. */
+  def multitouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("ct"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pt"))
+    val w = Window.partitionBy(col("purchase_id"))
+    buys.join(clicks, Seq("user_id"))
+      .filter(col("ct") <= col("pt") &&
+        col("ct") >= col("pt") - expr(s"INTERVAL $ATTRIB_MIN MINUTES"))
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("n_touches"),
+        (lit(1.0) / col("n_touches")).as("credit"))
+      .orderBy("purchase_id", "click_id")
+  }
+
+  val multitouchAttributionSql: String =
+    s"""WITH c AS (SELECT user_id, event_id AS click_id, ts AS ct
+       |           FROM events WHERE event_type = 'click'),
+       |b AS (SELECT user_id, event_id AS purchase_id, ts AS pt
+       |      FROM events WHERE event_type = 'purchase'),
+       |j AS (SELECT purchase_id, b.user_id, click_id,
+       |             CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches
+       |      FROM b JOIN c ON b.user_id = c.user_id
+       |       AND ct <= pt AND ct >= pt - INTERVAL $ATTRIB_MIN MINUTES)
+       |SELECT purchase_id, user_id, click_id, n_touches,
+       |       CAST(1.0 AS DOUBLE) / n_touches AS credit
+       |FROM j ORDER BY purchase_id, click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multitouch_attribution"  -> multitouchAttribution _,
     "q_attribution"             -> attribution _,
     "q_cohort_retention"        -> cohortRetention _,
     "q_funnel"                  -> funnel _,
@@ -661,6 +706,7 @@ object TrafficAnalytics {
     "q_comparison_accuracy"     -> comparisonAccuracy _)
 
   val oracles: Map[String, String] = Map(
+    "q_multitouch_attribution"  -> multitouchAttributionSql,
     "q_attribution"             -> attributionSql,
     "q_cohort_retention"        -> cohortRetentionSql,
     "q_funnel"                  -> funnelSql,

@@ -652,7 +652,109 @@ object Dedup {
        |WHERE levenshtein(a.pfx, b.pfx) <= $EDIT_T
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ------------------------------------------------ split-leakage audit
+  /** Train/eval split-leakage audit — the near-dup pairs that CROSS the
+    * content-hash split: a test doc whose near-duplicate landed in
+    * train leaks the benchmark even though no doc is shared verbatim
+    * (exact copies co-split by construction of the content-hash split —
+    * near-copies do NOT, and this is the query that finds them; the
+    * standard "dedup before you split" failure). Complements
+    * [[decontaminate]] (per-doc shingle overlap vs the eval bucket)
+    * with explicit cross-split PAIRS at the near-dup threshold, over
+    * ALL split boundaries (train/val leaks matter for early stopping
+    * too). Composes the shared df-capped candidate core with the
+    * `q_hash_split` assignment — the split relation is a scan-local
+    * projection broadcast onto the (small) pair list, so the audit
+    * costs one near-dup run + two broadcast joins. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val split = when(col("h") <= 7, "train").when(col("h") === 8, "val")
+      .otherwise("test")
+    val sp = documents(spark, dir)
+      .select(col("doc_id"), pmod(charHashFast(col("text")), lit(10)).as("h"))
+      .select(col("doc_id"), split.as("split"))
+    ngramJaccard(spark, dir)
+      .join(broadcast(sp.select(col("doc_id").as("d1"), col("split").as("split_1"))), "d1")
+      .join(broadcast(sp.select(col("doc_id").as("d2"), col("split").as("split_2"))), "d2")
+      .filter(col("split_1") =!= col("split_2"))
+      .select(col("d1"), col("d2"), col("jaccard"), col("split_1"), col("split_2"))
+      .orderBy("d1", "d2")
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH pairs AS ($ngramJaccardSql),
+       |sp AS (SELECT doc_id,
+       |         CASE WHEN ${sqlCharHash("text")} % 10 <= 7 THEN 'train'
+       |              WHEN ${sqlCharHash("text")} % 10 = 8 THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM documents)
+       |SELECT d1, d2, jaccard, s1.split AS split_1, s2.split AS split_2
+       |FROM pairs JOIN sp s1 ON d1 = s1.doc_id JOIN sp s2 ON d2 = s2.doc_id
+       |WHERE s1.split != s2.split
+       |ORDER BY d1, d2""".stripMargin
+
+  // ------------------------------------------------ shard-stitch audit
+  /** Boundary k-gram width (tokens). */
+  private val STITCH_K = 8
+
+  /** Shard-stitch detection — fragments of ONE original document that
+    * entered the corpus as separate rows (chunked ingestion, paginated
+    * crawls): doc A whose LAST [[STITCH_K]]-token k-gram equals doc B's
+    * FIRST — the seam where B continues A. The pair (A, B) is ordered
+    * (tail matches head), so chains of 3+ fragments come out as
+    * consecutive edges. Catches a case every symmetric near-dup misses:
+    * two halves of one document share NO shingles beyond the seam and
+    * score ≈ 0 jaccard.
+    *
+    * Shape: one scan projecting each doc to its (head, tail) boundary
+    * hashes — two longs per doc, the cheapest index in the suite — then
+    * a df-capped hash equi-join (a boilerplate ending shared by k docs
+    * would fan out k², the same stop-key bound as the shingle index).
+    * Boundary hashes are the positional-k-gram formula of
+    * [[dupSpans]], so the oracle folds the identical arithmetic. */
+  def shardStitch(spark: SparkSession, dir: String): DataFrame = {
+    val kg = docsParallel(spark, dir)
+      .select(col("doc_id"), kgramHashesFast(col("text"), STITCH_K).as("kh"),
+        tokenCountFast(col("text")).as("n_tokens"))
+      .filter(size(col("kh")) >= 1)
+      .select(col("doc_id"), col("n_tokens"),
+        element_at(col("kh"), 1).as("head"),
+        element_at(col("kh"), -1).as("tail"))
+    val hdf = count(lit(1)).over(Window.partitionBy(col("head")))
+    val tdf = count(lit(1)).over(Window.partitionBy(col("tail")))
+    val capped = Materializer.materialize(Materializer.tagFor("stitch", dir),
+      kg.withColumn("hdf", hdf).withColumn("tdf", tdf)
+        .filter(col("hdf") <= DF_CAP && col("tdf") <= DF_CAP)
+        .drop("hdf", "tdf"))
+    capped.as("a").join(capped.as("b"),
+        col("a.tail") === col("b.head") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("left_doc"), col("b.doc_id").as("right_doc"),
+        col("a.tail").as("boundary_hash"),
+        col("a.n_tokens").as("left_tokens"), col("b.n_tokens").as("right_tokens"))
+      .orderBy("left_doc", "right_doc")
+  }
+
+  val shardStitchSql: String =
+    s"""WITH t AS (SELECT doc_id, ${sqlTokenHashes(sqlTokens("text"))} AS th FROM documents),
+       |kg AS (SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), th[1:$STITCH_K]),
+       |           (h, c) -> (h*31 + c) % ${graft.functions.TextHash.P}) AS head,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT), th[len(th)-${STITCH_K - 1}:len(th)]),
+       |           (h, c) -> (h*31 + c) % ${graft.functions.TextHash.P}) AS tail
+       |       FROM t WHERE len(th) >= $STITCH_K),
+       |capped AS (SELECT doc_id, n_tokens, head, tail FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY head) AS hdf,
+       |            count(*) OVER (PARTITION BY tail) AS tdf FROM kg)
+       |  WHERE hdf <= $DF_CAP AND tdf <= $DF_CAP)
+       |SELECT a.doc_id AS left_doc, b.doc_id AS right_doc,
+       |       a.tail AS boundary_hash,
+       |       a.n_tokens AS left_tokens, b.n_tokens AS right_tokens
+       |FROM capped a JOIN capped b
+       |  ON a.tail = b.head AND a.doc_id != b.doc_id
+       |ORDER BY left_doc, right_doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_leakage"  -> splitLeakage _,
+    "q_shard_stitch"   -> shardStitch _,
     "q_edit_neardup"   -> editNearDup _,
     "q_dup_spans"      -> dupSpans _,
     "q_exact_dedup"    -> exactDedup _,
@@ -665,6 +767,8 @@ object Dedup {
     "q_incremental_neardup" -> incrementalNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q_split_leakage"  -> splitLeakageSql,
+    "q_shard_stitch"   -> shardStitchSql,
     "q_edit_neardup"   -> editNearDupSql,
     "q_dup_spans"      -> dupSpansSql,
     "q_exact_dedup"    -> exactDedupSql,

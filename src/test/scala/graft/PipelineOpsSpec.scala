@@ -62,9 +62,36 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------- TextOps
   test("every text/dedup/similarity query runs and returns rows on sf0.001") {
+    // q_shard_stitch is a detector whose positives (chunked-document
+    // seams) the synthetic corpus doesn't plant — its empty result is
+    // the CORRECT answer here; detection is proven on planted
+    // fragments in the dedicated test below
     (TextOps.queries ++ Dedup.queries ++ Similarity.queries).foreach {
+      case ("q_shard_stitch", fn) => assert(fn(spark, sf).count() == 0)
       case (name, fn) => assert(fn(spark, sf).count() > 0, s"$name returned no rows")
     }
+  }
+
+  test("shard-stitch detects planted document fragments") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_stitch").toString
+    val toks = (1 to 40).map(i => s"tok$i")
+    // B continues A: A's last 8 tokens are B's first 8 (overlap ingest);
+    // C is unrelated; D duplicates A's ending elsewhere in its middle
+    // (no seam: its HEAD k-gram differs) and must not match
+    val a = toks.take(24).mkString(" ")              // tok1..tok24
+    val b = toks.slice(16, 40).mkString(" ")         // tok17..tok40
+    val c = (1 to 20).map(i => s"other$i").mkString(" ")
+    val rows = Seq((1L, a), (2L, b), (3L, c)).map { case (id, t) =>
+      (id, t, "en", "synth", t.length.toLong)
+    }
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = try graft.operators.Dedup.shardStitch(spark, dir)
+      .select("left_doc", "right_doc").collect().map(r => (r.getLong(0), r.getLong(1)))
+    finally Materializer.clear()
+    assert(got.toSeq == Seq((1L, 2L)), s"expected seam (1,2), got ${got.toSeq}")
   }
 
   test("token stats are internally consistent") {

@@ -652,6 +652,111 @@ object Dedup {
        |WHERE levenshtein(a.pfx, b.pfx) <= $EDIT_T
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -------------------------------------------- normalized exact dedup
+  /** Normalization-hash dedup — exact dedup after case folding,
+    * punctuation stripping, and whitespace collapse: catches the
+    * re-encoded copies plain [[exactDedup]] misses (casing changes,
+    * smart-quote/punct mutations, reflowed whitespace) while staying a
+    * single hash-shuffle — the cheap middle rung between exact and
+    * shingle near-dup. Output mirrors [[exactDedup]]'s per-doc dedup
+    * DECISION (keeper = min doc per norm group, is_dup flag), plus how
+    * many DISTINCT raw byte-forms the doc's group folds together
+    * (n_exact_variants > 1 ⇒ normalization did real work — the column
+    * that separates this from exactDedup). Regex patterns confined to
+    * the Java-regex ∩ RE2 subset (the q_pii_scan rule); lower() on
+    * this corpus is ASCII, where both engines agree. */
+  def normDedup(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 \t\n\f\r]", ""),
+      "[ \t\n\f\r]+", " "))
+    val n = documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("exact_hash"),
+        md5(norm).as("norm_hash"))
+    // group stats as a second aggregate joined back (never a window
+    // countDistinct, which Spark lacks): the group table is ≤ |docs|
+    // rows of two hashes + two longs
+    val groups = n.groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        countDistinct(col("exact_hash")).as("n_exact_variants"))
+    n.join(groups, "norm_hash")
+      .select(col("doc_id"), col("keeper_id"),
+        (col("doc_id") =!= col("keeper_id")).cast("int").as("is_dup"),
+        col("n_exact_variants"))
+      .orderBy("doc_id")
+  }
+
+  val normDedupSql: String =
+    """WITH n AS (
+      |  SELECT doc_id, md5(text) AS exact_hash,
+      |         md5(trim(regexp_replace(
+      |           regexp_replace(lower(text), '[^a-z0-9 \t\n\f\r]', '', 'g'),
+      |           '[ \t\n\f\r]+', ' ', 'g'))) AS norm_hash
+      |  FROM documents),
+      |g AS (SELECT norm_hash, min(doc_id) AS keeper_id,
+      |             CAST(count(DISTINCT exact_hash) AS BIGINT) AS n_exact_variants
+      |      FROM n GROUP BY 1)
+      |SELECT doc_id, keeper_id,
+      |       CAST(doc_id != keeper_id AS INT) AS is_dup, n_exact_variants
+      |FROM n JOIN g USING (norm_hash)
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------- cross-source duplication matrix
+  /** Cross-source duplication matrix — for every source pair (a ≤ b),
+    * how many duplicated-content pairs span them: the crawl-planning
+    * view that says which sources copy from each other (mirror sites,
+    * syndication) vs which merely self-duplicate. NO pair join over
+    * docs: per content-hash group the per-source counts are aggregated
+    * first, and pair counts are ARITHMETIC on those counts (ca·cb
+    * cross-source, C(n,2) within) — the pair space never materializes,
+    * so a million-copy group costs one row per source it touches. The
+    * (hash, source) self-join fans out by sources-per-group (≤ the
+    * source enum), not group size. */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val hs = documents(spark, dir)
+      .select(md5(col("text")).as("h"), col("source"))
+      .groupBy(col("h"), col("source")).agg(count(lit(1)).as("c"))
+    val m = hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") <= col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        when(col("a.source") === col("b.source"),
+          expr("a.c * (a.c - 1) div 2"))
+          .otherwise(col("a.c") * col("b.c")).as("pairs"))
+      .filter(col("pairs") > 0)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("pairs")).as("n_dup_pairs"), count(lit(1)).as("n_groups"))
+    // full (a ≤ b) matrix with explicit zeros: "no cross-source
+    // duplication" is a finding, not an empty result — and the |S|²/2
+    // spine is constant-size by construction
+    val src = documents(spark, dir).select(col("source")).distinct()
+    src.as("x").join(src.as("y"), col("x.source") <= col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .join(m, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_groups"), lit(0L)).as("n_groups"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val crossSourceDupsSql: String =
+    """WITH hs AS (
+      |  SELECT md5(text) AS h, source, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |m AS (
+      |  SELECT source_a, source_b, CAST(sum(pairs) AS BIGINT) AS n_dup_pairs,
+      |         CAST(count(*) AS BIGINT) AS n_groups
+      |  FROM (SELECT a.source AS source_a, b.source AS source_b,
+      |               CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+      |                    ELSE a.c * b.c END AS pairs
+      |        FROM hs a JOIN hs b ON a.h = b.h AND a.source <= b.source)
+      |  WHERE pairs > 0 GROUP BY 1, 2),
+      |s AS (SELECT DISTINCT source FROM documents)
+      |SELECT x.source AS source_a, y.source AS source_b,
+      |       coalesce(n_dup_pairs, 0) AS n_dup_pairs,
+      |       coalesce(n_groups, 0) AS n_groups
+      |FROM s x JOIN s y ON x.source <= y.source
+      |LEFT JOIN m ON x.source = m.source_a AND y.source = m.source_b
+      |ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------ split-leakage audit
   /** Train/eval split-leakage audit — the near-dup pairs that CROSS the
     * content-hash split: a test doc whose near-duplicate landed in
@@ -753,6 +858,8 @@ object Dedup {
        |ORDER BY left_doc, right_doc""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_norm_dedup"     -> normDedup _,
+    "q_cross_source_dups" -> crossSourceDups _,
     "q_split_leakage"  -> splitLeakage _,
     "q_shard_stitch"   -> shardStitch _,
     "q_edit_neardup"   -> editNearDup _,
@@ -767,6 +874,8 @@ object Dedup {
     "q_incremental_neardup" -> incrementalNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q_norm_dedup"     -> normDedupSql,
+    "q_cross_source_dups" -> crossSourceDupsSql,
     "q_split_leakage"  -> splitLeakageSql,
     "q_shard_stitch"   -> shardStitchSql,
     "q_edit_neardup"   -> editNearDupSql,

@@ -757,6 +757,54 @@ object Dedup {
       |LEFT JOIN m ON x.source = m.source_a AND y.source = m.source_b
       |ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------- threshold-sensitivity curve
+  /** Near-dup threshold calibration curve — candidate-pair counts per
+    * jaccard decile over the SAME df-capped candidate space the
+    * production near-dup queries gate at [[JACCARD_T]]: the histogram
+    * that says where the threshold sits in the score distribution. A
+    * threshold inside a dense decile is unstable (small score drift
+    * moves many pairs across it); a healthy planted-dup corpus shows
+    * the bimodal shape — background mass in the low deciles, dups at
+    * the top, empty middle. Reuses the shared `candidx` materialized
+    * index; the curve itself is one ≤10-row aggregate, and the
+    * cumulative tail runs over that CONSTANT-size relation. */
+  def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
+    val st = NearDup.cappedPairStats(shingleIndex(spark, dir), "sh", DF_CAP,
+      Materializer.tagFor("candidx", dir), col("a.doc_id") < col("b.doc_id"),
+      "d1", "d2")
+    val b = st.select(least(floor(
+        (col("common").cast("double") / (col("n1") + col("n2") - col("common"))) * 10)
+        .cast("int"), lit(9)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    b.withColumn("n_pairs_at_or_above", sum(col("n_pairs")).over(w))
+      .select(col("bucket"), (col("bucket").cast("double") / 10.0).as("jaccard_lo"),
+        col("n_pairs"), col("n_pairs_at_or_above"))
+      .orderBy("bucket")
+  }
+
+  val dedupSweepSql: String =
+    s"""WITH ex AS ($sqlShingleIndex),
+       |capped AS (SELECT doc_id, sh FROM (
+       |  SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM ex)
+       |  WHERE df <= $DF_CAP),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
+       |cand AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (SELECT least(CAST(floor(
+       |        (CAST(common AS DOUBLE) / (s1.n + s2.n - common)) * 10) AS INT), 9) AS bucket
+       |      FROM cand JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id),
+       |h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs FROM j GROUP BY 1)
+       |SELECT CAST(bucket AS INT) AS bucket,
+       |       CAST(bucket AS DOUBLE) / 10.0 AS jaccard_lo, n_pairs,
+       |       CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |         AS n_pairs_at_or_above
+       |FROM h ORDER BY bucket""".stripMargin
+
   // ------------------------------------------------ split-leakage audit
   /** Train/eval split-leakage audit — the near-dup pairs that CROSS the
     * content-hash split: a test doc whose near-duplicate landed in
@@ -859,6 +907,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_norm_dedup"     -> normDedup _,
+    "q_dedup_sweep"    -> dedupSweep _,
     "q_cross_source_dups" -> crossSourceDups _,
     "q_split_leakage"  -> splitLeakage _,
     "q_shard_stitch"   -> shardStitch _,
@@ -875,6 +924,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q_norm_dedup"     -> normDedupSql,
+    "q_dedup_sweep"    -> dedupSweepSql,
     "q_cross_source_dups" -> crossSourceDupsSql,
     "q_split_leakage"  -> splitLeakageSql,
     "q_shard_stitch"   -> shardStitchSql,

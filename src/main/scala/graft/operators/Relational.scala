@@ -1552,7 +1552,47 @@ object Relational {
       |                  * 1000000.0 + 0.5) AS BIGINT) AS excess_mu
       |FROM c, t ORDER BY digit""".stripMargin
 
+  // ---------------------------------------------- audience overlap
+  /** Audience-overlap matrix — user-set Jaccard for every event-type
+    * pair (a < b): which behaviors share an audience (a near-1 overlap
+    * means the event types are redundant segmentation keys; near-0
+    * means disjoint populations — the targeting/segmentation view of
+    * the events feed). NO set materialization per pair: the distinct
+    * (type, user) relation self-joins on user_id — fan-out bounded by
+    * types-per-user (≤ the event-type enum), linear in users — and set
+    * sizes come from one aggregate joined back. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tu = events(spark, dir).select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val common = tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("na"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("nb"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"), col("n_common"),
+        (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val audienceOverlapSql: String =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+      |c AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |             CAST(count(*) AS BIGINT) AS n_common
+      |      FROM tu a JOIN tu b
+      |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |      GROUP BY 1, 2)
+      |SELECT type_a, type_b, s1.n AS na, s2.n AS nb, n_common,
+      |       CAST(n_common AS DOUBLE) / (s1.n + s2.n - n_common) AS jaccard
+      |FROM c JOIN sz s1 ON type_a = s1.event_type JOIN sz s2 ON type_b = s2.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audience_overlap" -> audienceOverlap _,
     "q_benford"                 -> benfordDigits _,
     "q_mad_outliers"            -> madOutliers _,
     "q_chi2_assoc"              -> chi2Assoc _,
@@ -1591,6 +1631,7 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_audience_overlap" -> audienceOverlapSql,
     "q_benford"                 -> benfordDigitsSql,
     "q_mad_outliers"            -> madOutliersSql,
     "q_chi2_assoc"              -> chi2AssocSql,

@@ -615,7 +615,42 @@ object TextOps {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------- tokenizer fertility
+  /** Tokenizer-fertility audit — chars/token and tokens/doc per
+    * language: the companion number to `q_vocab_coverage`'s OOV rate
+    * when sizing a tokenizer (a language whose fertility is 2× the
+    * corpus mean pays 2× the sequence length for the same text — the
+    * budget number behind per-language vocab allocation). Whitespace
+    * tokens here are the lower bound a subword tokenizer is compared
+    * against. One scan (codegen'd token counts), one |langs|-row
+    * aggregate; exact integer sums → one IEEE division each. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
+      .select(col("lang"), col("n_chars"),
+        tokenCountFast(col("text")).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        (col("n_chars").cast("double") / col("n_tokens")).as("chars_per_token"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("tokens_per_doc"))
+      .orderBy("lang")
+
+  val tokenizerFertilitySql: String =
+    s"""WITH t AS (SELECT lang, n_chars,
+       |             CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |             CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |      FROM t GROUP BY 1)
+       |SELECT lang, n_docs, n_tokens, n_chars,
+       |       CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token,
+       |       CAST(n_tokens AS DOUBLE) / n_docs AS tokens_per_doc
+       |FROM g ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tokenizer_fertility" -> tokenizerFertility _,
     "q_token_stats"        -> tokenStats _,
     "q_lang_id"            -> langId _,
     "q_quality_score"      -> qualityScore _,
@@ -632,6 +667,7 @@ object TextOps {
     "q_pii_scan"           -> piiScan _)
 
   val oracles: Map[String, String] = Map(
+    "q_tokenizer_fertility" -> tokenizerFertilitySql,
     "q_token_stats"        -> tokenStatsSql,
     "q_lang_id"            -> langIdSql,
     "q_quality_score"      -> qualityScoreSql,

@@ -185,6 +185,9 @@ class PlanGuardSpec extends AnyFunSuite {
   private val globalWindowAllowed = Set("q_quantiles_disc",
     // q_quantiles_cont: same constant-NBANDS band-count cumulative window
     "q_quantiles_cont",
+    // q_dedup_sweep: cumulative tail over the CONSTANT ≤10-decile
+    // histogram aggregate (Dedup.dedupSweep)
+    "q_dedup_sweep",
     // q_zipf_fit: the rank window runs over an orderBy().limit(ZIPF_TOPR)
     // input — constant ≤ 100 rows by construction, fed by a distributed
     // TakeOrderedAndProject (CorpusOps.zipfFit)

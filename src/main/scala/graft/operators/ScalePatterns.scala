@@ -353,9 +353,9 @@ object ScalePatterns {
     * bijection on [0, P) — distinct users map to distinct hash points,
     * uniformly spread for the estimator. Precondition user_id < P holds
     * by orders of magnitude (TestdataSchemaSpec's id ranges). */
-  private val KMV_C = 2654435761L % graft.functions.TextHash.P
-  private val KMV_K = 64
-  private val KMV_P = graft.functions.TextHash.P
+  private[graft] val KMV_C = 2654435761L % graft.functions.TextHash.P
+  private[graft] val KMV_K = 64
+  private[graft] val KMV_P = graft.functions.TextHash.P
 
   /** K-minimum-values distinct-count sketch per event type — the
     * third mergeable sketch next to the CMS heavy hitters and the

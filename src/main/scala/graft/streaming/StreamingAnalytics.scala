@@ -180,6 +180,54 @@ object StreamingAnalytics {
     (q, () => acc.get())
   }
 
+  /** Streaming KMV distinct sketch — bounded-state approx-distinct per
+    * key on a stream, the distinct-count sibling of
+    * [[runCmsAccumulation]]: each micro-batch contributes its k
+    * smallest engine-neutral user-hashes per key (a distributed
+    * rank-window aggregate; only ≤ k longs per key reach the driver),
+    * merged into the running sketch by union-then-keep-k-smallest —
+    * the KMV merge. Like the CMS merge it is exact-associative over
+    * SETS (k-min(A ∪ B) = k-min(k-min(A) ∪ k-min(B))), so the streamed
+    * sketch is BIT-IDENTICAL to the batch sketch over the same rows
+    * under any batch boundaries, and state never grows with
+    * cardinality. The estimate reads off the sketch exactly as
+    * `q_kmv_distinct` does: (k−1)·M/h₍k₎ once the sketch is full. */
+  def runKmvAccumulation(ev: DataFrame, key: String, idCol: String,
+                         checkpointDir: String,
+                         k: Int = graft.operators.ScalePatterns.KMV_K)
+      : (StreamingQuery, () => Map[String, Seq[Long]]) = {
+    val P = graft.operators.ScalePatterns.KMV_P
+    val C = graft.operators.ScalePatterns.KMV_C
+    val acc = new java.util.concurrent.atomic.AtomicReference(
+      Map.empty[String, Seq[Long]])
+    val q = ev.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = Window.partitionBy(col("k")).orderBy(col("h").asc)
+        val rows = batch
+          .select(col(key).cast("string").as("k"),
+            (pmod(col(idCol), lit(P)) * C % P).as("h"))
+          .distinct()
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .groupBy(col("k"))
+          .agg(sort_array(collect_list(col("h"))).as("hs"))
+          .collect()
+          .map(r => r.getString(0) -> r.getSeq[Long](1))
+        acc.updateAndGet { prev =>
+          rows.foldLeft(prev) { case (m, (kk, hs)) =>
+            val merged = (m.getOrElse(kk, Seq.empty) ++ hs)
+              .distinct.sorted.take(k)
+            m.updated(kk, merged)
+          }
+        }
+        ()
+      }
+      .start()
+    (q, () => acc.get())
+  }
+
   // ------------------------------------------------------------ runners
 
   /** Correct stateful mode: watermark + windowed agg, append to parquet.

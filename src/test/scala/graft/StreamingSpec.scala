@@ -479,6 +479,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming KMV merge is bit-identical to the batch sketch") {
+    import org.apache.spark.sql.functions._
+    val P = operators.ScalePatterns.KMV_P
+    val C = operators.ScalePatterns.KMV_C
+    val k = 4 // small k so the sketch saturates (mkEvents has ~7 distinct users)
+    val base = mkEvents(150)
+    def run(batches: Seq[Seq[Ev]]): Map[String, Seq[Long]] = {
+      val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+      val ckpt = Files.createTempDirectory("graft_kmv_ckpt").toString
+      val (q, sketch) = streaming.StreamingAnalytics.runKmvAccumulation(
+        stream.toDF(), "event_type", "user_id", ckpt, k)
+      try {
+        batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+        sketch()
+      } finally q.stop()
+    }
+    // uneven boundaries vs one batch — the merge must be boundary-invariant
+    val streamed = run(Seq(base.take(40), base.slice(40, 90), base.drop(90)))
+    val oneShot = run(Seq(base))
+    assert(streamed == oneShot, "KMV sketch depends on batch boundaries")
+    // and both must equal the batch k-minimum set per key
+    val batchSketch = base.toDF()
+      .select(col("event_type").as("k"),
+        (pmod(col("user_id"), lit(P)) * C % P).as("h"))
+      .distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (kk, rs) => kk -> rs.map(_.getLong(1)).distinct.sorted.take(k).toSeq }
+    assert(streamed == batchSketch, "streamed KMV differs from the batch sketch")
+    assert(streamed.nonEmpty && streamed.values.forall(_.size == k),
+      "sketch did not saturate — test data too small for chosen k")
+  }
+
   test("stream-stream interval join equals the batch attribution join") {
     val clicks = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
     val buys = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)

@@ -615,6 +615,94 @@ object TextOps {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------- language confusion
+  /** Language-ID confusion matrix — (claimed, predicted) doc counts
+    * with per-claimed-language recall: the error-structure view of
+    * [[langId]]'s per-doc agreement flag (which languages the stopword
+    * classifier confuses with which — the audit that decides whether a
+    * lang filter is safe to gate on, and for which languages). One
+    * scan (the same codegen'd argmax), one ≤\|langs\|²-row aggregate,
+    * per-language totals joined back from a second ≤\|langs\|-row
+    * aggregate. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val best = bestLang(col("text"))
+    val cells = documents(spark, dir)
+      .select(col("lang").as("claimed_lang"),
+        decodeLang(best).as("predicted_lang"))
+      .groupBy(col("claimed_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy(col("claimed_lang"))
+      .agg(sum(col("n_docs")).as("n_claimed"))
+    cells.join(broadcast(totals), "claimed_lang")
+      .select(col("claimed_lang"), col("predicted_lang"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_claimed")).as("share_of_claimed"))
+      .orderBy("claimed_lang", "predicted_lang")
+  }
+
+  val langConfusionSql: String = {
+    val toks = sqlTokens("text")
+    val combined = langs.map { case (_, rank, words) =>
+      s"CAST(${sqlStopScore("toks", words)} AS BIGINT) * 8 + $rank" }
+    val decode = langs.reverse
+      .map { case (code, rank, _) => s"WHEN best % 8 = $rank THEN '$code'" }
+      .mkString("CASE ", " ", " ELSE NULL END")
+    s"""WITH t AS (SELECT lang, $toks AS toks FROM documents),
+       |s AS (SELECT lang AS claimed_lang,
+       |             greatest(${combined.mkString(", ")}) AS best
+       |      FROM t),
+       |cells AS (SELECT claimed_lang, $decode AS predicted_lang,
+       |                 CAST(count(*) AS BIGINT) AS n_docs
+       |          FROM s GROUP BY 1, 2),
+       |tot AS (SELECT claimed_lang, CAST(sum(n_docs) AS BIGINT) AS n_claimed
+       |        FROM cells GROUP BY 1)
+       |SELECT cells.claimed_lang, predicted_lang, n_docs,
+       |       CAST(n_docs AS DOUBLE) / n_claimed AS share_of_claimed
+       |FROM cells JOIN tot ON cells.claimed_lang = tot.claimed_lang
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // ------------------------------------------------- split balance
+  /** Train/val/test balance audit — per split: volumes plus mean
+    * quality and mean length in exact micro-units: the check that the
+    * content-hash split didn't land a skewed slice in the eval buckets
+    * (a test set 20% shorter or lower-quality than train measures a
+    * different model). Composes the [[hashSplit]] assignment with the
+    * shared [[qualityScoreOf]] formula in ONE scan + one 3-row
+    * aggregate; means are exact long sums → one IEEE division. */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(charHashFast(col("text")), lit(10))
+    val split = when(h <= 7, "train").when(h === 8, "val").otherwise("test")
+    documents(spark, dir)
+      .select(split.as("split"),
+        tokenCountFast(col("text")).as("n_tokens"), col("n_chars"),
+        floor(qualityScoreOf(col("text")) * 1000000.0 + lit(0.5))
+          .cast("long").as("q_mu"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"), sum(col("q_mu")).as("sum_q"))
+      .select(col("split"), col("n_docs"), col("n_tokens"),
+        (col("sum_chars").cast("double") / col("n_docs")).as("mean_chars"),
+        (col("sum_q").cast("double") / col("n_docs") / 1000000.0)
+          .as("mean_quality"))
+      .orderBy("split")
+  }
+
+  val splitBalanceSql: String =
+    s"""WITH t AS (SELECT text, n_chars, ${sqlTokens("text")} AS toks,
+       |                  length(text) AS nc,
+       |                  ${sqlCharHash("text")} % 10 AS h
+       |           FROM documents),
+       |s AS (SELECT CASE WHEN h <= 7 THEN 'train' WHEN h = 8 THEN 'val'
+       |                  ELSE 'test' END AS split,
+       |             CAST(len(toks) AS BIGINT) AS n_tokens, n_chars,
+       |             CAST(floor(($sqlQualityOf) * 1000000.0 + 0.5) AS BIGINT) AS q_mu
+       |      FROM t)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+       |       CAST(sum(q_mu) AS DOUBLE) / count(*) / 1000000.0 AS mean_quality
+       |FROM s GROUP BY 1 ORDER BY split""".stripMargin
+
   // --------------------------------------------- tokenizer fertility
   /** Tokenizer-fertility audit — chars/token and tokens/doc per
     * language: the companion number to `q_vocab_coverage`'s OOV rate
@@ -651,6 +739,8 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tokenizer_fertility" -> tokenizerFertility _,
+    "q_lang_confusion"      -> langConfusion _,
+    "q_split_balance"       -> splitBalance _,
     "q_token_stats"        -> tokenStats _,
     "q_lang_id"            -> langId _,
     "q_quality_score"      -> qualityScore _,
@@ -668,6 +758,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q_tokenizer_fertility" -> tokenizerFertilitySql,
+    "q_lang_confusion"      -> langConfusionSql,
+    "q_split_balance"       -> splitBalanceSql,
     "q_token_stats"        -> tokenStatsSql,
     "q_lang_id"            -> langIdSql,
     "q_quality_score"      -> qualityScoreSql,

@@ -757,6 +757,52 @@ object Dedup {
       |LEFT JOIN m ON x.source = m.source_a AND y.source = m.source_b
       |ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------ dedup savings
+  /** Token-weighted dedup savings per source — what exact dedup BUYS:
+    * total tokens vs tokens after keeping one doc per content-hash
+    * group (keeper = the group's min doc_id — kept tokens are the
+    * keeper's, the same decision [[exactDedup]] emits), with the
+    * savings fraction. The budget number a dedup pass is judged by:
+    * doc counts say how many rows vanish, token savings say how much
+    * compute/storage the training run actually gets back. One scan
+    * (codegen'd token count), one content-hash aggregate, one
+    * source rollup. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val g = documents(spark, dir)
+      .select(col("source"), md5(col("text")).as("h"),
+        col("doc_id"), tokenCountFast(col("text")).as("nt"))
+      .groupBy(col("source"), col("h"))
+      // min_by is hash-aggregable and deterministic here (doc_id unique)
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tok_all"),
+        min_by(col("nt"), col("doc_id")).as("keep_nt"))
+    g.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(col("tok_all")).as("n_tokens"),
+        sum(col("keep_nt")).as("n_tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        col("n_tokens"), col("n_tokens_kept"),
+        (lit(1.0) - col("n_tokens_kept").cast("double") / col("n_tokens"))
+          .as("savings_frac"))
+      .orderBy("source")
+  }
+
+  val dedupSavingsSql: String =
+    s"""WITH d AS (SELECT source, md5(text) AS h, doc_id,
+       |             CAST(len(${sqlTokens("text")}) AS BIGINT) AS nt
+       |           FROM documents),
+       |g AS (SELECT source, h, CAST(count(*) AS BIGINT) AS n_docs,
+       |             CAST(sum(nt) AS BIGINT) AS tok_all,
+       |             arg_min(nt, doc_id) AS keep_nt
+       |      FROM d GROUP BY 1, 2)
+       |SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_unique,
+       |       CAST(sum(tok_all) AS BIGINT) AS n_tokens,
+       |       CAST(sum(keep_nt) AS BIGINT) AS n_tokens_kept,
+       |       CAST(1.0 AS DOUBLE) - CAST(sum(keep_nt) AS DOUBLE) / sum(tok_all)
+       |         AS savings_frac
+       |FROM g GROUP BY 1 ORDER BY source""".stripMargin
+
   // --------------------------------------- threshold-sensitivity curve
   /** Near-dup threshold calibration curve — candidate-pair counts per
     * jaccard decile over the SAME df-capped candidate space the
@@ -907,6 +953,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_norm_dedup"     -> normDedup _,
+    "q_dedup_savings"  -> dedupSavings _,
     "q_dedup_sweep"    -> dedupSweep _,
     "q_cross_source_dups" -> crossSourceDups _,
     "q_split_leakage"  -> splitLeakage _,
@@ -924,6 +971,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "q_norm_dedup"     -> normDedupSql,
+    "q_dedup_savings"  -> dedupSavingsSql,
     "q_dedup_sweep"    -> dedupSweepSql,
     "q_cross_source_dups" -> crossSourceDupsSql,
     "q_split_leakage"  -> splitLeakageSql,

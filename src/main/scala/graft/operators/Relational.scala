@@ -1552,6 +1552,49 @@ object Relational {
       |                  * 1000000.0 + 0.5) AS BIGINT) AS excess_mu
       |FROM c, t ORDER BY digit""".stripMargin
 
+  // ---------------------------------------------- DAU/WAU stickiness
+  /** DAU/WAU stickiness — per ISO week: weekly active users, mean
+    * daily active users, and stickiness = avgDAU/WAU (the fraction of
+    * the weekly audience active on a typical day — THE product-health
+    * ratio next to `q_cohort_retention`'s matrix and
+    * `q_weekly_growth`'s volume trend). Everything derives from ONE
+    * distinct (user, day) relation: DAU and WAU are two aggregates of
+    * it, joined on the week key — no windows, linear in activity. */
+  def dauStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val wk = date_trunc("week", col("day")).cast("date").as("week")
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .select(wk, col("dau"))
+      .groupBy(col("week"))
+      .agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("n_days"))
+    val wau = ud.select(wk, col("user_id")).distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "week")
+      .select(col("week").cast("timestamp").as("week"), col("n_days"), col("wau"),
+        (col("sum_dau").cast("double") / col("n_days")).as("avg_dau"),
+        (col("sum_dau").cast("double") / col("n_days") / col("wau"))
+          .as("stickiness"))
+      .orderBy("week")
+  }
+
+  val dauStickinessSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+      |               CAST(count(*) AS BIGINT) AS dau
+      |        FROM ud GROUP BY day),
+      |dw AS (SELECT week, CAST(sum(dau) AS BIGINT) AS sum_dau,
+      |              CAST(count(*) AS BIGINT) AS n_days
+      |       FROM dau GROUP BY 1),
+      |wau AS (SELECT week, CAST(count(*) AS BIGINT) AS wau FROM (
+      |          SELECT DISTINCT CAST(date_trunc('week', day) AS DATE) AS week, user_id
+      |          FROM ud) GROUP BY 1)
+      |SELECT CAST(week AS TIMESTAMP) AS week, n_days, wau,
+      |       CAST(sum_dau AS DOUBLE) / n_days AS avg_dau,
+      |       CAST(sum_dau AS DOUBLE) / n_days / wau AS stickiness
+      |FROM dw JOIN wau USING (week)
+      |ORDER BY week""".stripMargin
+
   // ---------------------------------------------- audience overlap
   /** Audience-overlap matrix — user-set Jaccard for every event-type
     * pair (a < b): which behaviors share an audience (a near-1 overlap
@@ -1593,6 +1636,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_audience_overlap" -> audienceOverlap _,
+    "q_dau_stickiness"   -> dauStickiness _,
     "q_benford"                 -> benfordDigits _,
     "q_mad_outliers"            -> madOutliers _,
     "q_chi2_assoc"              -> chi2Assoc _,
@@ -1632,6 +1676,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_audience_overlap" -> audienceOverlapSql,
+    "q_dau_stickiness"   -> dauStickinessSql,
     "q_benford"                 -> benfordDigitsSql,
     "q_mad_outliers"            -> madOutliersSql,
     "q_chi2_assoc"              -> chi2AssocSql,

@@ -22,6 +22,7 @@ object SparkEntry {
       (operators.CorpusOps.queries, operators.CorpusOps.oracles),
       (operators.Curation.queries, operators.Curation.oracles),
       (operators.GraphOps.queries, operators.GraphOps.oracles),
+      (operators.DataQuality.queries, operators.DataQuality.oracles),
       (operators.ScalePatterns.queries, operators.ScalePatterns.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -413,7 +413,78 @@ object ScalePatterns {
        |       CAST(floor(abs(est_distinct / exact_distinct - 1) * 1000000.0 + 0.5) AS BIGINT) AS err_mu
        |FROM e ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- explicit runtime bloom
+  /** Bloom false-positive rate; the post-probe exact join removes the
+    * FPs, so the filter only affects scan volume, never the result. */
+  private val BLOOM_FPP = 0.01
+
+  /** Revenue by ship-month for urgent orders, with the lineitem scan
+    * pre-pruned by an EXPLICIT runtime Bloom filter built over the
+    * filtered dimension keys — the manual form of Spark's
+    * InjectRuntimeFilter (which only fires when its own size/selectivity
+    * thresholds hold; building it by hand keeps the 100 TB scan-pruning
+    * guarantee unconditional and lets the build side be any computed
+    * key set). The bloom builds distributed (per-partition partials
+    * merged — `DataFrameStatFunctions.bloomFilter` is a mergeable-sketch
+    * aggregate), ships to executors as a ~KB binary literal, and probes
+    * through Catalyst's codegen'd `BloomFilterMightContain` — no UDF,
+    * the probe stays inside whole-stage codegen and above the parquet
+    * scan, so the join shuffle carries only ~sel·|fact| rows. FPs
+    * (≤ 1%) are removed by the exact equi-join that follows; the result
+    * is bit-identical to the unfiltered join, which the oracle checks.
+    *
+    * Reference scope: the reference joins its MySQL tables unfiltered
+    * (`comparision.sql:5-79`); this is the scan-economy version its
+    * batch-vs-stream reconciliation would need at scale. */
+  def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    // distributed build; expected-items from a cheap count (chain-of-jobs
+    // scalar — the same pattern as the iterative operators' convergence
+    // counts, NOT a data collect)
+    val nKeys = dim.count()
+    // insert xxhash64(key) rather than the raw key so the build side and
+    // the BloomFilterMightContain probe agree by construction (the same
+    // convention InjectRuntimeFilter uses)
+    val bloom = dim.select(xxhash64(col("o_orderkey")).as("h"))
+      .stat.bloomFilter("h", math.max(nKeys, 1L), BLOOM_FPP)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Bridge.expression(lit(bytes)),
+      Bridge.expression(xxhash64(col("l_orderkey")))))
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .filter(mightContain)                    // codegen'd pre-shuffle prune
+      .join(orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))  // exact: kills bloom FPs
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0
+          + lit(0.5)).cast("long")).as("revenue_cents"))
+      .orderBy("ship_month")
+  }
+
+  val bloomPrunedJoinSql: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |       CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+      |                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY ship_month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_prune" -> bloomPrunedJoin _,
     "q_kmv_distinct" -> kmvDistinct _,
     "q_sketch_quantiles" -> sketchQuantiles _,
     "q_skew_report" -> skewReport _,
@@ -423,6 +494,7 @@ object ScalePatterns {
     "q_range_join"  -> rangeJoinBucketed _)
 
   val oracles: Map[String, String] = Map(
+    "q_bloom_prune" -> bloomPrunedJoinSql,
     "q_kmv_distinct" -> kmvDistinctSql,
     "q_sketch_quantiles" -> sketchQuantilesSql,
     "q_skew_report" -> skewReportSql,

@@ -951,7 +951,61 @@ object Dedup {
        |  ON a.tail = b.head AND a.doc_id != b.doc_id
        |ORDER BY left_doc, right_doc""".stripMargin
 
+  // ---------------------------------------------- corpus novelty curve
+  /** Ingest-position deciles for the novelty curve. */
+  private val NOVELTY_BUCKETS = 10
+
+  /** Corpus-growth redundancy audit: for each ingest-order decile, the
+    * fraction of distinct shingles NOT seen in any earlier document
+    * ("novel"). A healthy growing corpus holds novelty roughly flat; a
+    * crawl that has started re-crawling itself shows the curve collapse
+    * in the late deciles — the standard go/no-go signal for whether
+    * more ingest is adding information, measured BEFORE paying for
+    * full dedup of the new data.
+    *
+    * Shapes: first-seer per shingle is one min-aggregate on the shared
+    * materialized shingle index; novelty marks rejoin the index on the
+    * same shingle key (shuffle reuse); the decile rollup is a broadcast
+    * of one max scalar. Nothing pairwise — cost is O(|index|) however
+    * redundant the corpus is (the pair-space queries above pay for
+    * redundancy; the novelty audit must not). */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val idx = shingleIndex(spark, dir)
+    val firstSeer = idx.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = idx.join(firstSeer, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+    val maxId = perDoc.agg(max(col("doc_id")).as("mx"))
+    perDoc.crossJoin(broadcast(maxId))
+      .groupBy(floor(col("doc_id") * NOVELTY_BUCKETS / (col("mx") + 1))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("n_shingles"),
+        sum(col("n_novel")).as("n_novel"),
+        floor(sum(col("n_novel")).cast("double") * 1000000.0 /
+          sum(col("n_sh")).cast("double")).cast("long").as("novelty_ppm"))
+      .orderBy("bucket")
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH idx AS ($sqlShingleIndex),
+       |fs AS (SELECT sh, min(doc_id) AS first_doc FROM idx GROUP BY 1),
+       |per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+       |         CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM idx JOIN fs USING (sh) GROUP BY 1),
+       |mx AS (SELECT max(doc_id) AS mx FROM per)
+       |SELECT CAST(floor(doc_id * $NOVELTY_BUCKETS / (mx + 1)) AS BIGINT) AS bucket,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+       |       CAST(sum(n_novel) AS BIGINT) AS n_novel,
+       |       CAST(floor(CAST(sum(n_novel) AS DOUBLE) * 1000000.0
+       |                  / CAST(sum(n_sh) AS DOUBLE)) AS BIGINT) AS novelty_ppm
+       |FROM per, mx GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ngram_novelty"  -> ngramNovelty _,
     "q_norm_dedup"     -> normDedup _,
     "q_dedup_savings"  -> dedupSavings _,
     "q_dedup_sweep"    -> dedupSweep _,
@@ -970,6 +1024,7 @@ object Dedup {
     "q_incremental_neardup" -> incrementalNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q_ngram_novelty"  -> ngramNoveltySql,
     "q_norm_dedup"     -> normDedupSql,
     "q_dedup_savings"  -> dedupSavingsSql,
     "q_dedup_sweep"    -> dedupSweepSql,

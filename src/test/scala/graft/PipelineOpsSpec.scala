@@ -108,6 +108,24 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   // --------------------------------------------------------------- Dedup
+  test("novelty curve conserves distinct shingles and covers every doc") {
+    val r = Dedup.ngramNovelty(spark, sf).collect()
+    assert(r.nonEmpty && r.forall(_.getLong(4) <= 1000000L))
+    // every distinct shingle is novel exactly once (its first seer)
+    val distinctSh = Tables.documents(spark, sf)
+      .select(explode(TextHash.shingleHashesFast(col("text"))).as("sh"))
+      .distinct().count()
+    assert(r.map(_.getLong(3)).sum == distinctSh)
+    // doc conservation (docs with >= 3 tokens each land in one bucket)
+    val nDocs = Tables.documents(spark, sf)
+      .filter(TextHash.tokenCountFast(col("text")) >= 3).count()
+    assert(r.map(_.getLong(1)).sum == nDocs)
+    // the first bucket contains the corpus's first doc: novelty there
+    // must beat the overall rate (the curve starts at its ceiling)
+    val overall = r.map(_.getLong(3)).sum.toDouble / r.map(_.getLong(2)).sum
+    assert(r.head.getLong(4) >= math.floor(overall * 1e6).toLong)
+  }
+
   test("exact dedup groups duplicate texts under the min doc_id") {
     // self-contained check on the real table: every keeper_id <= doc_id,
     // and keeper rows are never dups

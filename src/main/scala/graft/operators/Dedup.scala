@@ -951,6 +951,70 @@ object Dedup {
        |  ON a.tail = b.head AND a.doc_id != b.doc_id
        |ORDER BY left_doc, right_doc""".stripMargin
 
+  // ------------------------------------------- leakage-safe splitting
+  /** Leakage-safe train/val/test assignment — the FIX for what
+    * [[splitLeakage]] audits: a per-document hash split strands near-
+    * duplicates on opposite sides of the train/eval fence (eval
+    * contamination); splitting by the near-dup CLUSTER key instead puts
+    * every member of a component in the same split by construction.
+    * Group key = the doc's connected-component label from
+    * [[dedupClusters]] (its own id for singletons); the split hash is
+    * engine-neutral modular arithmetic over the key (mod-first so every
+    * intermediate stays far below 2^63 at any corpus size). The output
+    * carries `cross_pairs` — near-dup pairs spanning splits — which this
+    * assignment provably zeroes and the oracle re-counts.
+    *
+    * Scale: one left join of docs against the (tiny) cluster-node label
+    * table, then a scan-local split projection — the label table is the
+    * pair-graph's nodes only, broadcastable even when the corpus is not. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(spark, dir).select(col("doc_id").as("d"), col("cluster_id"))
+    val grouped = documents(spark, dir)
+      .select(col("doc_id"), tokenCountFast(col("text")).as("n_tokens"))
+      .join(broadcast(labels), col("doc_id") === col("d"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("cluster_id"), col("doc_id")).as("gk"))
+    val splitCol = (col("gk") % 1000007L) * 1000003L % 1000007L % 10L
+    val assigned = grouped.select(col("doc_id"), col("n_tokens"), col("gk"),
+      when(splitCol <= 7L, "train").when(splitCol === 8L, "val")
+        .otherwise("test").as("split"))
+    val cross = ngramJaccard(spark, dir)
+      .join(assigned.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
+      .join(assigned.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
+      .filter(col("s1") =!= col("s2"))
+      .agg(count(lit(1)).as("cross_pairs"))
+    assigned.groupBy(col("split"))
+      .agg(countDistinct(col("gk")).as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .crossJoin(broadcast(cross))
+      .orderBy("split")
+  }
+
+  val leakageSafeSplitSql: String =
+    s"""WITH lbl AS (SELECT doc_id AS d, cluster_id FROM ($dedupClustersSql)),
+       |grouped AS (
+       |  SELECT doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens,
+       |         coalesce(cluster_id, doc_id) AS gk
+       |  FROM documents LEFT JOIN lbl ON doc_id = d),
+       |assigned AS (
+       |  SELECT doc_id, n_tokens, gk,
+       |    CASE WHEN (gk % 1000007) * 1000003 % 1000007 % 10 <= 7 THEN 'train'
+       |         WHEN (gk % 1000007) * 1000003 % 1000007 % 10 = 8 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM grouped),
+       |cross_p AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS cross_pairs
+       |  FROM ($ngramJaccardSql) p
+       |  JOIN assigned a1 ON p.d1 = a1.doc_id
+       |  JOIN assigned a2 ON p.d2 = a2.doc_id
+       |  WHERE a1.split != a2.split)
+       |SELECT split, CAST(count(DISTINCT gk) AS BIGINT) AS n_groups,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens, cross_pairs
+       |FROM assigned, cross_p
+       |GROUP BY split, cross_pairs ORDER BY split""".stripMargin
+
   // ---------------------------------------------- corpus novelty curve
   /** Ingest-position deciles for the novelty curve. */
   private val NOVELTY_BUCKETS = 10
@@ -1005,6 +1069,7 @@ object Dedup {
        |FROM per, mx GROUP BY 1 ORDER BY bucket""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_leakage_safe_split" -> leakageSafeSplit _,
     "q_ngram_novelty"  -> ngramNovelty _,
     "q_norm_dedup"     -> normDedup _,
     "q_dedup_savings"  -> dedupSavings _,
@@ -1024,6 +1089,7 @@ object Dedup {
     "q_incremental_neardup" -> incrementalNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q_leakage_safe_split" -> leakageSafeSplitSql,
     "q_ngram_novelty"  -> ngramNoveltySql,
     "q_norm_dedup"     -> normDedupSql,
     "q_dedup_savings"  -> dedupSavingsSql,

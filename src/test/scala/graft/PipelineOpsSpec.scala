@@ -108,6 +108,16 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   // --------------------------------------------------------------- Dedup
+  test("leakage-safe split zeroes cross-split near-dup pairs and conserves docs") {
+    val r = Dedup.leakageSafeSplit(spark, sf).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("cross_pairs") == 0L))
+    assert(r.map(_.getAs[Long]("n_docs")).sum == Tables.documents(spark, sf).count())
+    // groups never exceed docs, and every split is one of the three
+    assert(r.forall(x => x.getAs[Long]("n_groups") <= x.getAs[Long]("n_docs")))
+    assert(r.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("novelty curve conserves distinct shingles and covers every doc") {
     val r = Dedup.ngramNovelty(spark, sf).collect()
     assert(r.nonEmpty && r.forall(_.getLong(4) <= 1000000L))

@@ -1634,7 +1634,153 @@ object Relational {
       |FROM c JOIN sz s1 ON type_a = s1.event_type JOIN sz s2 ON type_b = s2.event_type
       |ORDER BY type_a, type_b""".stripMargin
 
+  // ----------------------------------- TPC-H Q3 shape: priority top-k
+  /** Unshipped-revenue priority list (the TPC-H Q3 plan shape, with
+    * `o_orderpriority` standing in for shippriority): selective filters
+    * on ALL THREE inputs push to their scans before the joins, the
+    * customer dimension broadcasts, and the top-k happens AFTER the
+    * aggregate — a TakeOrderedAndProject over |orders| aggregate rows,
+    * never a global sort of line items. The cutoff sits mid-corpus so
+    * each side's filter actually prunes. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast(DateType)
+    lineitem(spark, dir).filter(to_date(col("l_shipdate")) > cutoff)
+      .join(orders(spark, dir).filter(to_date(col("o_orderdate")) < cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(spark, dir)
+        .filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      // o_orderdate is day-aligned; emitted as-is (TIMESTAMP) so both
+      // engines' dumps carry the same physical type
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(revenueItem).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |       CAST(sum($sqlRevenueItem) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+       |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC, l_orderkey ASC
+       |LIMIT 10""".stripMargin
+
+  // ------------------------------ TPC-H Q5 shape: local-supplier join
+  /** Revenue through LOCAL suppliers (supplier nation = customer
+    * nation) per nation of one region — the TPC-H Q5 shape: two
+    * independent dimension paths (order→customer→nation and
+    * lineitem→supplier→nation) meet in an equality constraint. All
+    * four dimensions broadcast; the only big shuffle is
+    * lineitem⋈orders. The nation-match is applied as a join condition
+    * on the broadcast side, not a post-join filter, so mismatched rows
+    * never materialize. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nat = nation(spark, dir)
+      .join(region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("n_nationkey"), col("n_name"))
+    lineitem(spark, dir)
+      .join(orders(spark, dir)
+          // range form, not year() = 1999: a function-wrapped column
+          // defeats parquet predicate pushdown; the range reaches the scan
+          .filter(col("o_orderdate") >= to_timestamp(lit("1999-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("2000-01-01 00:00:00"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenueItem).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val localSupplierVolumeSql: String =
+    s"""SELECT n_name, CAST(sum($sqlRevenueItem) AS DOUBLE) AS revenue,
+       |       CAST(count(*) AS BIGINT) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  // ------------------------------------- association rules with lift
+  /** Support floor for reported brand pairs (absolute order count). */
+  private val LIFT_MIN_SUPPORT = 20L
+
+  /** Brand association rules over order baskets — [[brandAffinity]]
+    * reports raw co-occurrence; this adds the marginals and the
+    * association statistics a recommender actually ranks by
+    * (confidence both ways and lift, in exact micro-units). The basket
+    * relation materializes once and feeds the pair join, both
+    * marginals, and nothing else re-derives it; marginals broadcast. */
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    val ob = graft.Materializer.materialize(graft.Materializer.tagFor("basketob", dir),
+      lineitem(spark, dir)
+        .join(broadcast(part(spark, dir)), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+        .distinct())
+    val nOrders = orders(spark, dir).agg(countDistinct(col("o_orderkey")).as("n"))
+    val marg = ob.groupBy(col("brand")).agg(count(lit(1)).as("c"))
+    val pairs = ob.as("a").join(ob.as("b"),
+        col("a.okey") === col("b.okey") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= LIFT_MIN_SUPPORT)
+    pairs
+      .join(broadcast(marg.select(col("brand").as("brand_a"), col("c").as("c_a"))), "brand_a")
+      .join(broadcast(marg.select(col("brand").as("brand_b"), col("c").as("c_b"))), "brand_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("c_ab"), col("c_a"), col("c_b"),
+        // conf(a→b), conf(b→a), lift — exact integer micro-units
+        floor(col("c_ab").cast("double") * 1000000.0 / col("c_a").cast("double"))
+          .cast("long").as("conf_ab_mu"),
+        floor(col("c_ab").cast("double") * 1000000.0 / col("c_b").cast("double"))
+          .cast("long").as("conf_ba_mu"),
+        floor(col("c_ab").cast("double") * col("n").cast("double") * 1000000.0 /
+          (col("c_a").cast("double") * col("c_b").cast("double")))
+          .cast("long").as("lift_mu"))
+      .orderBy(col("lift_mu").desc, col("brand_a").asc, col("brand_b").asc)
+  }
+
+  val basketLiftSql: String =
+    s"""WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+       |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |marg AS (SELECT brand, CAST(count(*) AS BIGINT) AS c FROM ob GROUP BY 1),
+       |no AS (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n FROM orders),
+       |pairs AS (
+       |  SELECT a.brand AS brand_a, b.brand AS brand_b,
+       |         CAST(count(*) AS BIGINT) AS c_ab
+       |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+       |  GROUP BY 1, 2 HAVING count(*) >= $LIFT_MIN_SUPPORT)
+       |SELECT brand_a, brand_b, c_ab, ma.c AS c_a, mb.c AS c_b,
+       |  CAST(floor(CAST(c_ab AS DOUBLE) * 1000000.0 / CAST(ma.c AS DOUBLE)) AS BIGINT) AS conf_ab_mu,
+       |  CAST(floor(CAST(c_ab AS DOUBLE) * 1000000.0 / CAST(mb.c AS DOUBLE)) AS BIGINT) AS conf_ba_mu,
+       |  CAST(floor(CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0
+       |             / (CAST(ma.c AS DOUBLE) * CAST(mb.c AS DOUBLE))) AS BIGINT) AS lift_mu
+       |FROM pairs
+       |JOIN marg ma ON brand_a = ma.brand
+       |JOIN marg mb ON brand_b = mb.brand, no
+       |ORDER BY lift_mu DESC, brand_a ASC, brand_b ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shipping_priority" -> shippingPriority _,
+    "q_local_supplier" -> localSupplierVolume _,
+    "q_basket_lift" -> basketLift _,
     "q_audience_overlap" -> audienceOverlap _,
     "q_dau_stickiness"   -> dauStickiness _,
     "q_benford"                 -> benfordDigits _,
@@ -1675,6 +1821,9 @@ object Relational {
     "q_user_sessions"           -> userSessions _)
 
   val oracles: Map[String, String] = Map(
+    "q_shipping_priority" -> shippingPrioritySql,
+    "q_local_supplier" -> localSupplierVolumeSql,
+    "q_basket_lift" -> basketLiftSql,
     "q_audience_overlap" -> audienceOverlapSql,
     "q_dau_stickiness"   -> dauStickinessSql,
     "q_benford"                 -> benfordDigitsSql,

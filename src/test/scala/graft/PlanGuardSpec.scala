@@ -103,6 +103,13 @@ class PlanGuardSpec extends AnyFunSuite {
     // weight denominator broadcast — both the standard
     // global-aggregate-joined-back shape (CorpusOps.scala)
     "q_bm25", "q_source_mix",
+    // q_basket_lift: 1-row order-count broadcast for the lift denominator;
+    // q_dq_constraints: 1-row FK n_rows × 1-row violation-count bounds;
+    // q_leakage_safe_split: 1-row cross-pair count broadcast onto the
+    // 3-row split rollup (Dedup.leakageSafeSplit)
+    "q_basket_lift", "q_dq_constraints", "q_leakage_safe_split",
+    // q_ngram_novelty: 1-row max-doc-id broadcast for decile bucketing
+    "q_ngram_novelty",
     // q_unigram_logppl: 1-row corpus mean broadcast back over the
     // materialized per-doc nll table (Curation.unigramLogPpl)
     "q_unigram_logppl",

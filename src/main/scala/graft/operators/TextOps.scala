@@ -661,6 +661,114 @@ object TextOps {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------------- Cohen's kappa
+  /** Chance-corrected agreement between the claimed `lang` label and
+    * the n-gram language-id prediction — the one-number summary of
+    * [[langConfusion]]'s matrix. Cohen's kappa in the exact-integer
+    * form κ = (N·Σdiag − Σ r_k·c_k) / (N² − Σ r_k·c_k): every term is
+    * an int64 count product (safe while N < ~3·10⁹; beyond that the
+    * same formula runs in DECIMAL(38)), so both engines compute the
+    * identical rational before one IEEE division into micro-units.
+    * Cost: the confusion cells are one scan + one tiny aggregate; the
+    * marginals join is |langs|². */
+  def langKappa(spark: SparkSession, dir: String): DataFrame = {
+    val best = bestLang(col("text"))
+    val cells = documents(spark, dir)
+      .select(col("lang").as("claimed"), decodeLang(best).as("predicted"))
+      .groupBy(col("claimed"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val agg = cells.agg(
+      sum(col("n")).as("n_docs"),
+      sum(when(col("claimed") === col("predicted"), col("n")).otherwise(0L))
+        .as("n_agree"))
+    val rows = cells.groupBy(col("claimed").as("k")).agg(sum(col("n")).as("r"))
+    val cols = cells.groupBy(col("predicted").as("k")).agg(sum(col("n")).as("c"))
+    val s = rows.join(cols, "k").agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("s"))
+    agg.crossJoin(broadcast(s)).select(
+      col("n_docs"), col("n_agree"),
+      floor(col("n_agree").cast("double") * 1000000.0 / col("n_docs").cast("double"))
+        .cast("long").as("po_ppm"),
+      floor(col("s").cast("double") * 1000000.0 /
+        (col("n_docs").cast("double") * col("n_docs").cast("double")))
+        .cast("long").as("pe_ppm"),
+      floor((col("n_docs") * col("n_agree") - col("s")).cast("double") * 1000000.0 /
+        (col("n_docs") * col("n_docs") - col("s")).cast("double") + lit(0.5))
+        .cast("long").as("kappa_mu"))
+  }
+
+  val langKappaSql: String = {
+    val toks = sqlTokens("text")
+    val combined = langs.map { case (_, rank, words) =>
+      s"CAST(${sqlStopScore("toks", words)} AS BIGINT) * 8 + $rank" }
+    val decode = langs.reverse
+      .map { case (code, rank, _) => s"WHEN best % 8 = $rank THEN '$code'" }
+      .mkString("CASE ", " ", " ELSE NULL END")
+    s"""WITH t AS (SELECT lang, $toks AS toks FROM documents),
+       |sc AS (SELECT lang AS claimed,
+       |              greatest(${combined.mkString(", ")}) AS best
+       |       FROM t),
+       |cells AS (SELECT claimed, $decode AS predicted,
+       |                 CAST(count(*) AS BIGINT) AS n
+       |          FROM sc GROUP BY 1, 2),
+       |agg AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       |               CAST(sum(CASE WHEN claimed = predicted THEN n ELSE 0 END) AS BIGINT) AS n_agree
+       |        FROM cells),
+       |r AS (SELECT claimed AS k, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY 1),
+       |c AS (SELECT predicted AS k, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY 1),
+       |s AS (SELECT CAST(coalesce(sum(r.r * c.c), 0) AS BIGINT) AS s
+       |      FROM r JOIN c ON r.k = c.k)
+       |SELECT n_docs, n_agree,
+       |  CAST(floor(CAST(n_agree AS DOUBLE) * 1000000.0 / CAST(n_docs AS DOUBLE)) AS BIGINT) AS po_ppm,
+       |  CAST(floor(CAST(s AS DOUBLE) * 1000000.0
+       |             / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))) AS BIGINT) AS pe_ppm,
+       |  CAST(floor(CAST(n_docs * n_agree - s AS DOUBLE) * 1000000.0
+       |             / CAST(n_docs * n_docs - s AS DOUBLE) + 0.5) AS BIGINT) AS kappa_mu
+       |FROM agg, s""".stripMargin
+  }
+
+  // --------------------------------------------- quantile calibration
+  /** Per-source rank-based quantile normalization of the quality score
+    * — the cross-source calibration step before any global quality
+    * threshold: raw scores are not comparable across sources (each
+    * source has its own style/length distribution), percentiles within
+    * a source are. Each doc gets percent_rank within its source (total
+    * order: score then doc_id), bucketed into deciles; the audit emits
+    * each (source, decile) cell's population and raw-score span, making
+    * cross-source threshold drift visible (decile 9 of a low-quality
+    * source can sit below decile 3 of a high one).
+    *
+    * Scale: one shuffle by source + per-source sort — the exact-rank
+    * formulation. At 100 TB replace percent_rank with bucketing against
+    * per-source approx-quantile boundaries (computed via the mergeable
+    * sketch in [[ScalePatterns.sketchQuantiles]]) to avoid the global
+    * per-source sort; the decile semantics are unchanged. */
+  def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q").asc, col("doc_id").asc)
+    documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        qualityScoreOf(col("text")).as("q"))
+      .withColumn("decile",
+        least(floor(percent_rank().over(w) * 10.0).cast("long"), lit(9L)))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+      .orderBy("source", "decile")
+  }
+
+  val quantileNormSql: String =
+    s"""WITH t AS (SELECT doc_id, source, text, ${sqlTokens("text")} AS toks,
+       |                  length(text) AS nc
+       |           FROM documents),
+       |sq AS (SELECT doc_id, source, ($sqlQualityOf) AS q FROM t),
+       |rk AS (SELECT source, q,
+       |         least(CAST(floor(percent_rank() OVER (PARTITION BY source
+       |           ORDER BY q ASC, doc_id ASC) * 10.0) AS BIGINT), 9) AS decile
+       |       FROM sq)
+       |SELECT source, decile, CAST(count(*) AS BIGINT) AS n_docs,
+       |       min(q) AS min_q, max(q) AS max_q
+       |FROM rk GROUP BY 1, 2 ORDER BY source, decile""".stripMargin
+
   // ------------------------------------------------- split balance
   /** Train/val/test balance audit — per split: volumes plus mean
     * quality and mean length in exact micro-units: the check that the
@@ -738,6 +846,8 @@ object TextOps {
        |FROM g ORDER BY lang""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_kappa"          -> langKappa _,
+    "q_quantile_norm"       -> quantileNorm _,
     "q_tokenizer_fertility" -> tokenizerFertility _,
     "q_lang_confusion"      -> langConfusion _,
     "q_split_balance"       -> splitBalance _,
@@ -758,6 +868,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q_tokenizer_fertility" -> tokenizerFertilitySql,
+    "q_lang_kappa"          -> langKappaSql,
+    "q_quantile_norm"       -> quantileNormSql,
     "q_lang_confusion"      -> langConfusionSql,
     "q_split_balance"       -> splitBalanceSql,
     "q_token_stats"        -> tokenStatsSql,

@@ -110,6 +110,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_basket_lift", "q_dq_constraints", "q_leakage_safe_split",
     // q_ngram_novelty: 1-row max-doc-id broadcast for decile bucketing
     "q_ngram_novelty",
+    // q_lang_kappa: 1-row marginal-product broadcast onto the 1-row
+    // agreement aggregate
+    "q_lang_kappa",
     // q_unigram_logppl: 1-row corpus mean broadcast back over the
     // materialized per-doc nll table (Curation.unigramLogPpl)
     "q_unigram_logppl",

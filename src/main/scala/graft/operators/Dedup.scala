@@ -951,6 +951,61 @@ object Dedup {
        |  ON a.tail = b.head AND a.doc_id != b.doc_id
        |ORDER BY left_doc, right_doc""".stripMargin
 
+  // --------------------------------------------- best-keeper selection
+  /** Quality-aware keeper selection — [[dedupClusters]] (and the exact
+    * dedup) keep the MIN-ID member per duplicate group, which is the
+    * right deterministic convention for bookkeeping but throws away
+    * quality: production dedup keeps the BEST member (highest quality
+    * score, ties to the smaller id). Emits, per near-dup cluster, both
+    * keepers and the quality delta between them in micro-units — the
+    * measured value of quality-aware selection over naive-id selection.
+    *
+    * Cost: cluster labels (bounded-round label propagation over the
+    * pair graph) + one quality scan over MEMBER docs only (semi-join
+    * pruned — the quality expression never runs over the non-clustered
+    * corpus), + a |members| window. */
+  def bestKeeper(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(spark, dir).select(col("doc_id"), col("cluster_id"))
+    val scored = documents(spark, dir)
+      .join(labels, "doc_id")  // semi-shaped: only cluster members scored
+      .select(col("doc_id"), col("cluster_id"),
+        floor(TextOps.qualityScoreOf(col("text")) * 1000000.0 + lit(0.5))
+          .cast("long").as("q_mu"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("q_mu").desc, col("doc_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("min_keeper"),
+        min(when(col("rk") === 1, col("doc_id"))).as("best_keeper"),
+        min(when(col("rk") === 1, col("q_mu"))).as("best_q_mu"),
+        min(when(col("doc_id") === col("cluster_id"), col("q_mu"))).as("min_q_mu"))
+      .select(col("cluster_id"), col("n_members"), col("min_keeper"),
+        col("best_keeper"), col("best_q_mu"),
+        (col("best_q_mu") - col("min_q_mu")).as("q_gain_mu"))
+      .orderBy("cluster_id")
+  }
+
+  val bestKeeperSql: String =
+    s"""WITH lbl AS (SELECT doc_id, cluster_id FROM ($dedupClustersSql)),
+       |t AS (SELECT d.doc_id, cluster_id, d.text, ${sqlTokens("d.text")} AS toks,
+       |             length(d.text) AS nc
+       |      FROM documents d JOIN lbl ON d.doc_id = lbl.doc_id),
+       |scored AS (
+       |  SELECT doc_id, cluster_id,
+       |         CAST(floor((${TextOps.sqlQualityOf}) * 1000000.0 + 0.5) AS BIGINT) AS q_mu
+       |  FROM t),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |         ORDER BY q_mu DESC, doc_id ASC) AS rk FROM scored)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |       min(doc_id) AS min_keeper,
+       |       min(CASE WHEN rk = 1 THEN doc_id END) AS best_keeper,
+       |       min(CASE WHEN rk = 1 THEN q_mu END) AS best_q_mu,
+       |       CAST(min(CASE WHEN rk = 1 THEN q_mu END)
+       |            - min(CASE WHEN doc_id = cluster_id THEN q_mu END) AS BIGINT) AS q_gain_mu
+       |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   // ------------------------------------------- leakage-safe splitting
   /** Leakage-safe train/val/test assignment — the FIX for what
     * [[splitLeakage]] audits: a per-document hash split strands near-
@@ -978,7 +1033,12 @@ object Dedup {
     val assigned = grouped.select(col("doc_id"), col("n_tokens"), col("gk"),
       when(splitCol <= 7L, "train").when(splitCol === 8L, "val")
         .otherwise("test").as("split"))
-    val cross = ngramJaccard(spark, dir)
+    // same tag dedupClusters used — the pair table is already on disk
+    // from the labeling pass above, so the cross-split count re-reads it
+    // instead of re-running the whole jaccard pipeline
+    val pairs = Materializer.materialize(Materializer.tagFor("ndpairs", dir),
+      ngramJaccard(spark, dir).select(col("d1"), col("d2")))
+    val cross = pairs
       .join(assigned.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
       .join(assigned.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
       .filter(col("s1") =!= col("s2"))
@@ -1069,6 +1129,7 @@ object Dedup {
        |FROM per, mx GROUP BY 1 ORDER BY bucket""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_best_keeper"    -> bestKeeper _,
     "q_leakage_safe_split" -> leakageSafeSplit _,
     "q_ngram_novelty"  -> ngramNovelty _,
     "q_norm_dedup"     -> normDedup _,
@@ -1089,6 +1150,7 @@ object Dedup {
     "q_incremental_neardup" -> incrementalNearDup _)
 
   val oracles: Map[String, String] = Map(
+    "q_best_keeper"    -> bestKeeperSql,
     "q_leakage_safe_split" -> leakageSafeSplitSql,
     "q_ngram_novelty"  -> ngramNoveltySql,
     "q_norm_dedup"     -> normDedupSql,

@@ -413,6 +413,79 @@ object ScalePatterns {
        |       CAST(floor(abs(est_distinct / exact_distinct - 1) * 1000000.0 + 0.5) AS BIGINT) AS err_mu
        |FROM e ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------ MERGE-shaped upsert
+  /** Cutoff splitting the event log into a "base" dimension build and a
+    * "delta" batch for the upsert demo. */
+  private val UPSERT_CUTOFF = "2024-01-16 00:00:00"
+
+  /** SCD1 MERGE/upsert as a relational plan — the dimension-maintenance
+    * step (MERGE INTO ... WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    * INSERT) that plain Spark SQL lacks without a table format: base =
+    * each user's latest state from events before the cutoff, delta =
+    * the same from the new batch; one full-outer join on the entity key
+    * classifies every key as inserted / updated / unchanged and yields
+    * the post-merge table, here summarized to its audit row (counts +
+    * exact value checksum) so the oracle is compact. Latest-state
+    * extraction is an argmax window with (ts, event_id) total order.
+    *
+    * Scale: both sides shuffle once on user_id and the join reuses that
+    * partitioning; at 100 TB the base side would be a bucketed table so
+    * only the delta shuffles — the plan shape is unchanged. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit(UPSERT_CUTOFF))
+    def latest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).drop("rk")
+    }
+    // cohort filters make all three MERGE classes non-empty on the
+    // uniformly-active synthetic users: the base dimension predates the
+    // user_id%5==0 cohort (→ inserts), the delta batch misses the
+    // user_id%3==0 cohort (→ unchanged)
+    val base = latest(events(spark, dir)
+        .filter(col("ts") < cutoff && col("user_id") % 5 =!= 0))
+      .select(col("user_id"), col("ts").as("b_ts"), col("value").as("b_value"))
+    val delta = latest(events(spark, dir)
+        .filter(col("ts") >= cutoff && col("user_id") % 3 =!= 0))
+      .select(col("user_id"), col("ts").as("d_ts"), col("value").as("d_value"))
+    val merged = base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("b_ts").isNull, lit("insert"))
+          .when(col("d_ts").isNull, lit("unchanged"))
+          .otherwise(lit("update")).as("action"),
+        coalesce(col("d_value"), col("b_value")).as("value"))
+    merged.groupBy(col("action"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(floor(col("value") * 100.0 + lit(0.5)).cast("long")).as("value_cents"))
+      .orderBy("action")
+  }
+
+  val mergeUpsertSql: String =
+    s"""WITH base AS (
+       |  SELECT user_id, ts AS b_ts, value AS b_value
+       |  FROM (SELECT user_id, ts, value, row_number() OVER (PARTITION BY user_id
+       |          ORDER BY ts DESC, event_id DESC) AS rk
+       |        FROM events WHERE ts < TIMESTAMP '$UPSERT_CUTOFF' AND user_id % 5 != 0)
+       |  WHERE rk = 1),
+       |delta AS (
+       |  SELECT user_id, ts AS d_ts, value AS d_value
+       |  FROM (SELECT user_id, ts, value, row_number() OVER (PARTITION BY user_id
+       |          ORDER BY ts DESC, event_id DESC) AS rk
+       |        FROM events WHERE ts >= TIMESTAMP '$UPSERT_CUTOFF' AND user_id % 3 != 0)
+       |  WHERE rk = 1),
+       |merged AS (
+       |  SELECT coalesce(base.user_id, delta.user_id) AS user_id,
+       |    CASE WHEN b_ts IS NULL THEN 'insert'
+       |         WHEN d_ts IS NULL THEN 'unchanged'
+       |         ELSE 'update' END AS action,
+       |    coalesce(d_value, b_value) AS value
+       |  FROM base FULL OUTER JOIN delta ON base.user_id = delta.user_id)
+       |SELECT action, CAST(count(*) AS BIGINT) AS n_keys,
+       |       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+       |FROM merged GROUP BY action ORDER BY action""".stripMargin
+
   // ------------------------------------------- explicit runtime bloom
   /** Bloom false-positive rate; the post-probe exact join removes the
     * FPs, so the filter only affects scan volume, never the result. */
@@ -484,6 +557,7 @@ object ScalePatterns {
       |GROUP BY 1 ORDER BY ship_month""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> mergeUpsert _,
     "q_bloom_prune" -> bloomPrunedJoin _,
     "q_kmv_distinct" -> kmvDistinct _,
     "q_sketch_quantiles" -> sketchQuantiles _,
@@ -494,6 +568,7 @@ object ScalePatterns {
     "q_range_join"  -> rangeJoinBucketed _)
 
   val oracles: Map[String, String] = Map(
+    "q_merge_upsert" -> mergeUpsertSql,
     "q_bloom_prune" -> bloomPrunedJoinSql,
     "q_kmv_distinct" -> kmvDistinctSql,
     "q_sketch_quantiles" -> sketchQuantilesSql,

@@ -71,6 +71,37 @@ class DataQualitySpec extends AnyFunSuite {
     assert(total == expected)
   }
 
+  test("merge upsert classifies every entity exactly once and conserves keys") {
+    val r = ScalePatterns.mergeUpsert(spark, sf).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val ev = Tables.events(spark, sf)
+    val cutoff = to_timestamp(lit("2024-01-16 00:00:00"))
+    val baseUsers = ev.filter(col("ts") < cutoff && col("user_id") % 5 =!= 0)
+      .select("user_id").distinct()
+    val deltaUsers = ev.filter(col("ts") >= cutoff && col("user_id") % 3 =!= 0)
+      .select("user_id").distinct()
+    val nInsert = deltaUsers.join(baseUsers, Seq("user_id"), "left_anti").count()
+    val nUnchanged = baseUsers.join(deltaUsers, Seq("user_id"), "left_anti").count()
+    val nUpdate = baseUsers.join(deltaUsers, Seq("user_id")).count()
+    assert(nInsert > 0 && nUnchanged > 0 && nUpdate > 0) // all classes exercised
+    assert(r.get("insert").map(_._1).getOrElse(0L) == nInsert)
+    assert(r.get("unchanged").map(_._1).getOrElse(0L) == nUnchanged)
+    assert(r.get("update").map(_._1).getOrElse(0L) == nUpdate)
+    assert(r.values.map(_._1).sum ==
+      baseUsers.unionByName(deltaUsers).distinct().count()) // every entity once
+  }
+
+  test("best keeper has max quality in its cluster, ties to smaller id") {
+    val r = operators.Dedup.bestKeeper(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("q_gain_mu") >= 0L,
+        s"cluster ${row.getLong(0)}: best keeper worse than min keeper")
+      assert(row.getAs[Long]("min_keeper") == row.getAs[Long]("cluster_id"))
+      assert(row.getAs[Long]("n_members") >= 2L) // clusters are non-trivial
+    }
+  }
+
   test("bloom-pruned join is bit-identical to the unpruned exact join") {
     val pruned = ScalePatterns.bloomPrunedJoin(spark, sf).collect()
     val plain = Tables.lineitem(spark, sf)

@@ -246,11 +246,88 @@ object DataQuality {
        |  n_events
        |FROM closed ORDER BY user_id, version""".stripMargin
 
+  // --------------------------------------------- A/B experiment readout
+  /** Hash-based A/B assignment + two-proportion z-test — the experiment
+    * readout every product pipeline runs: users split into arms by
+    * engine-neutral modular hashing (same family as the split
+    * assignments — deterministic, join-free, re-derivable anywhere),
+    * conversion = at least one purchase event, and the pooled
+    * two-proportion z-statistic in micro-units. Every input to the
+    * float math is an exact integer count, so both engines evaluate the
+    * identical expression tree (sqrt is correctly rounded in IEEE —
+    * safe, unlike ln/exp). One scan + one per-user aggregate + a 2-row
+    * rollup; nothing here grows with event volume except the scan. */
+  def abTestReadout(spark: SparkSession, dir: String): DataFrame = {
+    // odd Knuth multiplier, mod-first so intermediates stay < 2^63 at
+    // any id scale; an even multiplier would send every id to one arm
+    val arm = when((col("user_id") % 1000003L) * 2654435761L % 1000003L % 2L === 0L,
+      "A").otherwise("B")
+    // conversion = at least one HIGH-VALUE purchase (>200): a metric
+    // with real variance at every SF — plain "any purchase" saturates
+    // to p=1 on the uniformly-active synthetic users, which degenerates
+    // the pooled variance to 0 (and ANSI mode rightly refuses the 0/0)
+    val perUser = events(spark, dir)
+      .select(col("user_id"),
+        (col("event_type") === "purchase" && col("value") > 200.0)
+          .cast("long").as("p"))
+      .groupBy(col("user_id")).agg(max(col("p")).as("converted"))
+    val arms = perUser.select(arm.as("arm"), col("converted"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("conv"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n_users").as("n_a"), col("conv").as("conv_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n_users").as("n_b"), col("conv").as("conv_b"))
+    val (na, nb, ca, cb) = (col("n_a").cast("double"), col("n_b").cast("double"),
+      col("conv_a").cast("double"), col("conv_b").cast("double"))
+    val pPool = (ca + cb) / (na + nb)
+    val z = (ca / na - cb / nb) /
+      sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / na + lit(1.0) / nb))
+    a.crossJoin(broadcast(b)).select(
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      floor(ca * 1000000.0 / na).cast("long").as("cr_a_ppm"),
+      floor(cb * 1000000.0 / nb).cast("long").as("cr_b_ppm"),
+      floor(z * 1000000.0 + lit(0.5)).cast("long").as("z_mu"),
+      when(abs(z) > 1.959964, 1L).otherwise(0L).as("significant_95"))
+  }
+
+  val abTestReadoutSql: String =
+    """WITH pu AS (
+      |  SELECT user_id, max(CASE WHEN event_type = 'purchase' AND value > 200.0
+      |                           THEN 1 ELSE 0 END) AS converted
+      |  FROM events GROUP BY 1),
+      |arms AS (
+      |  SELECT CASE WHEN (user_id % 1000003) * 2654435761 % 1000003 % 2 = 0
+      |              THEN 'A' ELSE 'B' END AS arm,
+      |         CAST(count(*) AS BIGINT) AS n_users,
+      |         CAST(sum(converted) AS BIGINT) AS conv
+      |  FROM pu GROUP BY 1),
+      |a AS (SELECT n_users AS n_a, conv AS conv_a FROM arms WHERE arm = 'A'),
+      |b AS (SELECT n_users AS n_b, conv AS conv_b FROM arms WHERE arm = 'B'),
+      |j AS (SELECT *,
+      |        (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+      |          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p_pool
+      |      FROM a, b),
+      |zc AS (SELECT *,
+      |        (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |          - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |        / sqrt(p_pool * (1.0 - p_pool)
+      |               * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z
+      |      FROM j)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |  CAST(floor(CAST(conv_a AS DOUBLE) * 1000000.0 / CAST(n_a AS DOUBLE)) AS BIGINT) AS cr_a_ppm,
+      |  CAST(floor(CAST(conv_b AS DOUBLE) * 1000000.0 / CAST(n_b AS DOUBLE)) AS BIGINT) AS cr_b_ppm,
+      |  CAST(floor(z * 1000000.0 + 0.5) AS BIGINT) AS z_mu,
+      |  CAST(CASE WHEN abs(z) > 1.959964 THEN 1 ELSE 0 END AS BIGINT) AS significant_95
+      |FROM zc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dq_constraints" -> dqConstraints _,
+    "q_ab_test" -> abTestReadout _,
     "q_scd2_intervals" -> scd2Intervals _)
 
   val oracles: Map[String, String] = Map(
     "q_dq_constraints" -> dqConstraintsSql,
+    "q_ab_test" -> abTestReadoutSql,
     "q_scd2_intervals" -> scd2IntervalsSql)
 }

@@ -113,6 +113,8 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_lang_kappa: 1-row marginal-product broadcast onto the 1-row
     // agreement aggregate
     "q_lang_kappa",
+    // q_ab_test: two 1-row arm aggregates joined for the z readout
+    "q_ab_test",
     // q_unigram_logppl: 1-row corpus mean broadcast back over the
     // materialized per-doc nll table (Curation.unigramLogPpl)
     "q_unigram_logppl",

@@ -49,6 +49,26 @@ object HeavyHitters {
   /** Event-time quiet window before a group's table is emitted+evicted. */
   val QUIET_MS: Long = 3600L * 1000L
 
+  /** Pure Space-Saving step — one item into one table, capacity `cap`.
+    * Isolated from the state plumbing so PropertySpec can fuzz the
+    * algorithm's invariants (Σcount ≡ N, per-item bounds, heavy-set
+    * completeness) under arbitrary stream orders without a streaming
+    * query per case. */
+  def step(table: scala.collection.mutable.Map[Long, SSCounter], item: Long,
+      cap: Int): Option[Long] =
+    table.get(item) match {
+      case Some(c) =>
+        table(item) = c.copy(count = c.count + 1); None
+      case None if table.size < cap =>
+        table(item) = SSCounter(1L, 0L); None
+      case None =>
+        // evict the deterministic minimum; new item inherits its count
+        val (evict, mc) = table.minBy { case (k, c) => (c.count, c.err, k) }
+        table.remove(evict)
+        table(item) = SSCounter(mc.count + 1, mc.count)
+        Some(evict)
+    }
+
   class Processor extends StatefulProcessor[String, (String, Long, Timestamp, Long), HeavyRow] {
     @transient private var counters: MapState[Long, SSCounter] = _
     @transient private var streamLen: ValueState[Long] = _
@@ -78,18 +98,11 @@ object HeavyHitters {
       val removed = scala.collection.mutable.Set.empty[Long]
       for ((_, _, item) <- sorted) {
         n += 1
-        table.get(item) match {
-          case Some(c) =>
-            table(item) = c.copy(count = c.count + 1); touched += item
-          case None if table.size < CAPACITY =>
-            table(item) = SSCounter(1L, 0L); touched += item
-          case None =>
-            // evict the deterministic minimum; new item inherits its count
-            val (evict, mc) = table.minBy { case (k, c) => (c.count, c.err, k) }
-            table.remove(evict)
-            removed += evict; touched -= evict
-            table(item) = SSCounter(mc.count + 1, mc.count); touched += item
+        step(table, item, CAPACITY) match {
+          case Some(evicted) => removed += evicted; touched -= evicted
+          case None => ()
         }
+        touched += item
       }
       removed.foreach { k => if (!table.contains(k)) counters.removeKey(k) }
       touched.foreach { k => counters.updateValue(k, table(k)) }

@@ -158,4 +158,47 @@ class PropertySpec extends AnyFunSuite {
       count(lit(1)).as("n")).first()
     assert(r.getLong(0) + r.getLong(1) == r.getLong(2))
   }
+
+  test("space-saving invariants hold under any stream order and capacity") {
+    import graft.streaming.{HeavyHitters, SSCounter}
+    val streamGen = for {
+      cap <- Gen.choose(2, 16)
+      // skewed universe: small ids common, occasional large ids
+      items <- Gen.listOf(Gen.frequency(
+        6 -> Gen.choose(0L, 4L), 3 -> Gen.choose(0L, 40L), 1 -> Gen.choose(0L, 4000L)))
+    } yield (cap, items)
+    check(Prop.forAll(streamGen) { case (cap, items) =>
+      val table = scala.collection.mutable.Map.empty[Long, SSCounter]
+      items.foreach(HeavyHitters.step(table, _, cap))
+      val n = items.length.toLong
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sizeOk = table.size <= cap
+      // total count conservation: every step adds exactly 1
+      val sumOk = table.values.map(_.count).sum == n
+      // per-item bounds for tracked items
+      val boundsOk = table.forall { case (k, c) =>
+        val f = truth(k); c.count >= f && c.count - c.err <= f }
+      // completeness: true frequency > N/cap => tracked
+      val heavyOk = truth.forall { case (k, f) => f <= n / cap || table.contains(k) }
+      sizeOk && sumOk && boundsOk && heavyOk
+    })
+  }
+
+  test("welford moments equal exact two-pass stats under any order") {
+    import graft.streaming.Welford
+    val xs = Gen.listOf(Gen.choose(-1e6, 1e6))
+    check(Prop.forAll(xs) { vals =>
+      val w = vals.foldLeft(Welford(0L, 0.0, 0.0))(_.add(_))
+      if (vals.isEmpty) w.n == 0L && w.variance == 0.0
+      else {
+        val mean = vals.sum / vals.size
+        val v2 = if (vals.size < 2) 0.0
+          else vals.map(x => (x - mean) * (x - mean)).sum / (vals.size - 1)
+        val scale = math.max(1.0, math.abs(mean))
+        w.n == vals.size &&
+          math.abs(w.mean - mean) <= 1e-9 * scale &&
+          math.abs(w.variance - v2) <= 1e-6 * math.max(1.0, v2)
+      }
+    })
+  }
 }

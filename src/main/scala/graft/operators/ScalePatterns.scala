@@ -413,6 +413,99 @@ object ScalePatterns {
        |       CAST(floor(abs(est_distinct / exact_distinct - 1) * 1000000.0 + 0.5) AS BIGINT) AS err_mu
        |FROM e ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------- KMV set-op estimation
+  /** Sketch-based audience-overlap estimation — the set-OPERATION side
+    * of the KMV sketch ([[kmvDistinct]] is the cardinality side): for
+    * every event-type pair, the k smallest hashes of the UNION form a
+    * uniform random sample of the union, so the fraction of them
+    * present in both sets estimates Jaccard(A,B) — the classic KMV
+    * set-op estimator (Beyer et al., SIGMOD'07). Emitted next to the
+    * EXACT Jaccard with the estimation error in micro-units, so the
+    * sketch's accuracy is part of the oracle-checked result, exactly
+    * like the distinct-count query.
+    *
+    * At 100 TB the exact side disappears and only the sketches remain:
+    * per-segment k-min sets are mergeable partial aggregates (KB per
+    * segment), and any pairwise overlap matrix computes from sketches
+    * alone — no re-scan of the fact table per pair. Hash membership is
+    * deterministic modular arithmetic, so DuckDB reproduces every rank
+    * and membership bit. */
+  /** High-value audience threshold — makes the pairwise overlaps
+    * genuinely partial on the synthetic users (unfiltered, every user
+    * touches every event type and all Jaccards saturate at 1). */
+  private val OVERLAP_MIN_VALUE = 150.0
+
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val hd = events(spark, dir)
+      .filter(col("value") > OVERLAP_MIN_VALUE)
+      .select(col("event_type").as("et"),
+      (pmod(col("user_id"), lit(KMV_P)) * KMV_C % KMV_P).as("h")).distinct()
+    val types = hd.select(col("et")).distinct()
+    val tt = types.as("ta").join(types.as("tb"), col("ta.et") < col("tb.et"))
+      .select(col("ta.et").as("a"), col("tb.et").as("b"))
+    // union members per pair, deduped on h (a hash in both sets counts once)
+    val union = tt.join(hd, col("et") === col("a") || col("et") === col("b"))
+      .select(col("a"), col("b"), col("h")).distinct()
+    val wU = Window.partitionBy(col("a"), col("b")).orderBy(col("h").asc)
+    val mins = union.withColumn("rk", row_number().over(wU))
+      .filter(col("rk") <= KMV_K)
+    val inA = hd.select(col("et").as("a"), col("h"), lit(1L).as("in_a"))
+    val inB = hd.select(col("et").as("b"), col("h"), lit(1L).as("in_b"))
+    val flagged = mins
+      .join(inA, Seq("a", "h"), "left")
+      .join(inB, Seq("b", "h"), "left")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(coalesce(col("in_a"), lit(0L)) * coalesce(col("in_b"), lit(0L)))
+          .as("both"))
+    val exact = tt
+      .join(hd.select(col("et").as("a"), col("h")), Seq("a"))
+      .join(hd.select(col("et").as("b"), col("h")), Seq("b", "h"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val uCnt = union.groupBy(col("a"), col("b")).agg(count(lit(1)).as("u_cnt"))
+    val estJ = col("both").cast("double") / col("k_used").cast("double")
+    val exJ = col("inter").cast("double") / col("u_cnt").cast("double")
+    flagged.join(exact, Seq("a", "b")).join(uCnt, Seq("a", "b"))
+      .select(col("a").as("type_a"), col("b").as("type_b"),
+        col("inter"), col("u_cnt"), col("k_used"),
+        floor(exJ * 1000000.0).cast("long").as("exact_j_ppm"),
+        floor(estJ * 1000000.0).cast("long").as("est_j_ppm"),
+        floor(abs(estJ - exJ) * 1000000.0 + lit(0.5)).cast("long").as("err_mu"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val kmvOverlapSql: String =
+    s"""WITH hd AS (SELECT DISTINCT event_type AS et,
+       |              ((user_id % $KMV_P) * $KMV_C) % $KMV_P AS h
+       |       FROM events WHERE value > $OVERLAP_MIN_VALUE),
+       |tt AS (SELECT ta.et AS a, tb.et AS b
+       |       FROM (SELECT DISTINCT et FROM hd) ta
+       |       JOIN (SELECT DISTINCT et FROM hd) tb ON ta.et < tb.et),
+       |un AS (SELECT DISTINCT a, b, h
+       |       FROM tt JOIN hd ON et = a OR et = b),
+       |mins AS (SELECT a, b, h FROM (
+       |    SELECT a, b, h, row_number() OVER (PARTITION BY a, b ORDER BY h ASC) AS rk
+       |    FROM un) WHERE rk <= $KMV_K),
+       |fl AS (SELECT mins.a, mins.b, CAST(count(*) AS BIGINT) AS k_used,
+       |         CAST(sum(CASE WHEN ia.h IS NOT NULL AND ib.h IS NOT NULL
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+       |       FROM mins
+       |       LEFT JOIN hd ia ON ia.et = mins.a AND ia.h = mins.h
+       |       LEFT JOIN hd ib ON ib.et = mins.b AND ib.h = mins.h
+       |       GROUP BY 1, 2),
+       |ex AS (SELECT tt.a, tt.b, CAST(count(*) AS BIGINT) AS inter
+       |       FROM tt JOIN hd x ON x.et = tt.a JOIN hd y ON y.et = tt.b AND y.h = x.h
+       |       GROUP BY 1, 2),
+       |uc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS u_cnt FROM un GROUP BY 1, 2)
+       |SELECT fl.a AS type_a, fl.b AS type_b, inter, u_cnt, k_used,
+       |  CAST(floor(CAST(inter AS DOUBLE) / CAST(u_cnt AS DOUBLE) * 1000000.0) AS BIGINT) AS exact_j_ppm,
+       |  CAST(floor(CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE) * 1000000.0) AS BIGINT) AS est_j_ppm,
+       |  CAST(floor(abs(CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE)
+       |                 - CAST(inter AS DOUBLE) / CAST(u_cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS err_mu
+       |FROM fl JOIN ex ON fl.a = ex.a AND fl.b = ex.b
+       |JOIN uc ON fl.a = uc.a AND fl.b = uc.b
+       |ORDER BY type_a, type_b""".stripMargin
+
   // ------------------------------------------------ MERGE-shaped upsert
   /** Cutoff splitting the event log into a "base" dimension build and a
     * "delta" batch for the upsert demo. */
@@ -557,6 +650,7 @@ object ScalePatterns {
       |GROUP BY 1 ORDER BY ship_month""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_overlap" -> kmvOverlap _,
     "q_merge_upsert" -> mergeUpsert _,
     "q_bloom_prune" -> bloomPrunedJoin _,
     "q_kmv_distinct" -> kmvDistinct _,
@@ -568,6 +662,7 @@ object ScalePatterns {
     "q_range_join"  -> rangeJoinBucketed _)
 
   val oracles: Map[String, String] = Map(
+    "q_kmv_overlap" -> kmvOverlapSql,
     "q_merge_upsert" -> mergeUpsertSql,
     "q_bloom_prune" -> bloomPrunedJoinSql,
     "q_kmv_distinct" -> kmvDistinctSql,

@@ -115,6 +115,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_lang_kappa",
     // q_ab_test: two 1-row arm aggregates joined for the z readout
     "q_ab_test",
+    // q_kmv_overlap: the |types|²-row pair table (distinct-aggregate
+    // bounded) OR-joins the hash set — broadcast of a tiny build side
+    "q_kmv_overlap",
     // q_unigram_logppl: 1-row corpus mean broadcast back over the
     // materialized per-doc nll table (Curation.unigramLogPpl)
     "q_unigram_logppl",
@@ -237,5 +240,46 @@ class PlanGuardSpec extends AnyFunSuite {
       }.isEmpty, s"hot-key detection still plans a window:\n$hotPlan")
       assert(top.nonEmpty)
     } finally Materializer.clear()
+  }
+
+  test("TPC-H shapes: filters reach the scans, dims broadcast, top-k distributed") {
+    // q_shipping_priority: all three input filters must be IN the
+    // parquet scans (a regression to post-scan filters reads the full
+    // fact table at 100 TB), and the final top-10 must plan as a
+    // distributed TakeOrderedAndProject, not a global sort
+    val q3 = graft.operators.Relational.shippingPriority(spark, sf)
+      .queryExecution.sparkPlan
+    val q3s = q3.toString
+    assert(q3s.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"lineitem date filter not pushed:\n$q3s")
+    assert(q3s.contains("LessThan(o_orderdate"), s"orders date filter not pushed:\n$q3s")
+    assert(q3s.contains("EqualTo(c_mktsegment,BUILDING)"), s"segment filter not pushed:\n$q3s")
+    assert(q3.collectFirst {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.isDefined, s"q3 top-k is not TakeOrderedAndProject:\n$q3s")
+
+    // q_local_supplier: every dimension joins as a broadcast (the only
+    // shuffle is lineitem⋈orders), and the year-range filter reaches
+    // the orders scan
+    val q5 = graft.operators.Relational.localSupplierVolume(spark, sf)
+      .queryExecution.sparkPlan
+    val q5s = q5.toString
+    val bhj = q5.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.size >= 4, s"expected >=4 broadcast joins, got ${bhj.size}:\n$q5s")
+    assert(q5s.contains("GreaterThanOrEqual(o_orderdate,1999-01-01"),
+      s"orders year-range filter not pushed:\n$q5s")
+
+    // q_bloom_prune: the bloom probe must sit pre-join in the lineitem
+    // scan stage (a might_contain above the join would prune nothing)
+    val qb = graft.operators.ScalePatterns.bloomPrunedJoin(spark, sf)
+      .queryExecution.sparkPlan
+    val probeBelowJoin = qb.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.children.exists(_.toString.contains("might_contain")) => j
+    }
+    assert(probeBelowJoin.isDefined,
+      s"bloom probe is not below the exact join:\n$qb")
   }
 }

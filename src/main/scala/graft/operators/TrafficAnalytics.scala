@@ -145,6 +145,47 @@ object TrafficAnalytics {
        |       count(*) * 100.0 / sum(count(*)) OVER (PARTITION BY ws) AS percentage
        |FROM b GROUP BY ws, session_category ORDER BY 1, 3""".stripMargin
 
+  /** Day-of-week × hour-of-day seasonality grid — [[hourlyPatterns]]
+    * collapses the week; the full grid is what capacity planning and
+    * anomaly baselining actually consume. Each cell carries its
+    * observed count and the ratio to the INDEPENDENCE expectation
+    * (row_total·col_total/N) in exact ppm — a cell far from 1e6 marks
+    * structural seasonality (weekend nights, Monday-morning spikes)
+    * rather than volume. ISO weekday (1 = Monday) keeps both engines'
+    * calendars aligned (Spark's dayofweek() and DuckDB's dayofweek()
+    * disagree on Sunday's index; weekday()+1 ≡ isodow()). One scan,
+    * one 168-cell aggregate, two broadcast marginals. */
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cells = events(spark, dir)
+      .groupBy((weekday(col("ts")) + 1).as("iso_dow"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n_events"))
+    val rowT = cells.groupBy(col("iso_dow")).agg(sum(col("n_events")).as("row_n"))
+    val colT = cells.groupBy(col("hod")).agg(sum(col("n_events")).as("col_n"))
+    val tot = cells.agg(sum(col("n_events")).as("n"))
+    cells.join(broadcast(rowT), "iso_dow").join(broadcast(colT), "hod")
+      .crossJoin(broadcast(tot))
+      .select(col("iso_dow").cast("int").as("iso_dow"),
+        col("hod").cast("int").as("hod"), col("n_events"),
+        floor(col("n_events").cast("double") * col("n").cast("double") * 1000000.0 /
+          (col("row_n").cast("double") * col("col_n").cast("double")))
+          .cast("long").as("ratio_ppm"))
+      .orderBy("iso_dow", "hod")
+  }
+
+  val seasonalProfileSql: String =
+    """WITH cells AS (
+      |  SELECT isodow(ts) AS iso_dow, hour(ts) AS hod,
+      |         CAST(count(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT iso_dow, CAST(sum(n_events) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+      |ct AS (SELECT hod, CAST(sum(n_events) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS n FROM cells)
+      |SELECT CAST(iso_dow AS INT) AS iso_dow, CAST(hod AS INT) AS hod, n_events,
+      |  CAST(floor(CAST(n_events AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0
+      |             / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE))) AS BIGINT) AS ratio_ppm
+      |FROM cells JOIN rt USING (iso_dow) JOIN ct USING (hod), tot
+      |ORDER BY iso_dow, hod""".stripMargin
+
   // A4 hourly traffic rollup (spark_streaming_new.py:227-239)
   def hourlyPatterns(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -696,6 +737,7 @@ object TrafficAnalytics {
     "q_page_views_distribution" -> pageViewsDistribution _,
     "q_session_categories"      -> sessionCategories _,
     "q_hourly_patterns"         -> hourlyPatterns _,
+    "q_seasonal_profile"        -> seasonalProfile _,
     "q_quarterly_trend"         -> quarterlyTrend _,
     "q_bounce_rate"             -> bounceRate _,
     "q_conversion_rate"         -> conversionRate _,
@@ -716,6 +758,7 @@ object TrafficAnalytics {
     "q_page_views_distribution" -> pageViewsDistributionSql,
     "q_session_categories"      -> sessionCategoriesSql,
     "q_hourly_patterns"         -> hourlyPatternsSql,
+    "q_seasonal_profile"        -> seasonalProfileSql,
     "q_quarterly_trend"         -> quarterlyTrendSql,
     "q_bounce_rate"             -> bounceRateSql,
     "q_conversion_rate"         -> conversionRateSql,

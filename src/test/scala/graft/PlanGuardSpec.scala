@@ -118,6 +118,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_kmv_overlap: the |types|²-row pair table (distinct-aggregate
     // bounded) OR-joins the hash set — broadcast of a tiny build side
     "q_kmv_overlap",
+    // q_seasonal_profile: 1-row grand-total broadcast over the 168-cell
+    // grid (TrafficAnalytics.seasonalProfile)
+    "q_seasonal_profile",
     // q_unigram_logppl: 1-row corpus mean broadcast back over the
     // materialized per-doc nll table (Curation.unigramLogPpl)
     "q_unigram_logppl",

@@ -196,10 +196,106 @@ case class HistogramSketchAgg(
     copy(child = newChild)
 }
 
+/** K-Minimum-Values distinct sketch as a mergeable TYPED AGGREGATE —
+  * the partial-aggregate form of the relational KMV queries
+  * (`ScalePatterns.kmvDistinct`/`kmvOverlap`, which derive the k-mins
+  * with a distinct + ranking window): each map task folds its slice
+  * into a bounded sorted set of the k smallest DISTINCT hash values,
+  * the shuffle carries ≤ k longs per partition, and merge is
+  * union-truncate. That swaps the |distinct hashes| exchange + per-key
+  * sort for a KB-sized state — the 100 TB path the relational form
+  * documents.
+  *
+  * Determinism: "k smallest distinct values of a set" is independent
+  * of arrival order and partitioning, so the aggregate is bit-equal to
+  * the window formulation on the same hashes — `SketchAggSpec` pins
+  * that equality, and the same DuckDB oracle covers both forms.
+  *
+  * eval emits the ascending ARRAY<BIGINT> of the ≤ k mins (the whole
+  * sketch, not just the kth value) so downstream set-op estimators can
+  * intersect sketches without re-aggregating.
+  */
+case class KmvMinsAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      // cheap reject before mutating: only values below the current kth
+      // (or while under capacity) can enter the sketch
+      if (buf.size < k || x < buf.last()) {
+        buf.add(x)
+        if (buf.size > k) buf.pollLast()
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    buf.addAll(other)
+    while (buf.size > k) buf.pollLast()
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.size * 8)
+    buf.forEach(v => bb.putLong(v))
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val s = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < bytes.length / 8) { s.add(bb.getLong); i += 1 }
+    s
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_mins"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_mins expects BIGINT input, got ${child.dataType}")
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMinsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMinsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvMinsAgg =
+    copy(child = newChild)
+}
+
 object SketchAgg {
   /** CMS over a BIGINT key column → flat ARRAY<BIGINT> of D×W cells. */
   def cms(key: Column): Column =
     Bridge.column(CountMinSketchAgg(Bridge.expression(key)).toAggregateExpression())
+
+  /** KMV k-smallest-distinct sketch over a BIGINT hash column →
+    * ascending ARRAY<BIGINT> of ≤ k mins. */
+  def kmvMins(h: Column, k: Int): Column =
+    Bridge.column(KmvMinsAgg(Bridge.expression(h), k).toAggregateExpression())
 
   /** Fixed-domain histogram sketch over a BIGINT column → ARRAY<BIGINT>
     * of `bins` counts; values outside [lo, hi] clamp to the edge bins. */

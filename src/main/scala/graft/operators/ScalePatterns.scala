@@ -372,21 +372,29 @@ object ScalePatterns {
     * ride along, making this the calibration the sketch swap-in is
     * judged by. */
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    // ONE aggregate pass: the k-mins come from the mergeable
+    // KmvMinsAgg sketch (KB partial state per partition, set semantics
+    // built in — no pre-distinct, no ranking window; the shuffle
+    // carries ≤ k longs per partition instead of every distinct hash).
+    // The exact side keeps its countDistinct exchange because the query
+    // REPORTS the sketch's error against truth; at 100 TB only the
+    // sketch column remains. "k smallest distinct values" is
+    // partition-order-independent, so this is bit-equal to the ranking-
+    // window formulation the DuckDB oracle still uses (SketchAggSpec
+    // pins the equality).
     val ev = events(spark, dir)
-    val hd = ev.select(col("event_type"),
-      (pmod(col("user_id"), lit(KMV_P)) * KMV_C % KMV_P).as("h")).distinct()
-    val exact = hd.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("exact_distinct"))
-    val nRows = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_rows"))
-    val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
-    val kth = hd.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= KMV_K)
+    val agg = ev
+      .select(col("event_type"),
+        (pmod(col("user_id"), lit(KMV_P)) * KMV_C % KMV_P).as("h"))
       .groupBy(col("event_type"))
-      .agg(max(col("h")).as("kth"), count(lit(1)).as("k_used"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("h")).as("exact_distinct"),
+        graft.functions.SketchAgg.kmvMins(col("h"), KMV_K).as("mins"))
+      .withColumn("k_used", size(col("mins")).cast("long"))
+      .withColumn("kth", element_at(col("mins"), size(col("mins"))))
     val est = when(col("k_used") < KMV_K, col("exact_distinct").cast("double"))
       .otherwise(lit((KMV_K - 1) * KMV_P).cast("double") / col("kth"))
-    nRows.join(exact, "event_type").join(kth, "event_type")
-      .select(col("event_type"), col("n_rows"), col("exact_distinct"),
+    agg.select(col("event_type"), col("n_rows"), col("exact_distinct"),
         col("k_used"), est.as("est_distinct"),
         floor(abs(est / col("exact_distinct") - 1.0) * 1000000.0 + lit(0.5))
           .cast("long").as("err_mu"))

@@ -55,4 +55,31 @@ class SketchQuantileSpec extends AnyFunSuite {
     val n = base.count()
     assert(one.map(_._2.sum).sum == n, "histogram mass != row count")
   }
+
+  test("KMV aggregate equals the ranking-window k-mins, under any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val K = ScalePatterns.KMV_K
+    val hashes = Tables.events(spark, sf)
+      .select(col("event_type"),
+        (pmod(col("user_id"), lit(ScalePatterns.KMV_P)) * ScalePatterns.KMV_C
+          % ScalePatterns.KMV_P).as("h"))
+    // reference: distinct + ranking window (the relational/oracle form)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+    val ref = hashes.distinct()
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= K)
+      .groupBy(col("event_type")).agg(sort_array(collect_list(col("h"))).as("mins"))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+    // aggregate form, across different partitionings (merge orders)
+    for (parts <- Seq(1, 7)) {
+      val got = hashes.repartition(parts)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.SketchAgg.kmvMins(col("h"), K).as("mins"))
+        .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+      assert(got == ref, s"KMV aggregate != window k-mins at $parts partitions")
+    }
+    // mins are ascending and distinct (set semantics survived merges)
+    ref.values.foreach { m =>
+      assert(m == m.distinct.sorted, "k-mins not a sorted distinct set")
+    }
+  }
 }

@@ -444,36 +444,44 @@ object ScalePatterns {
   private val OVERLAP_MIN_VALUE = 150.0
 
   def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // ESTIMATOR: computed from the per-type KMV sketches ALONE — one
+    // KmvMinsAgg pass over the fact table, then ≤64-element array math
+    // per pair. This is sound, not approximate-on-approximate: any
+    // element among the k smallest of A∪B that belongs to A is
+    // necessarily among the k smallest of A (everything smaller in A is
+    // also in the union), so union-mins and both-membership are exactly
+    // recoverable from the two sketches — the estimator is bit-equal to
+    // running it against the full sets, which is what the relational
+    // DuckDB oracle does.
     val hd = events(spark, dir)
       .filter(col("value") > OVERLAP_MIN_VALUE)
       .select(col("event_type").as("et"),
-      (pmod(col("user_id"), lit(KMV_P)) * KMV_C % KMV_P).as("h")).distinct()
-    val types = hd.select(col("et")).distinct()
-    val tt = types.as("ta").join(types.as("tb"), col("ta.et") < col("tb.et"))
-      .select(col("ta.et").as("a"), col("tb.et").as("b"))
-    // union members per pair, deduped on h (a hash in both sets counts once)
-    val union = tt.join(hd, col("et") === col("a") || col("et") === col("b"))
-      .select(col("a"), col("b"), col("h")).distinct()
-    val wU = Window.partitionBy(col("a"), col("b")).orderBy(col("h").asc)
-    val mins = union.withColumn("rk", row_number().over(wU))
-      .filter(col("rk") <= KMV_K)
-    val inA = hd.select(col("et").as("a"), col("h"), lit(1L).as("in_a"))
-    val inB = hd.select(col("et").as("b"), col("h"), lit(1L).as("in_b"))
-    val flagged = mins
-      .join(inA, Seq("a", "h"), "left")
-      .join(inB, Seq("b", "h"), "left")
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("k_used"),
-        sum(coalesce(col("in_a"), lit(0L)) * coalesce(col("in_b"), lit(0L)))
-          .as("both"))
-    val exact = tt
-      .join(hd.select(col("et").as("a"), col("h")), Seq("a"))
-      .join(hd.select(col("et").as("b"), col("h")), Seq("b", "h"))
+        (pmod(col("user_id"), lit(KMV_P)) * KMV_C % KMV_P).as("h"))
+    val sk = hd.groupBy(col("et"))
+      .agg(graft.functions.SketchAgg.kmvMins(col("h"), KMV_K).as("mins"))
+    val pairs = sk.as("sa").join(sk.as("sb"), col("sa.et") < col("sb.et"))
+      .select(col("sa.et").as("a"), col("sb.et").as("b"),
+        col("sa.mins").as("ma"), col("sb.mins").as("mb"))
+      .withColumn("u", array_sort(array_union(col("ma"), col("mb"))))
+      .withColumn("k_used", least(size(col("u")), lit(KMV_K)).cast("long"))
+      .withColumn("umins", slice(col("u"), 1, KMV_K))
+      .withColumn("n_both",
+        size(array_intersect(col("umins"),
+          array_intersect(col("ma"), col("mb")))).cast("long"))
+    // EXACT side (reported for the error column; absent at 100 TB):
+    // true intersection / union cardinalities from the distinct sets
+    val hdd = hd.distinct()
+    val exact = hdd.select(col("et").as("a"), col("h"))
+      .join(hdd.select(col("et").as("b"), col("h")), Seq("h"))
+      .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    val uCnt = union.groupBy(col("a"), col("b")).agg(count(lit(1)).as("u_cnt"))
-    val estJ = col("both").cast("double") / col("k_used").cast("double")
+    val sizes = hdd.groupBy(col("et")).agg(count(lit(1)).as("n"))
+    val estJ = col("n_both").cast("double") / col("k_used").cast("double")
     val exJ = col("inter").cast("double") / col("u_cnt").cast("double")
-    flagged.join(exact, Seq("a", "b")).join(uCnt, Seq("a", "b"))
+    pairs.join(exact, Seq("a", "b"))
+      .join(sizes.select(col("et").as("a"), col("n").as("n_a")), Seq("a"))
+      .join(sizes.select(col("et").as("b"), col("n").as("n_b")), Seq("b"))
+      .withColumn("u_cnt", col("n_a") + col("n_b") - col("inter"))
       .select(col("a").as("type_a"), col("b").as("type_b"),
         col("inter"), col("u_cnt"), col("k_used"),
         floor(exJ * 1000000.0).cast("long").as("exact_j_ppm"),

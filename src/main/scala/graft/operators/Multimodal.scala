@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -180,7 +180,59 @@ object Multimodal {
        |       CAST(sum((copies - 1) * nbytes) AS BIGINT) AS reclaimable_bytes
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- format sniffing
+  /** Magic-byte container sniffing — the REAL first stage of any
+    * multimodal ingest (never trust the claimed kind/extension; a
+    * mislabeled payload sent to the wrong decoder is a crash or a
+    * silent garbage feature). Detects by header bytes: PNG signature,
+    * JPEG SOI, GIF87a/89a, RIFF (WAV/AVI containers), PDF, else
+    * "data" (no content guessing beyond the magic — a printable-text
+    * probe would need byte-level regex the two engines can't share
+    * safely across multibyte boundaries). Composed entirely from
+    * codegen'd builtins (binary substring + literal compare) —
+    * preference (a), no custom Expression and no codec library; the
+    * byte probes read ≤ 8 bytes per row.
+    *
+    * On the synthetic corpus every payload is UTF-8 text → "data",
+    * and the oracle agrees byte-for-byte; detection of real containers
+    * is proven on planted PNG/JPEG/GIF/RIFF/PDF headers in
+    * `MultimodalSpec`. */
+  def sniffKind(payload: Column): Column = {
+    def pfx(n: Int) = substring(payload, 1, n)
+    def bytesLit(xs: Int*) = lit(xs.map(_.toByte).toArray)
+    when(pfx(8) === bytesLit(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A), "png")
+      .when(pfx(3) === bytesLit(0xFF, 0xD8, 0xFF), "jpeg")
+      .when(pfx(4) === bytesLit(0x47, 0x49, 0x46, 0x38), "gif")
+      .when(pfx(4) === bytesLit(0x52, 0x49, 0x46, 0x46), "riff")
+      .when(pfx(5) === bytesLit(0x25, 0x50, 0x44, 0x46, 0x2D), "pdf")
+      .otherwise("data")
+  }
+
+  def mediaSniff(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("kind").as("claimed_kind"), sniffKind(col("payload")).as("detected"),
+        length(col("payload")).cast("long").as("nbytes"))
+      .groupBy(col("claimed_kind"), col("detected"))
+      .agg(count(lit(1)).as("n_media"), sum(col("nbytes")).as("total_bytes"))
+      .orderBy("claimed_kind", "detected")
+
+  val mediaSniffSql: String =
+    s"""WITH m AS ($sqlMediaTable),
+       |s AS (SELECT kind AS claimed_kind,
+       |        CASE WHEN left(to_hex(payload), 16) = '89504e470d0a1a0a' THEN 'png'
+       |             WHEN left(to_hex(payload), 6) = 'ffd8ff' THEN 'jpeg'
+       |             WHEN left(to_hex(payload), 8) = '47494638' THEN 'gif'
+       |             WHEN left(to_hex(payload), 8) = '52494646' THEN 'riff'
+       |             WHEN left(to_hex(payload), 10) = '255044462d' THEN 'pdf'
+       |             ELSE 'data' END AS detected,
+       |        CAST(octet_length(payload) AS BIGINT) AS nbytes
+       |      FROM m)
+       |SELECT claimed_kind, detected, CAST(count(*) AS BIGINT) AS n_media,
+       |       CAST(sum(nbytes) AS BIGINT) AS total_bytes
+       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_sniff"    -> mediaSniff _,
     "q_media_metadata" -> mediaMetadata _,
     "q_media_features" -> mediaFeatures _,
     "q_media_dedup"    -> mediaDedup _)
@@ -188,6 +240,7 @@ object Multimodal {
   /** q_media_features intentionally omitted (stub codec not
     * SQL-expressible → rows-only check). */
   val oracles: Map[String, String] = Map(
+    "q_media_sniff"    -> mediaSniffSql,
     "q_media_metadata" -> mediaMetadataSql,
     "q_media_dedup"    -> mediaDedupSql)
 }

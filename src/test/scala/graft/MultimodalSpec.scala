@@ -53,4 +53,29 @@ class MultimodalSpec extends AnyFunSuite {
       col("mean_px") > col("max_px")).isEmpty)
     assert(f.filter(col("n_pixels") =!= col("n_frames") * Multimodal.FRAME_PX).isEmpty)
   }
+
+  test("magic-byte sniffing detects planted container headers, text falls through") {
+    import spark.implicits._
+    def planted(header: Array[Int], tail: String = "rest-of-payload") =
+      header.map(_.toByte) ++ tail.getBytes("UTF-8")
+    val rows = Seq(
+      ("png", planted(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))),
+      ("jpeg", planted(Array(0xFF, 0xD8, 0xFF, 0xE0))),
+      ("gif", "GIF89a-pretend-image".getBytes("UTF-8").map(_.toInt)
+        .map(identity).map(_.toByte) ++ Array.emptyByteArray),
+      ("riff", planted(Array(0x52, 0x49, 0x46, 0x46)) ++ "WAVE".getBytes),
+      ("pdf", "%PDF-1.7 pretend".getBytes("UTF-8")),
+      ("data", "just some plain text".getBytes("UTF-8")),
+      ("data", planted(Array(0x00, 0x01, 0x02)))) // unknown binary → data
+    val df = rows.zipWithIndex
+      .map { case ((exp, bytes), i) => (i.toLong, exp, bytes) }
+      .toDF("id", "expected", "payload")
+    val got = df.withColumn("detected", Multimodal.sniffKind(col("payload")))
+    assert(got.filter(col("detected") =!= col("expected")).isEmpty,
+      got.collect().mkString(";"))
+    // and the real corpus payloads (UTF-8 text) all fall through to data
+    val corpus = Multimodal.mediaTable(spark, sf)
+      .withColumn("detected", Multimodal.sniffKind(col("payload")))
+    assert(corpus.filter(col("detected") =!= "data").isEmpty)
+  }
 }

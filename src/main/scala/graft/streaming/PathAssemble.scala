@@ -45,6 +45,19 @@ object PathAssemble {
   /** Rendered path cap (events beyond it count but don't print). */
   val MAX_PATH = 16
 
+  /** Pure gap-split of a SORTED buffer into maximal sessions — isolated
+    * from the state plumbing so PropertySpec can fuzz the tiling
+    * invariants (every event in exactly one session, intra-session gaps
+    * ≤ GAP, inter-session gaps > GAP) under arbitrary timestamps. */
+  def splitSessions(sorted: IndexedSeq[BufEv]): Vector[Vector[BufEv]] =
+    sorted.foldLeft(Vector.empty[Vector[BufEv]]) { (acc, e) =>
+      acc.lastOption match {
+        case Some(s) if e.ts_ms - s.last.ts_ms <= GAP_MS =>
+          acc.init :+ (s :+ e)
+        case _ => acc :+ Vector(e)
+      }
+    }
+
   class Processor extends StatefulProcessor[Long, (Long, Long, Timestamp, String), PathRow] {
     @transient private var buf: ListState[BufEv] = _
     @transient private var lastSeen: ValueState[Long] = _
@@ -67,14 +80,7 @@ object PathAssemble {
       if (!buf.exists()) return Iterator.empty
       val sorted = buf.get().toIndexedSeq.sortBy(e => (e.ts_ms, e.event_id))
       if (sorted.isEmpty) return Iterator.empty
-      // session boundaries: gap > GAP_MS between consecutive events
-      val sessions = sorted.foldLeft(Vector.empty[Vector[BufEv]]) { (acc, e) =>
-        acc.lastOption match {
-          case Some(s) if e.ts_ms - s.last.ts_ms <= GAP_MS =>
-            acc.init :+ (s :+ e)
-          case _ => acc :+ Vector(e)
-        }
-      }
+      val sessions = splitSessions(sorted)
       val (sealed_, open) = sessions.partition(s => wm > 0 && s.last.ts_ms + GAP_MS <= wm)
       val remaining = open.flatten
       if (remaining.isEmpty) { buf.clear(); lastSeen.clear() }

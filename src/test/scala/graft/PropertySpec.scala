@@ -184,6 +184,32 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("gap-split sessions tile the buffer: maximal runs, no gaps crossed") {
+    import graft.streaming.{BufEv, PathAssemble}
+    val G = PathAssemble.GAP_MS
+    val evsGen = Gen.listOf(for {
+      t <- Gen.choose(0L, 20L)     // in units of GAP/2 → gaps straddle GAP
+      id <- Gen.choose(0L, 1000L)
+    } yield BufEv(id, t * (G / 2), "e"))
+    check(Prop.forAll(evsGen) { evs =>
+      val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_ms, e.event_id))
+      val ss = PathAssemble.splitSessions(sorted)
+      // conservation + order: concatenation reproduces the sorted buffer
+      val tiles = ss.flatten == sorted.toVector
+      // intra-session consecutive gaps ≤ GAP
+      val intra = ss.forall(_.sliding(2).forall {
+        case Seq(a, b) => b.ts_ms - a.ts_ms <= G
+        case _ => true
+      })
+      // maximality: consecutive sessions separated by > GAP
+      val inter = ss.sliding(2).forall {
+        case Seq(a, b) => b.head.ts_ms - a.last.ts_ms > G
+        case _ => true
+      }
+      tiles && intra && inter && (evs.isEmpty == ss.isEmpty)
+    })
+  }
+
   test("welford moments equal exact two-pass stats under any order") {
     import graft.streaming.Welford
     val xs = Gen.listOf(Gen.choose(-1e6, 1e6))

@@ -46,8 +46,12 @@ object DataQuality {
   def dqConstraints(spark: SparkSession, dir: String): DataFrame = {
     // one struct row per constraint out of a single-pass aggregate
     def suite(tbl: String, df: DataFrame, checks: (String, Column)*): DataFrame = {
+      // coalesce like the oracle's CASE..ELSE 0: an all-NULL checked
+      // column (or an empty table) must report 0 violations, not a NULL
+      // that flips `passed` to 0 in one engine only
       val agg = df.agg(count(lit(1)).as("n"),
-        checks.map { case (id, bad) => sum(bad.cast("long")).as(s"v_$id") }: _*)
+        checks.map { case (id, bad) =>
+          coalesce(sum(bad.cast("long")), lit(0L)).as(s"v_$id") }: _*)
       agg.select(explode(array(checks.map { case (id, _) =>
         struct(lit(id).as("constraint_id"), lit(tbl).as("tbl"),
           col("n").as("n_rows"), col(s"v_$id").as("violations"))
@@ -111,8 +115,9 @@ object DataQuality {
     all.select(col("constraint_id"), col("tbl"),
         col("n_rows").cast("long").as("n_rows"),
         col("violations").cast("long").as("violations"),
-        floor(col("violations").cast("double") * 1000000.0 /
-          col("n_rows").cast("double")).cast("long").as("viol_ppm"),
+        when(col("n_rows") === 0L, 0L)          // empty table: 0/0 guard
+          .otherwise(floor(col("violations").cast("double") * 1000000.0 /
+            col("n_rows").cast("double")).cast("long")).as("viol_ppm"),
         when(col("violations") === 0L, 1L).otherwise(0L).as("passed"))
       .orderBy("constraint_id")
   }
@@ -162,8 +167,9 @@ object DataQuality {
     s"""WITH raw AS (
        |${parts.mkString("\nUNION ALL\n")})
        |SELECT constraint_id, tbl, n_rows, violations,
-       |  CAST(floor(CAST(violations AS DOUBLE) * 1000000.0
-       |             / CAST(n_rows AS DOUBLE)) AS BIGINT) AS viol_ppm,
+       |  CAST(CASE WHEN n_rows = 0 THEN 0
+       |            ELSE floor(CAST(violations AS DOUBLE) * 1000000.0
+       |                       / CAST(n_rows AS DOUBLE)) END AS BIGINT) AS viol_ppm,
        |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
        |FROM raw ORDER BY constraint_id""".stripMargin
   }

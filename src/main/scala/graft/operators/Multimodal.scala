@@ -219,11 +219,11 @@ object Multimodal {
   val mediaSniffSql: String =
     s"""WITH m AS ($sqlMediaTable),
        |s AS (SELECT kind AS claimed_kind,
-       |        CASE WHEN left(to_hex(payload), 16) = '89504e470d0a1a0a' THEN 'png'
-       |             WHEN left(to_hex(payload), 6) = 'ffd8ff' THEN 'jpeg'
-       |             WHEN left(to_hex(payload), 8) = '47494638' THEN 'gif'
-       |             WHEN left(to_hex(payload), 8) = '52494646' THEN 'riff'
-       |             WHEN left(to_hex(payload), 10) = '255044462d' THEN 'pdf'
+       |        CASE WHEN lower(left(to_hex(payload), 16)) = '89504e470d0a1a0a' THEN 'png'
+       |             WHEN lower(left(to_hex(payload), 6)) = 'ffd8ff' THEN 'jpeg'
+       |             WHEN lower(left(to_hex(payload), 8)) = '47494638' THEN 'gif'
+       |             WHEN lower(left(to_hex(payload), 8)) = '52494646' THEN 'riff'
+       |             WHEN lower(left(to_hex(payload), 10)) = '255044462d' THEN 'pdf'
        |             ELSE 'data' END AS detected,
        |        CAST(octet_length(payload) AS BIGINT) AS nbytes
        |      FROM m)

@@ -478,7 +478,12 @@ object ScalePatterns {
     val sizes = hdd.groupBy(col("et")).agg(count(lit(1)).as("n"))
     val estJ = col("n_both").cast("double") / col("k_used").cast("double")
     val exJ = col("inter").cast("double") / col("u_cnt").cast("double")
-    pairs.join(exact, Seq("a", "b"))
+    // LEFT join + coalesce: a pair with EMPTY true intersection must
+    // still appear — those rows are exactly where the estimator's
+    // disjoint-set false positives show up, the thing this audit exists
+    // to measure; an inner join would silently exclude them
+    pairs.join(exact, Seq("a", "b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .join(sizes.select(col("et").as("a"), col("n").as("n_a")), Seq("a"))
       .join(sizes.select(col("et").as("b"), col("n").as("n_b")), Seq("b"))
       .withColumn("u_cnt", col("n_a") + col("n_b") - col("inter"))
@@ -509,9 +514,11 @@ object ScalePatterns {
        |       LEFT JOIN hd ia ON ia.et = mins.a AND ia.h = mins.h
        |       LEFT JOIN hd ib ON ib.et = mins.b AND ib.h = mins.h
        |       GROUP BY 1, 2),
-       |ex AS (SELECT tt.a, tt.b, CAST(count(*) AS BIGINT) AS inter
+       |exr AS (SELECT tt.a, tt.b, CAST(count(*) AS BIGINT) AS inter
        |       FROM tt JOIN hd x ON x.et = tt.a JOIN hd y ON y.et = tt.b AND y.h = x.h
        |       GROUP BY 1, 2),
+       |ex AS (SELECT tt.a, tt.b, CAST(coalesce(inter, 0) AS BIGINT) AS inter
+       |       FROM tt LEFT JOIN exr ON tt.a = exr.a AND tt.b = exr.b),
        |uc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS u_cnt FROM un GROUP BY 1, 2)
        |SELECT fl.a AS type_a, fl.b AS type_b, inter, u_cnt, k_used,
        |  CAST(floor(CAST(inter AS DOUBLE) / CAST(u_cnt AS DOUBLE) * 1000000.0) AS BIGINT) AS exact_j_ppm,

@@ -90,23 +90,38 @@ object AnomalyDetect {
       val sorted = rows.map(r => (r._2, r._3, r._4)).toIndexedSeq
         .sortBy(r => (r._2.getTime, r._1))
       var st = if (moments.exists()) moments.get() else Welford(0L, 0.0, 0.0)
+      var last = if (lastSeen.exists()) lastSeen.get() else 0L
       val out = Seq.newBuilder[AnomalyRow]
       for ((_, ts, x) <- sorted) {
+        // event-time quiet-gap close: a user resurfacing after QUIET_MS
+        // must not be scored against the pre-gap baseline. Input rows
+        // process BEFORE expired timers within a batch, so a timer due
+        // this very batch would otherwise be deleted below without ever
+        // emitting — the in-fold close makes eviction purely event-time
+        // deterministic; the registered timer only covers the trailing
+        // quiet (no further events ever arrive).
+        if (last > 0L && st.n > 0L && ts.getTime - last > QUIET_MS) {
+          out += AnomalyRow("summary", user, new Timestamp(last + QUIET_MS),
+            0.0, 0L, st.n, st.mean)
+          st = Welford(0L, 0.0, 0.0)
+        }
         if (st.n >= MIN_N && st.variance > 0.0) {
           val z = math.abs(x - st.mean) / math.sqrt(st.variance)
           if (z > Z_T)
             out += AnomalyRow("anomaly", user, ts, x, zMu(z), st.n, st.mean)
         }
         st = st.add(x)
+        if (ts.getTime > last) last = ts.getTime
       }
       moments.update(st)
       // one inactivity timer per user: replace (delete+register) rather
       // than accumulate — listTimers() stays O(1) per key
-      val newLast = sorted.last._2.getTime
+      // one inactivity timer per user: replace (delete+register) using
+      // the PRE-fold lastSeen (the timer that was actually registered)
       val prev = if (lastSeen.exists()) lastSeen.get() else 0L
       if (prev > 0L) getHandle.deleteTimer(prev + QUIET_MS)
-      if (newLast > prev) lastSeen.update(newLast)
-      getHandle.registerTimer(math.max(newLast, prev) + QUIET_MS)
+      lastSeen.update(last)
+      getHandle.registerTimer(last + QUIET_MS)
       out.result().iterator
     }
 

@@ -90,38 +90,59 @@ object HeavyHitters {
       val sorted = rows.map(r => (r._2, r._3, r._4)).toIndexedSeq
         .sortBy(r => (r._2.getTime, r._1))
       var n = if (streamLen.exists()) streamLen.get() else 0L
+      var last = if (lastSeen.exists()) lastSeen.get() else 0L
       // mirror the map into a local table for the fold (K entries);
       // write back only the touched keys at the end
       val table = scala.collection.mutable.Map.empty[Long, SSCounter]
       counters.iterator().foreach { case (k, v) => table(k) = v }
       val touched = scala.collection.mutable.Set.empty[Long]
       val removed = scala.collection.mutable.Set.empty[Long]
-      for ((_, _, item) <- sorted) {
+      val out = Seq.newBuilder[HeavyRow]
+      for ((_, ts, item) <- sorted) {
+        // event-time quiet-gap close: input rows process BEFORE expired
+        // timers within a batch, so a timer due this very batch would be
+        // deleted below without its emission — closing in-fold whenever
+        // the event-time gap exceeds the quiet window makes the window
+        // boundary purely event-time deterministic; the registered timer
+        // only covers the trailing quiet.
+        if (last > 0L && n > 0L && ts.getTime - last > QUIET_MS) {
+          out ++= rankRows(group, table, n)
+          removed ++= table.keys
+          touched.clear()
+          table.clear()
+          n = 0L
+        }
         n += 1
         step(table, item, CAPACITY) match {
           case Some(evicted) => removed += evicted; touched -= evicted
           case None => ()
         }
         touched += item
+        if (ts.getTime > last) last = ts.getTime
       }
       removed.foreach { k => if (!table.contains(k)) counters.removeKey(k) }
       touched.foreach { k => counters.updateValue(k, table(k)) }
       streamLen.update(n)
-      val newLast = sorted.last._2.getTime
       val prev = if (lastSeen.exists()) lastSeen.get() else 0L
       if (prev > 0L) getHandle.deleteTimer(prev + QUIET_MS)
-      if (newLast > prev) lastSeen.update(newLast)
-      getHandle.registerTimer(math.max(newLast, prev) + QUIET_MS)
-      Iterator.empty
+      lastSeen.update(last)
+      getHandle.registerTimer(last + QUIET_MS)
+      out.result().iterator
     }
+
+    /** Ranked emission of one closed window's table (count desc, item
+      * asc) — shared by the timer path and the in-fold quiet-gap close. */
+    private def rankRows(group: String, entries: Iterable[(Long, SSCounter)],
+        n: Long): Seq[HeavyRow] =
+      entries.toIndexedSeq
+        .sortBy { case (k, c) => (-c.count, k) }
+        .zipWithIndex
+        .map { case ((k, c), i) => HeavyRow(group, k, c.count, c.err, n, i + 1) }
 
     override def handleExpiredTimer(group: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[HeavyRow] = {
       val n = if (streamLen.exists()) streamLen.get() else 0L
-      val rows = counters.iterator().toIndexedSeq
-        .sortBy { case (k, c) => (-c.count, k) }
-        .zipWithIndex
-        .map { case ((k, c), i) => HeavyRow(group, k, c.count, c.err, n, i + 1) }
+      val rows = rankRows(group, counters.iterator().toIndexedSeq, n)
       counters.clear(); streamLen.clear(); lastSeen.clear()
       rows.iterator
     }

@@ -81,7 +81,11 @@ object PathAssemble {
       val sorted = buf.get().toIndexedSeq.sortBy(e => (e.ts_ms, e.event_id))
       if (sorted.isEmpty) return Iterator.empty
       val sessions = splitSessions(sorted)
-      val (sealed_, open) = sessions.partition(s => wm > 0 && s.last.ts_ms + GAP_MS <= wm)
+      // STRICT inequality: an admissible event can still arrive AT the
+      // watermark (ts == wm is not late), and at gap exactly GAP_MS it
+      // joins the session per batch semantics — sealing at == would
+      // split what the batch truth keeps together
+      val (sealed_, open) = sessions.partition(s => wm > 0 && s.last.ts_ms + GAP_MS < wm)
       val remaining = open.flatten
       if (remaining.isEmpty) { buf.clear(); lastSeen.clear() }
       else if (sealed_.nonEmpty) buf.put(remaining.toArray)

@@ -164,7 +164,9 @@ object Sessionize {
             val wm = state.getCurrentWatermarkMs()
             val (flushed, keep) = cur match {
               case Some(u) => u.pending match {
-                case Some(p) if wm > 0 && p.end.getTime + GAP_MS <= wm =>
+                // STRICT: an admissible event at ts == wm with gap
+                // exactly GAP would still extend this pending session
+                case Some(p) if wm > 0 && p.end.getTime + GAP_MS < wm =>
                   (Seq(emit(user, p)), Some(u.copy(pending = None)))
                 case _ => (Nil, cur)
               }

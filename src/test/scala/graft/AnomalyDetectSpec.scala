@@ -24,6 +24,46 @@ class AnomalyDetectSpec extends AnyFunSuite {
     assert(math.abs(w.variance - v2) < 1e-9 * math.max(1.0, v2))
   }
 
+  test("a user resurfacing after the quiet window closes the old epoch in-fold") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+      def ev(id: Long, u: Long, t: String, v: Double) =
+        Ev(id, Timestamp.valueOf(t), u, "view", v)
+      val early = (0 until 3).map(i => ev(i, 7, f"2025-04-08 00:0${i}%01d:00", 5.0))
+      // the same batch BOTH advances the watermark past user 7's quiet
+      // window (via another user) AND contains user 7's return — the
+      // in-fold close must emit the old epoch's summary even though the
+      // due timer gets replaced before the expiry phase runs
+      val ret = ev(10, 7, "2025-04-08 05:00:00", 9.0)
+      val advancer = Ev(99, Timestamp.valueOf("2025-04-08 04:30:00"), 8, "view", 0.0)
+      val q = AnomalyDetect.detect(
+          stream.toDF().withWatermark("ts", "1 minute"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("anomaly_gap").start()
+      try {
+        stream.addData(early); q.processAllAvailable()
+        stream.addData(Seq(advancer, ret)); q.processAllAvailable()
+        val sums = spark.table("anomaly_gap")
+          .filter(col("kind") === "summary" && col("user_id") === 7).collect()
+        assert(sums.length == 1, s"expected the gap-close summary, got ${sums.length}")
+        assert(sums.head.getAs[Long]("n_seen") == 3L)  // the pre-gap epoch only
+        // close timestamp = lastSeen + QUIET_MS of the OLD epoch
+        assert(sums.head.getAs[Timestamp]("ts") ==
+          new Timestamp(Timestamp.valueOf("2025-04-08 00:02:00").getTime +
+            AnomalyDetect.QUIET_MS))
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState detector flags outliers vs the prior baseline and summarizes quiet users") {
     implicit val sqlCtx = spark.sqlContext
     // transformWithState requires the RocksDB state store

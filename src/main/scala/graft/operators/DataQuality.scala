@@ -262,7 +262,14 @@ object DataQuality {
     * float math is an exact integer count, so both engines evaluate the
     * identical expression tree (sqrt is correctly rounded in IEEE —
     * safe, unlike ln/exp). One scan + one per-user aggregate + a 2-row
-    * rollup; nothing here grows with event volume except the scan. */
+    * rollup; nothing here grows with event volume except the scan.
+    *
+    * CONTRACT: an EMPTY arm yields an EMPTY readout (the 1-row × 1-row
+    * combine vanishes — there is no experiment to read out without both
+    * arms; the z-test is undefined with n=0 anyway). Callers alerting
+    * on experiment health should treat zero rows as "assignment broken",
+    * not "no significance". The SQL oracle has the identical shape, and
+    * `DataQualitySpec` pins the empty-arm behavior. */
   def abTestReadout(spark: SparkSession, dir: String): DataFrame = {
     // odd Knuth multiplier, mod-first so intermediates stay < 2^63 at
     // any id scale; an even multiplier would send every id to one arm

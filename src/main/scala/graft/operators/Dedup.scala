@@ -499,20 +499,24 @@ object Dedup {
     var changed = 1L
     while (changed > 0 && iter < 15) {
       iter += 1
-      // labels/prop are |cluster nodes|-sized — broadcast them so each
-      // round is shuffle-free. Check-BEFORE-write: the improving rows
+      // labels is |pair-graph nodes|-sized — at a realistic 100 TB dup
+      // rate that is a large fraction of the corpus, so these joins are
+      // deliberately UN-hinted plain equi-joins (the key is already the
+      // join key): AQE broadcasts whichever side its runtime stats say
+      // is actually small, and falls back to a shuffled hash join when
+      // neither is. Check-BEFORE-write: the improving rows
       // (neighbor-min < own label) are counted first and a new label
       // table is materialized only when the round actually changed
       // something — the common converged round (every component already
       // at its minimum) costs ONE small aggregate job and no write.
-      val prop = edges.join(broadcast(labels), col("b") === col("d"))
+      val prop = edges.join(labels, col("b") === col("d"))
         .groupBy(col("a")).agg(min(col("lbl")).as("nlbl"))
-      val delta = prop.join(broadcast(labels), col("a") === col("d"))
+      val delta = prop.join(labels, col("a") === col("d"))
         .filter(col("nlbl") < col("lbl"))
       changed = delta.count()
       if (changed > 0)
         labels = Materializer.materialize(Materializer.tagFor(s"ndlbl$iter", dir),
-          labels.as("o").join(broadcast(delta.as("u")), col("o.d") === col("u.a"), "left")
+          labels.as("o").join(delta.as("u"), col("o.d") === col("u.a"), "left")
             .select(col("o.d").as("d"),
               least(col("o.lbl"), coalesce(col("u.nlbl"), col("o.lbl"))).as("lbl")))
     }
@@ -862,18 +866,24 @@ object Dedup {
     * with explicit cross-split PAIRS at the near-dup threshold, over
     * ALL split boundaries (train/val leaks matter for early stopping
     * too). Composes the shared df-capped candidate core with the
-    * `q_hash_split` assignment — the split relation is a scan-local
-    * projection broadcast onto the (small) pair list, so the audit
-    * costs one near-dup run + two broadcast joins. */
+    * `q_hash_split` assignment — the split relation is a corpus-sized
+    * scan-local projection, so the audit costs one near-dup run + two
+    * un-hinted equi-joins on doc_id (AQE broadcasts the pair list when
+    * it is small enough; the split side never carries a hint). */
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
     val split = when(col("h") <= 7, "train").when(col("h") === 8, "val")
       .otherwise("test")
     val sp = documents(spark, dir)
       .select(col("doc_id"), pmod(charHashFast(col("text")), lit(10)).as("h"))
       .select(col("doc_id"), split.as("split"))
+    // sp is one row PER DOCUMENT — corpus-sized, never broadcast-hinted
+    // (at 100× the corpus the build side would OOM the driver). The pair
+    // list is the small side here; the joins stay un-hinted so AQE
+    // broadcasts the pair list when its runtime size allows and falls
+    // back to a shuffled equi-join on doc_id otherwise.
     ngramJaccard(spark, dir)
-      .join(broadcast(sp.select(col("doc_id").as("d1"), col("split").as("split_1"))), "d1")
-      .join(broadcast(sp.select(col("doc_id").as("d2"), col("split").as("split_2"))), "d2")
+      .join(sp.select(col("doc_id").as("d1"), col("split").as("split_1")), "d1")
+      .join(sp.select(col("doc_id").as("d2"), col("split").as("split_2")), "d2")
       .filter(col("split_1") =!= col("split_2"))
       .select(col("d1"), col("d2"), col("jaccard"), col("split_1"), col("split_2"))
       .orderBy("d1", "d2")
@@ -1019,14 +1029,16 @@ object Dedup {
     * carries `cross_pairs` — near-dup pairs spanning splits — which this
     * assignment provably zeroes and the oracle re-counts.
     *
-    * Scale: one left join of docs against the (tiny) cluster-node label
-    * table, then a scan-local split projection — the label table is the
-    * pair-graph's nodes only, broadcastable even when the corpus is not. */
+    * Scale: one left join of docs against the cluster-node label table,
+    * then a scan-local split projection. The label table is the
+    * pair-graph's nodes only — smaller than the corpus but still
+    * corpus-PROPORTIONAL at a realistic dup rate, so the join is
+    * un-hinted: AQE broadcasts it only when its runtime size allows. */
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
     val labels = dedupClusters(spark, dir).select(col("doc_id").as("d"), col("cluster_id"))
     val grouped = documents(spark, dir)
       .select(col("doc_id"), tokenCountFast(col("text")).as("n_tokens"))
-      .join(broadcast(labels), col("doc_id") === col("d"), "left")
+      .join(labels, col("doc_id") === col("d"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("cluster_id"), col("doc_id")).as("gk"))
     val splitCol = (col("gk") % 1000007L) * 1000003L % 1000007L % 10L

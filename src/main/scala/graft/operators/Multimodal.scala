@@ -129,9 +129,14 @@ object Multimodal {
        |       CAST(sum(n_frames) AS BIGINT) AS total_frames
        |FROM m GROUP BY kind ORDER BY kind""".stripMargin
 
-  /** Decode → per-media pixel features. The stub codec is not
-    * SQL-expressible, so this registers without an oracle (driver
-    * rows-only check); correctness is spec-tested instead. */
+  /** Decode → per-media pixel features. The decode itself runs through
+    * the [[Codec]] seam (mapPartitions), but [[StubCodec]]'s byte→pixel
+    * math is pure arithmetic over the UTF-8 payload — and the synthetic
+    * corpus is pure ASCII (octet == character, verified in
+    * MultimodalSpec), so the DuckDB oracle re-derives every pixel with
+    * substr/ascii and the query is fully hash-checked. A real codec
+    * would flip this back to rows-only + spec-tested, like any JNI
+    * boundary. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     decodeFrames(mediaTable(spark, dir))
       .select(col("media_id"), col("frame_no"), explode(col("pixels")).as("px"))
@@ -143,6 +148,27 @@ object Multimodal {
         min(col("px")).as("min_px"),
         max(col("px")).as("max_px"))
       .orderBy("media_id")
+
+  /** DuckDB replica of [[StubCodec]]: pixel p of frame f is byte
+    * ((f*31 + p*7) mod len), unsigned — on the pure-ASCII corpus the
+    * byte at index i IS ascii(substr(text, i+1, 1)). generate_series
+    * cannot take lateral bounds in DuckDB, so frames enumerate the
+    * CONSTANT 0..3 range (mediaTable caps n_frames at `% 4 + 1` ≤ 4)
+    * and filter to each row's n_frames. */
+  val mediaFeaturesSql: String =
+    """WITH m AS (SELECT doc_id AS media_id, text,
+      |                  CAST(n_chars % 4 + 1 AS INT) AS n_frames,
+      |                  length(text) AS len FROM documents),
+      |px AS (
+      |  SELECT media_id, f.f AS frame_no,
+      |         ascii(substr(text, ((f.f*31 + p.p*7) % len) + 1, 1)) AS px
+      |  FROM m, generate_series(0, 3) AS f(f), generate_series(0, 63) AS p(p)
+      |  WHERE f.f < m.n_frames)
+      |SELECT media_id, CAST(max(frame_no) + 1 AS INT) AS n_frames,
+      |       CAST(count(*) AS BIGINT) AS n_pixels,
+      |       CAST(sum(CAST(px AS DECIMAL(18,2))) AS DOUBLE) / count(px) AS mean_px,
+      |       CAST(min(px) AS INT) AS min_px, CAST(max(px) AS INT) AS max_px
+      |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin
 
   /** Exact media dedup — md5 over the raw BINARY payload (codec-free:
     * byte-identical copies dedupe regardless of what the bytes encode,
@@ -237,10 +263,9 @@ object Multimodal {
     "q_media_features" -> mediaFeatures _,
     "q_media_dedup"    -> mediaDedup _)
 
-  /** q_media_features intentionally omitted (stub codec not
-    * SQL-expressible → rows-only check). */
   val oracles: Map[String, String] = Map(
     "q_media_sniff"    -> mediaSniffSql,
     "q_media_metadata" -> mediaMetadataSql,
+    "q_media_features" -> mediaFeaturesSql,
     "q_media_dedup"    -> mediaDedupSql)
 }

@@ -691,9 +691,14 @@ object TextOps {
       floor(col("s").cast("double") * 1000000.0 /
         (col("n_docs").cast("double") * col("n_docs").cast("double")))
         .cast("long").as("pe_ppm"),
-      floor((col("n_docs") * col("n_agree") - col("s")).cast("double") * 1000000.0 /
-        (col("n_docs") * col("n_docs") - col("s")).cast("double") + lit(0.5))
-        .cast("long").as("kappa_mu"))
+      // pe=1 degenerate case (single label claimed AND predicted
+      // everywhere ⇒ s == N²): κ is 0/0 — report 0 instead of letting
+      // the ANSI cast of floor(Infinity) error the query
+      when(col("n_docs") * col("n_docs") === col("s"), lit(0L))
+        .otherwise(
+          floor((col("n_docs") * col("n_agree") - col("s")).cast("double") * 1000000.0 /
+            (col("n_docs") * col("n_docs") - col("s")).cast("double") + lit(0.5))
+            .cast("long")).as("kappa_mu"))
   }
 
   val langKappaSql: String = {
@@ -721,8 +726,10 @@ object TextOps {
        |  CAST(floor(CAST(n_agree AS DOUBLE) * 1000000.0 / CAST(n_docs AS DOUBLE)) AS BIGINT) AS po_ppm,
        |  CAST(floor(CAST(s AS DOUBLE) * 1000000.0
        |             / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))) AS BIGINT) AS pe_ppm,
-       |  CAST(floor(CAST(n_docs * n_agree - s AS DOUBLE) * 1000000.0
-       |             / CAST(n_docs * n_docs - s AS DOUBLE) + 0.5) AS BIGINT) AS kappa_mu
+       |  CASE WHEN n_docs * n_docs = s THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(floor(CAST(n_docs * n_agree - s AS DOUBLE) * 1000000.0
+       |                  / CAST(n_docs * n_docs - s AS DOUBLE) + 0.5) AS BIGINT)
+       |  END AS kappa_mu
        |FROM agg, s""".stripMargin
   }
 

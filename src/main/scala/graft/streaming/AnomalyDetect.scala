@@ -139,8 +139,14 @@ object AnomalyDetect {
     * carry an event-time watermark on ts (the timer clock). */
   def detect(ev: DataFrame): Dataset[AnomalyRow] = {
     import ev.sparkSession.implicits._
-    ev.select(col("user_id").cast("long"), col("event_id").cast("long"),
-        col("ts"), col("value").cast("double"))
+    // try_cast + null filter at ingress: stream input is untrusted (a
+    // malformed id must drop the row, not ANSI-fail the batch; null
+    // ts/user_id would null-key the group / NPE the timer math).
+    ev.select(col("user_id").try_cast("long").as("user_id"),
+        col("event_id").try_cast("long").as("event_id"),
+        col("ts"), col("value").try_cast("double").as("value"))
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+        col("ts").isNotNull && col("value").isNotNull)
       .as[(Long, Long, Timestamp, Double)]
       .groupByKey(_._1)
       .transformWithState(new Processor,

@@ -152,8 +152,14 @@ object HeavyHitters {
     * tracks heavy users per event_type. MUST carry a watermark on ts. */
   def track(ev: DataFrame): Dataset[HeavyRow] = {
     import ev.sparkSession.implicits._
-    ev.select(col("event_type"), col("event_id").cast("long"),
-        col("ts"), col("user_id").cast("long"))
+    // Streaming ingress is NOT oracle-generated data: try_cast (a
+    // malformed id must drop the row, not fail the whole micro-batch
+    // under ANSI) and drop null key/ts rows (a null event_type would
+    // form a null key group; a null ts NPEs the getTime state math).
+    ev.select(col("event_type"), col("event_id").try_cast("long").as("event_id"),
+        col("ts"), col("user_id").try_cast("long").as("user_id"))
+      .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull && col("user_id").isNotNull)
       .as[(String, Long, Timestamp, Long)]
       .groupByKey(_._1)
       .transformWithState(new Processor,

@@ -128,8 +128,14 @@ object PathAssemble {
     * MUST carry an event-time watermark on ts. */
   def paths(ev: DataFrame): Dataset[PathRow] = {
     import ev.sparkSession.implicits._
-    ev.select(col("user_id").cast("long"), col("event_id").cast("long"),
+    // try_cast + null filter at ingress: stream input is untrusted (a
+    // malformed id must drop the row, not ANSI-fail the batch; null
+    // ts/user_id would null-key the group / NPE the seal timer).
+    ev.select(col("user_id").try_cast("long").as("user_id"),
+        col("event_id").try_cast("long").as("event_id"),
         col("ts"), col("event_type"))
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+        col("ts").isNotNull && col("event_type").isNotNull)
       .as[(Long, Long, Timestamp, String)]
       .groupByKey(_._1)
       .transformWithState(new Processor,

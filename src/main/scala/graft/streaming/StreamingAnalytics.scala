@@ -100,6 +100,38 @@ object StreamingAnalytics {
       .withColumn("latency_sec",
         unix_timestamp(col("processing_time")) - unix_timestamp(col("ts")))
 
+  /** Latency-quantiles rollup over the `streaming_metrics` sink — the
+    * readout the reference persists latency FOR (per-record
+    * latency_sec, spark_streaming_new.py:117-118) but never
+    * distributes: per epoch, exact p50/p90/p99/min/max of processing
+    * latency plus the record count — the table an SLO dashboard reads.
+    *
+    * Scale shape: latencies are INTEGER SECONDS, so per epoch the
+    * distinct-value count is tiny (a healthy pipeline spans a few
+    * seconds; even a sick one spans thousands, not millions). The
+    * rollup aggregates to (epoch, latency_sec) cells first — the only
+    * fact-sized pass — then runs the cumulative window over those
+    * bounded cells, the same constant-band trick as q_quantiles_disc.
+    * Exact quantiles, no per-record sort, no unbounded window frame. */
+  def latencyQuantiles(metrics: DataFrame): DataFrame = {
+    val cells = metrics.groupBy(col("epoch_id"), col("latency_sec"))
+      .agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy(col("epoch_id")).orderBy(col("latency_sec").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("epoch_id"))
+    val ranked = cells
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("n", sum(col("c")).over(tot))
+    def qAt(q: Double, name: String) =
+      min(when(col("cum") >= ceil(col("n") * q), col("latency_sec"))).as(name)
+    ranked.groupBy(col("epoch_id"))
+      .agg(max(col("n")).as("n_records"),
+        min(col("latency_sec")).as("min_sec"),
+        qAt(0.5, "p50_sec"), qAt(0.9, "p90_sec"), qAt(0.99, "p99_sec"),
+        max(col("latency_sec")).as("max_sec"))
+      .orderBy("epoch_id")
+  }
+
   /** Stream-static dimension enrichment: a streaming fact left-joined to
     * a static (batch) dimension — stateless, no watermark needed, the
     * planner broadcasts the dim per micro-batch. The standard pattern
@@ -191,10 +223,20 @@ object StreamingAnalytics {
     * sketch is BIT-IDENTICAL to the batch sketch over the same rows
     * under any batch boundaries, and state never grows with
     * cardinality. The estimate reads off the sketch exactly as
-    * `q_kmv_distinct` does: (k−1)·M/h₍k₎ once the sketch is full. */
+    * `q_kmv_distinct` does: (k−1)·M/h₍k₎ once the sketch is full.
+    *
+    * The driver-side merge is bounded BOTH ways: ≤ k longs per key
+    * (the sketch) AND ≤ `maxKeys` keys per batch (smallest keys win,
+    * deterministically) — an unbounded KEY cardinality would otherwise
+    * grow the collect and the accumulator without limit. A batch whose
+    * key count exceeds `maxKeys` fails loudly rather than silently
+    * dropping sketches; callers tracking genuinely high-cardinality
+    * keys should use the stateful `transformWithState` path instead of
+    * this driver-merged demo. */
   def runKmvAccumulation(ev: DataFrame, key: String, idCol: String,
                          checkpointDir: String,
-                         k: Int = graft.operators.ScalePatterns.KMV_K)
+                         k: Int = graft.operators.ScalePatterns.KMV_K,
+                         maxKeys: Int = 1000)
       : (StreamingQuery, () => Map[String, Seq[Long]]) = {
     val P = graft.operators.ScalePatterns.KMV_P
     val C = graft.operators.ScalePatterns.KMV_C
@@ -213,8 +255,13 @@ object StreamingAnalytics {
           .filter(col("rk") <= k)
           .groupBy(col("k"))
           .agg(sort_array(collect_list(col("h"))).as("hs"))
+          .orderBy(col("k"))
+          .limit(maxKeys + 1)
           .collect()
           .map(r => r.getString(0) -> r.getSeq[Long](1))
+        require(rows.length <= maxKeys,
+          s"KMV accumulation saw > $maxKeys keys in one batch — " +
+            "use the stateful path for high-cardinality keys")
         acc.updateAndGet { prev =>
           rows.foldLeft(prev) { case (m, (kk, hs)) =>
             val merged = (m.getOrElse(kk, Seq.empty) ++ hs)

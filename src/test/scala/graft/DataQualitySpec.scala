@@ -102,6 +102,19 @@ class DataQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("ab test: empty arm yields an empty readout (documented contract)") {
+    import spark.implicits._
+    // user_id 0 hashes to arm A ((0 % 1000003) * 2654435761 % 1000003 % 2
+    // == 0), so a corpus with only that user leaves arm B empty — the
+    // readout must be EMPTY (no experiment without both arms), never a
+    // partial/NaN row. Callers alert on zero rows as "assignment broken".
+    val dir = java.nio.file.Files.createTempDirectory("graft-abtest").toString
+    Seq((0L, "purchase", 300.0, new java.sql.Timestamp(0L)))
+      .toDF("user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(DataQuality.abTestReadout(spark, dir).count() == 0L)
+  }
+
   test("bloom-pruned join is bit-identical to the unpruned exact join") {
     val pruned = ScalePatterns.bloomPrunedJoin(spark, sf).collect()
     val plain = Tables.lineitem(spark, sf)

@@ -54,6 +54,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.filter(col("n_pixels") =!= col("n_frames") * Multimodal.FRAME_PX).isEmpty)
   }
 
+  test("corpus is pure ASCII (precondition of the mediaFeatures SQL oracle)") {
+    // mediaFeaturesSql re-derives StubCodec's byte math with DuckDB's
+    // CHARACTER-indexed substr/ascii — valid only while every payload
+    // byte is a single ASCII char. A non-ASCII doc (or an empty text,
+    // which the codec zero-fills but the oracle can't) must fail HERE,
+    // not as an opaque oracle hash flip.
+    val bad = Tables.documents(spark, sf)
+      .filter(length(encode(col("text"), "UTF-8")) =!= length(col("text")) ||
+        length(col("text")) === 0 || col("text").isNull)
+    assert(bad.isEmpty, "non-ASCII or empty documents break the mediaFeatures oracle")
+  }
+
   test("magic-byte sniffing detects planted container headers, text falls through") {
     import spark.implicits._
     def planted(header: Array[Int], tail: String = "rest-of-payload") =

@@ -245,6 +245,86 @@ class PlanGuardSpec extends AnyFunSuite {
     } finally Materializer.clear()
   }
 
+  /** Queries whose broadcast() hint covers a DECLARED-small side that is
+    * structurally a filtered/materialized base scan (no Aggregate/Limit
+    * in the hinted subtree to prove the bound):
+    *  - the ANN family broadcasts the query subset (`vec_id % QUERY_MOD`
+    *    filter of embeddings) — the operator contract is a bounded query
+    *    BATCH vs the corpus; a real deployment feeds a finite query set,
+    *    the synthetic filter just stands in for it;
+    *  - q_decontaminate broadcasts the eval bucket (eval sets are
+    *    benchmarks, not corpora — declared in the scaladoc);
+    *  - q_skew_join broadcasts the materialized hot-key set, which is
+    *    TakeOrdered(HOT_N)-bounded at construction but reads back as an
+    *    opaque graft-mat scan. */
+  private val broadcastHintAllowed = Set(
+    "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf", "q_ann_sq8", "q_ann_pq",
+    "q_knn_classify", "q_hard_negatives", "q_retrieval_eval", "q_hybrid_rrf",
+    "q_jl_projection", "q_mmr_diversify", "q_ivf_balance", "q_ivf_refine",
+    "q_ivf_refine2", "q_pq_distortion", "q_negative_pairs",
+    "q_decontaminate", "q_skew_join")
+
+  /** Table scans that may sit un-bounded under a broadcast() hint: the
+    * TPC-H dimension tables, declared broadcastable in Relational.scala.
+    * Fact/corpus tables (lineitem, orders, events, documents,
+    * embeddings) and Materializer read-backs (graft-mat-*, unbounded in
+    * general) are NOT on this list — hinting one of those is the r6
+    * verdict's driver-OOM shape. */
+  private val dimTables = Set("region", "nation", "customer", "supplier", "part")
+
+  private def isDimScan(
+      lr: org.apache.spark.sql.execution.datasources.LogicalRelation): Boolean =
+    lr.relation match {
+      case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        fs.location.rootPaths.forall { p =>
+          dimTables.exists(d => p.getName == s"$d.parquet")
+        }
+      case _ => false
+    }
+
+  /** A hinted subtree is bounded when every leaf path crosses an
+    * Aggregate or Limit before the exchange, or scans only declared
+    * dimension tables / local relations. (An Aggregate counts as a bound
+    * because every current hinted aggregate groups by a low-cardinality
+    * key or nothing; a per-document aggregate under a hint would need
+    * its own declared entry above.) */
+  private def hintBounded(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _: LocalLimit => true
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        isDimScan(lr)
+      case _: LocalRelation => true
+      case _: OneRowRelation => true
+      case other if other.children.isEmpty => true
+      case other => other.children.forall(hintBounded)
+    }
+  }
+
+  test("broadcast() hints bound their build side (no corpus/fact-sized broadcasts)") {
+    // The r6 verdict's one scale-killer: an explicit broadcast() whose
+    // input is an unbounded relation (corpus-sized split map, pair-graph
+    // label table) OOMs the driver at 100× even though AQE would have
+    // planned it fine un-hinted. Assert every remaining hint is bounded.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    try {
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+           if !broadcastHintAllowed(name)) {
+        val plan = fn(spark, sf).queryExecution.analyzed
+        val hints = plan.collectWithSubqueries {
+          case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+        }
+        hints.foreach { h =>
+          assert(hintBounded(h.child),
+            s"$name broadcast()s an unbounded relation:\n${h.child}")
+        }
+      }
+    } finally Materializer.clear()
+  }
+
   test("TPC-H shapes: filters reach the scans, dims broadcast, top-k distributed") {
     // q_shipping_priority: all three input filters must be IN the
     // parquet scans (a regression to post-scan filters reads the full
@@ -273,6 +353,62 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(bhj.size >= 4, s"expected >=4 broadcast joins, got ${bhj.size}:\n$q5s")
     assert(q5s.contains("GreaterThanOrEqual(o_orderdate,1999-01-01"),
       s"orders year-range filter not pushed:\n$q5s")
+
+    // q_late_orders (Q4 shape): the EXISTS must plan as a LEFT SEMI
+    // join (one output row per order regardless of late-item fan-in),
+    // and the quarter filter must reach the orders scan
+    val q4 = graft.operators.Relational.priorityLateOrders(spark, sf)
+      .queryExecution.sparkPlan
+    val semi = q4.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semi.nonEmpty, s"q_late_orders does not plan a semi-join:\n$q4")
+    assert(q4.toString.contains("GreaterThanOrEqual(o_orderdate,1997-07-01"),
+      s"q4 quarter filter not pushed:\n$q4")
+
+    // q_market_share (Q8 shape): every dimension (part, customer,
+    // nation ×2, region, supplier) broadcasts — the only shuffle is
+    // lineitem⋈orders — and the selective part-type filter reaches the
+    // part scan
+    val q8 = graft.operators.Relational.marketShare(spark, sf)
+      .queryExecution.sparkPlan
+    val q8bhj = q8.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(q8bhj.size >= 5, s"expected >=5 broadcast joins in q8, got ${q8bhj.size}:\n$q8")
+    assert(q8.toString.contains("EqualTo(p_type,PROMO)"),
+      s"q8 part-type filter not pushed:\n$q8")
+    assert(q8.toString.contains("GreaterThanOrEqual(o_orderdate,1997-01-01"),
+      s"q8 year-range filter not pushed:\n$q8")
+
+    // q_returned_items (Q10 shape): returnflag filter IN the lineitem
+    // scan, top-20 as distributed TakeOrderedAndProject
+    val q10 = graft.operators.Relational.returnedItems(spark, sf)
+      .queryExecution.sparkPlan
+    assert(q10.toString.contains("EqualTo(l_returnflag,R)"),
+      s"q10 returnflag filter not pushed:\n$q10")
+    assert(q10.collectFirst {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.isDefined, s"q10 top-k is not TakeOrderedAndProject:\n$q10")
+
+    // q_big_orders (Q18 shape): the HAVING aggregate joins UN-hinted
+    // (order-count-sized — broadcastability is AQE's runtime call, not
+    // a plan-time promise), and the top-100 is TakeOrderedAndProject
+    val q18an = graft.operators.Relational.bigOrders(spark, sf)
+      .queryExecution
+    val q18hints = q18an.analyzed.collectWithSubqueries {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.hints.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+    }
+    q18hints.foreach { h =>
+      assert(hintBounded(h.child),
+        s"q_big_orders broadcast()s an unbounded relation:\n${h.child}")
+    }
+    assert(q18an.sparkPlan.collectFirst {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.isDefined, s"q18 top-k is not TakeOrderedAndProject:\n${q18an.sparkPlan}")
 
     // q_bloom_prune: the bloom probe must sit pre-join in the lineitem
     // scan stage (a might_contain above the join would prune nothing)

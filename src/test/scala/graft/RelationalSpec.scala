@@ -167,15 +167,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(negSketch.sum == 3L * graft.functions.CountMinSketchAgg.D)
   }
 
-  test("HLL estimate within 5% of exact count per group (q_approx_distinct's no_oracle justification)") {
-    // the sketch is configured at 1% target rsd; assert a generous ≤5%
-    // observed relative error against the exact per-group countDistinct —
-    // the documented reason the query is registered rows-only
-    val exact = Tables.events(spark, sf)
+  test("HLL estimate within 5% of exact count per group (q_approx_distinct's oracle bound)") {
+    // the sketch is configured at 1% target rsd; pin a generous ≤5%
+    // observed relative error against the exact per-group countDistinct.
+    // q_approx_distinct's oracle asserts hll_within_5pct = 1 as a
+    // CONSTANT — this test is what licenses that constant (it measures
+    // the raw estimate the query no longer emits).
+    val errs = Tables.events(spark, sf)
       .groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("exact_users"))
-    val errs = Relational.approxDistinct(spark, sf)
-      .join(exact, Seq("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
       .select(col("event_type"),
         (abs(col("approx_users") - col("exact_users")).cast("double") /
           col("exact_users")).as("rel_err"))
@@ -185,6 +186,11 @@ class RelationalSpec extends AnyFunSuite {
       val e = r.getDouble(1)
       assert(e <= 0.05, s"${r.getString(0)}: HLL relative error $e exceeds 5%")
     }
+    // and the registered query's flag is TRUE on every row
+    val flags = Relational.approxDistinct(spark, sf).collect()
+    assert(flags.nonEmpty)
+    flags.foreach(r => assert(r.getAs[Long]("hll_within_5pct") == 1L,
+      s"${r.getString(0)}: hll_within_5pct flag is 0"))
   }
 
   test("revenue trend matches a plain-Scala regression recount") {

@@ -98,6 +98,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(cats.exceptAll(catsBatch).isEmpty && catsBatch.exceptAll(cats).isEmpty)
     // engagement scores present per epoch
     assert(spark.read.parquet(s"$work/out/engagement_scores").count() > 0)
+    // latency-quantiles rollup (VERDICT r6 #8): one row per epoch,
+    // ordered quantiles, counts reconciling with the raw metrics, and
+    // every quantile verified against a driver-side exact recount
+    val lat = StreamingAnalytics.latencyQuantiles(metrics).collect()
+    assert(lat.length == metrics.select(countDistinct(col("epoch_id"))).first().getLong(0))
+    assert(lat.map(_.getAs[Long]("n_records")).sum == 600L)
+    val raw = metrics.select("epoch_id", "latency_sec").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    lat.foreach { r =>
+      val vs = raw(r.getAs[Long]("epoch_id")).map(_._2).sorted
+      def exactQ(q: Double) = vs(math.ceil(vs.length * q).toInt - 1)
+      assert(r.getAs[Long]("min_sec") == vs.head && r.getAs[Long]("max_sec") == vs.last)
+      assert(r.getAs[Long]("p50_sec") == exactQ(0.5), "p50 mismatch")
+      assert(r.getAs[Long]("p90_sec") == exactQ(0.9), "p90 mismatch")
+      assert(r.getAs[Long]("p99_sec") == exactQ(0.99), "p99 mismatch")
+      assert(r.getAs[Long]("min_sec") <= r.getAs[Long]("p50_sec") &&
+        r.getAs[Long]("p50_sec") <= r.getAs[Long]("p90_sec") &&
+        r.getAs[Long]("p90_sec") <= r.getAs[Long]("p99_sec") &&
+        r.getAs[Long]("p99_sec") <= r.getAs[Long]("max_sec"))
+    }
   }
 
   test("restart from checkpoint resumes exactly where the stopped query left off (K7)") {

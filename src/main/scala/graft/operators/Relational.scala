@@ -1910,6 +1910,156 @@ object Relational {
       |GROUP BY 1,2,3,4,5
       |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
 
+  // ------------- TPC-H Q7 shape: directional two-nation trade volume
+  /** Bilateral trade volume between two nations by direction and ship
+    * year — the TPC-H Q7 shape: the SAME dimension (nation) enters
+    * twice with different roles (seller vs buyer), and the predicate is
+    * a DISJUNCTION over the role pair.
+    *
+    * Scale: both nation sides are pre-filtered to the two nations of
+    * interest BEFORE their (broadcast) joins — the inner joins then
+    * prune ~(1 - (2/|nations|)²) of the fact early and only the two
+    * wrong-direction combos need the residual filter; putting the
+    * disjunction after unfiltered joins would drag the whole fact
+    * through five joins first. */
+  def nationTradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val two = Seq("NATION_18", "NATION_19")
+    val sn = nation(spark, dir).filter(col("n_name").isin(two: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val cn = nation(spark, dir).filter(col("n_name").isin(two: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    lineitem(spark, dir)
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(revenueItem).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val nationTradeVolumeSql: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |       CAST(year(l_shipdate) AS INT) AS l_year,
+       |       CAST(sum($sqlRevenueItem) AS DOUBLE) AS revenue,
+       |       CAST(count(*) AS BIGINT) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |WHERE ((sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+       |    OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18'))
+       |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin
+
+  // ----------------- TPC-H Q14 shape: conditional share of one month
+  /** Promo-type revenue share for one ship month — the TPC-H Q14
+    * shape: a conditional-numerator/total-denominator percentage over a
+    * narrow time slice, computed in ONE aggregate (no self-join, no
+    * second scan). The month filter reaches the lineitem scan; part
+    * broadcasts. Both sums are exact decimal; ×100 and the division
+    * happen once in IEEE double, identically in both engines. */
+  def promoShare(spark: SparkSession, dir: String): DataFrame = {
+    val zero = lit(0).cast(dec)
+    lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1999-06-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1999-07-01 00:00:00")))
+      .join(broadcast(part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", revenueItem).otherwise(zero))
+          .cast(DoubleType) * 100.0 /
+          sum(revenueItem).cast(DoubleType)).as("promo_revenue_pct"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val promoShareSql: String =
+    s"""SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN $sqlRevenueItem
+       |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+       |         / CAST(sum($sqlRevenueItem) AS DOUBLE) AS promo_revenue_pct,
+       |       CAST(count(*) AS BIGINT) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1999-06-01 00:00:00'
+       |  AND l_shipdate <  TIMESTAMP '1999-07-01 00:00:00'""".stripMargin
+
+  // -------------- TPC-H Q15 shape: argmax via scalar-aggregate join
+  /** Top revenue supplier(s) of one quarter — the TPC-H Q15 shape: a
+    * per-supplier revenue view joined back to its own max. The rebuild
+    * materializes the view ONCE logically (same subtree both sides;
+    * Spark reuses the exchange) and equi-joins the 1-row max aggregate
+    * — never a global sort to find a maximum, and ties surface as
+    * multiple rows exactly like the reference query. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1999-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1999-04-01 00:00:00")))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenueItem).cast(DoubleType).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    supplier(spark, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(mx), col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |         CAST(sum($sqlRevenueItem) AS DOUBLE) AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+       |    AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
+       |  GROUP BY 1)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier JOIN rev ON s_suppkey = supplier_no
+       |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  // -------- TPC-H Q22 shape: global-average filter + NOT EXISTS anti
+  /** Above-average-balance customers with NO recent orders, rolled up
+    * per nation — the TPC-H Q22 shape: a scalar global-aggregate
+    * threshold (average positive balance) gating the probe side of a
+    * NOT EXISTS anti-join (the reference schema has no phone country
+    * code, so the rollup keys on c_nationkey; "dormant" = no order
+    * since 2000 — every customer has SOME order in the synthetic data,
+    * so the recency bound is what gives the anti-join selectivity).
+    *
+    * Scale: the 1-row average broadcasts; the anti-join shuffles
+    * customer against the date-pruned orders scan (the recency filter
+    * reaches the scan) — an anti-join never fans out, and the rollup
+    * runs on the surviving sliver. */
+  def dormantRich(spark: SparkSession, dir: String): DataFrame = {
+    val ab = customer(spark, dir).filter(col("c_acctbal") > 0.0)
+      .agg(davg(col("c_acctbal")).as("ab"))
+    val recent = orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01 00:00:00")))
+      .select(col("o_custkey"))
+    customer(spark, dir)
+      .crossJoin(broadcast(ab))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  val dormantRichSql: String =
+    s"""WITH avg_bal AS (
+       |  SELECT ${sqlDavg("c_acctbal")} AS ab
+       |  FROM customer WHERE c_acctbal > 0.0)
+       |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       |       ${sqlDsum("c_acctbal")} AS totacctbal
+       |FROM customer, avg_bal
+       |WHERE c_acctbal > ab
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------- association rules with lift
   /** Support floor for reported brand pairs (absolute order count). */
   private val LIFT_MIN_SUPPORT = 20L
@@ -1976,6 +2126,10 @@ object Relational {
     "q_market_share" -> marketShare _,
     "q_returned_items" -> returnedItems _,
     "q_big_orders" -> bigOrders _,
+    "q_nation_trade" -> nationTradeVolume _,
+    "q_promo_share" -> promoShare _,
+    "q_top_supplier" -> topSupplier _,
+    "q_dormant_rich" -> dormantRich _,
     "q_basket_lift" -> basketLift _,
     "q_audience_overlap" -> audienceOverlap _,
     "q_dau_stickiness"   -> dauStickiness _,
@@ -2023,6 +2177,10 @@ object Relational {
     "q_market_share" -> marketShareSql,
     "q_returned_items" -> returnedItemsSql,
     "q_big_orders" -> bigOrdersSql,
+    "q_nation_trade" -> nationTradeVolumeSql,
+    "q_promo_share" -> promoShareSql,
+    "q_top_supplier" -> topSupplierSql,
+    "q_dormant_rich" -> dormantRichSql,
     "q_basket_lift" -> basketLiftSql,
     "q_audience_overlap" -> audienceOverlapSql,
     "q_dau_stickiness"   -> dauStickinessSql,

@@ -141,7 +141,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_funnel",
     // q_quality_lift: 1-row corpus base-rate broadcast over the ≤10-row
     // score-bin aggregate (Curation.qualityLift)
-    "q_quality_lift")
+    "q_quality_lift",
+    // q_dormant_rich: 1-row average-balance broadcast over the customer
+    // scan (the TPC-H Q22 scalar threshold — Relational.dormantRich)
+    "q_dormant_rich")
 
   private def plans: Seq[(String, SparkPlan)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -304,6 +307,43 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("hintBounded rejects the removed scale-killer shapes (guard self-test)") {
+    // The exact patterns VERDICT r6 flagged: a broadcast() over a
+    // corpus-sized base-scan projection, and over a Materializer
+    // read-back. If hintBounded ever stops rejecting these, the guard
+    // above is green vacuously.
+    import org.apache.spark.sql.functions.{broadcast, col, pmod}
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), pmod(col("doc_id"), org.apache.spark.sql.functions.lit(10)).as("h"))
+    val hint = broadcast(docs).queryExecution.analyzed.collectFirst {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hint.isDefined && !hintBounded(hint.get.child),
+      "guard no longer rejects a broadcast over a corpus-sized projection")
+    try {
+      val mat = Materializer.materialize(Materializer.tagFor("guardselftest", sf),
+        Tables.documents(spark, sf).select(col("doc_id")))
+      val mhint = broadcast(mat).queryExecution.analyzed.collectFirst {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(mhint.isDefined && !hintBounded(mhint.get.child),
+        "guard no longer rejects a broadcast over a Materializer read-back")
+    } finally Materializer.clear()
+    // and the bounded shapes stay accepted: a 1-row aggregate and a dim scan
+    val agg = broadcast(Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.count(col("doc_id")).as("n")))
+    val ahint = agg.queryExecution.analyzed.collectFirst {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(ahint.isDefined && hintBounded(ahint.get.child),
+      "guard started rejecting 1-row aggregate broadcasts")
+    val dim = broadcast(Tables.nation(spark, sf)).queryExecution.analyzed.collectFirst {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(dim.isDefined && hintBounded(dim.get.child),
+      "guard started rejecting dimension-table broadcasts")
+  }
+
   test("broadcast() hints bound their build side (no corpus/fact-sized broadcasts)") {
     // The r6 verdict's one scale-killer: an explicit broadcast() whose
     // input is an unbounded relation (corpus-sized split map, pair-graph
@@ -409,6 +449,50 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(q18an.sparkPlan.collectFirst {
       case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
     }.isDefined, s"q18 top-k is not TakeOrderedAndProject:\n${q18an.sparkPlan}")
+
+    // q_nation_trade (Q7 shape): nations pre-filtered into the
+    // broadcast sides (the filter must reach the nation scans, not sit
+    // above the joins), ≥4 broadcast joins around the one fact shuffle
+    val q7 = graft.operators.Relational.nationTradeVolume(spark, sf)
+      .queryExecution.sparkPlan
+    assert(q7.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.size >= 4, s"expected >=4 broadcast joins in q7:\n$q7")
+    assert(q7.toString.contains("In(n_name") || q7.toString.contains("EqualTo(n_name"),
+      s"q7 nation filter not pushed to the nation scans:\n$q7")
+
+    // q_promo_share (Q14 shape): the month filter reaches the lineitem
+    // scan; ONE aggregate computes both numerator and denominator
+    val q14 = graft.operators.Relational.promoShare(spark, sf)
+      .queryExecution.sparkPlan
+    assert(q14.toString.contains("GreaterThanOrEqual(l_shipdate,1999-06-01"),
+      s"q14 month filter not pushed:\n$q14")
+
+    // q_top_supplier (Q15 shape): the argmax is an equi-join against a
+    // 1-row max aggregate (broadcast build side containing an
+    // aggregate) — never a ranking window / per-row sort of the
+    // revenue view
+    val q15 = graft.operators.Relational.topSupplier(spark, sf)
+      .queryExecution.sparkPlan
+    assert(q15.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.children.exists(hasAggBelow) => j
+    }.nonEmpty, s"q15 argmax is not a broadcast join on the max aggregate:\n$q15")
+    assert(q15.collectWithSubqueries {
+      case w: WindowExec => w
+      case w: WindowGroupLimitExec => w
+    }.isEmpty, s"q15 plans a window for the argmax:\n$q15")
+
+    // q_dormant_rich (Q22 shape): NOT EXISTS plans as LEFT ANTI and the
+    // recency filter reaches the orders scan
+    val q22 = graft.operators.Relational.dormantRich(spark, sf)
+      .queryExecution.sparkPlan
+    assert(q22.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }.nonEmpty, s"q22 does not plan an anti-join:\n$q22")
+    assert(q22.toString.contains("GreaterThanOrEqual(o_orderdate,2000-01-01"),
+      s"q22 recency filter not pushed:\n$q22")
 
     // q_bloom_prune: the bloom probe must sit pre-join in the lineitem
     // scan stage (a might_contain above the join would prune nothing)

@@ -507,7 +507,91 @@ object Curation {
        |         (CAST(t_dups AS DOUBLE) / CAST(t_docs AS DOUBLE)) END AS lift
        |FROM b, tot ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------ filter cascade
+  /** C4/Gopher-style STAGED filter funnel with per-rule attrition — the
+    * artifact a curation run reports before anyone trusts its output:
+    * rules apply in a fixed order, and each stage's kill count is
+    * measured over the SURVIVORS of the previous stages (a rule's raw
+    * hit rate and its marginal attrition differ wildly once earlier
+    * rules overlap it). Rules, in order:
+    *   1 min_tokens   — ≥ 20 tokens (fragment gate)
+    *   2 diversity    — distinct/total tokens ≥ 0.35 (repetition gate)
+    *   3 common_words — ≥ 2 stopwords (Gopher's "has common words")
+    *   4 word_length  — mean token length in [3, 6] (symbol-soup gate)
+    *
+    * Scale: ONE explode + per-doc aggregate computes every per-doc
+    * metric (count / distinct / char-sum / stopword-sum share the
+    * shuffle), the funnel itself is a 1-row conditional aggregate, and
+    * the 4 output rows are integer arithmetic over that row — nothing
+    * downstream of the single token shuffle grows with the corpus. */
+  def filterCascade(spark: SparkSession, dir: String): DataFrame = {
+    val stop = TextOps.stopWordsAll
+    val per = documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt"),
+        countDistinct(col("tok")).as("nd"),
+        sum(length(col("tok")).cast("long")).as("tokchars"),
+        sum(when(col("tok").isin(stop: _*), 1L).otherwise(0L)).as("nstop"))
+    val b1 = col("nt") >= 20L
+    val b2 = col("nd").cast("double") / col("nt") >= 0.35
+    val b3 = col("nstop") >= 2L
+    val b4 = (col("tokchars").cast("double") / col("nt")).between(3.0, 6.0)
+    val a = per.agg(
+      count(lit(1)).as("n"),
+      sum(when(!b1, 1L).otherwise(0L)).as("f1"),
+      sum(when(b1 && !b2, 1L).otherwise(0L)).as("f2"),
+      sum(when(b1 && b2 && !b3, 1L).otherwise(0L)).as("f3"),
+      sum(when(b1 && b2 && b3 && !b4, 1L).otherwise(0L)).as("f4"))
+    val in1 = col("n")
+    val in2 = in1 - col("f1")
+    val in3 = in2 - col("f2")
+    val in4 = in3 - col("f3")
+    a.select(explode(array(
+        struct(lit(1).as("stage"), lit("min_tokens").as("rule"),
+          in1.as("n_in"), col("f1").as("n_fail"), in2.as("n_out")),
+        struct(lit(2).as("stage"), lit("diversity").as("rule"),
+          in2.as("n_in"), col("f2").as("n_fail"), in3.as("n_out")),
+        struct(lit(3).as("stage"), lit("common_words").as("rule"),
+          in3.as("n_in"), col("f3").as("n_fail"), in4.as("n_out")),
+        struct(lit(4).as("stage"), lit("word_length").as("rule"),
+          in4.as("n_in"), col("f4").as("n_fail"),
+          (in4 - col("f4")).as("n_out")))).as("r"))
+      .select(col("r.*"))
+      .orderBy("stage")
+  }
+
+  val filterCascadeSql: String = {
+    val stopList = TextOps.stopWordsAll.map("'" + _ + "'").mkString("[", ",", "]")
+    s"""WITH per AS (
+       |  SELECT doc_id, count(*) AS nt, count(DISTINCT tok) AS nd,
+       |         CAST(sum(length(tok)) AS BIGINT) AS tokchars,
+       |         CAST(sum(CASE WHEN list_contains($stopList, tok) THEN 1 ELSE 0 END) AS BIGINT) AS nstop
+       |  FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents)
+       |  GROUP BY 1),
+       |f AS (SELECT nt >= 20 AS b1,
+       |             CAST(nd AS DOUBLE) / nt >= 0.35 AS b2,
+       |             nstop >= 2 AS b3,
+       |             CAST(tokchars AS DOUBLE) / nt BETWEEN 3.0 AND 6.0 AS b4
+       |      FROM per),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN NOT b1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       |         CAST(sum(CASE WHEN b1 AND NOT b2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       |         CAST(sum(CASE WHEN b1 AND b2 AND NOT b3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+       |         CAST(sum(CASE WHEN b1 AND b2 AND b3 AND NOT b4 THEN 1 ELSE 0 END) AS BIGINT) AS f4
+       |  FROM f)
+       |SELECT CAST(1 AS INT) AS stage, 'min_tokens' AS rule,
+       |       n AS n_in, f1 AS n_fail, n - f1 AS n_out FROM agg
+       |UNION ALL SELECT 2, 'diversity', n - f1, f2, n - f1 - f2 FROM agg
+       |UNION ALL SELECT 3, 'common_words', n - f1 - f2, f3, n - f1 - f2 - f3 FROM agg
+       |UNION ALL SELECT 4, 'word_length', n - f1 - f2 - f3, f4,
+       |                 n - f1 - f2 - f3 - f4 FROM agg
+       |ORDER BY stage""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_cascade"      -> filterCascade _,
     "q_quality_lift"        -> qualityLift _,
     "q_balanced_sample"     -> balancedSample _,
     "q_quality_calibrated"  -> qualityCalibrated _,
@@ -519,6 +603,7 @@ object Curation {
     "q_dsir_weights"        -> dsirWeights _)
 
   val oracles: Map[String, String] = Map(
+    "q_filter_cascade"      -> filterCascadeSql,
     "q_quality_lift"        -> qualityLiftSql,
     "q_balanced_sample"     -> balancedSampleSql,
     "q_quality_calibrated"  -> qualityCalibratedSql,

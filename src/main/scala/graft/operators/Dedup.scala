@@ -208,16 +208,21 @@ object Dedup {
   // Signature in array land per doc → band signatures → bucket self-join
   // for candidates → exact Jaccard verification. The candidate step never
   // touches the O(n²) pair space.
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // Relational formulation: all 16 permutation minima as aggregate
-    // columns of ONE groupBy(doc_id) over the cached shingle index — no
-    // row blowup at all (round 1 crossed a perms table, multiplying the
-    // exploded index 16× through the shuffle). Band signatures are then
-    // scalar arithmetic over the 16 columns, unpivoted with posexplode.
-    // All hot-path arithmetic is codegen'd row work — the array-land
-    // alternative (nested HOF lambdas) is interpreted AND gets the
-    // shingle pipeline re-inlined into every lambda by project-collapse,
-    // which measured ~100× slower at sf0.1.
+  /** Raw LSH candidate pairs — band-signature collisions BEFORE the
+    * jaccard verification. Factored out of [[minhashLsh]] so the
+    * banding-quality audit ([[lshRecall]]) can grade exactly the
+    * candidate set the production query verifies.
+    *
+    * Relational formulation: all 16 permutation minima as aggregate
+    * columns of ONE groupBy(doc_id) over the cached shingle index — no
+    * row blowup at all (round 1 crossed a perms table, multiplying the
+    * exploded index 16× through the shuffle). Band signatures are then
+    * scalar arithmetic over the 16 columns, unpivoted with posexplode.
+    * All hot-path arithmetic is codegen'd row work — the array-land
+    * alternative (nested HOF lambdas) is interpreted AND gets the
+    * shingle pipeline re-inlined into every lambda by project-collapse,
+    * which measured ~100× slower at sf0.1. */
+  private def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleIndex(spark, dir)
     val mhAggs = A.indices.map(i =>
       min((col("sh") * A(i) + B(i)) % P).as(s"mh$i"))
@@ -233,21 +238,25 @@ object Dedup {
     val bands = Materializer.materialize(Materializer.tagFor("bands", dir),
       mh.select(col("doc_id"),
         posexplode(array(sigCols: _*)).as(Seq("band", "sig"))))
-    val cands = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    jaccardOf(cands, sh)
-      .filter(col("jaccard") >= JACCARD_T)
-      .orderBy("d1", "d2")
   }
 
-  val minhashLshSql: String = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    jaccardOf(lshCandidates(spark, dir), shingleIndex(spark, dir))
+      .filter(col("jaccard") >= JACCARD_T)
+      .orderBy("d1", "d2")
+
+  /** Shared CTE chain producing the raw LSH candidate pair set `cand`
+    * — used by both the verified-pair query and the recall audit. */
+  private lazy val sqlLshCandCtes: String = {
     val aList = A.mkString("[", ",", "]")
     val bList = B.mkString("[", ",", "]")
     val powList = POW31.mkString("[", ",", "]")
-    s"""WITH docs AS (
+    s"""docs AS (
        |  SELECT doc_id, ${sqlShingleHashes(sqlTokenHashes(sqlTokens("text")))} AS shingles
        |  FROM documents),
        |sigs AS (
@@ -265,7 +274,11 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  val minhashLshSql: String = {
+    s"""WITH $sqlLshCandCtes,
        |ex AS ($sqlShingleIndex),
        |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
        |common AS (
@@ -278,6 +291,53 @@ object Dedup {
        |WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= $JACCARD_T
        |ORDER BY d1, d2""".stripMargin
   }
+
+  // ------------------------------------------------- LSH banding audit
+  /** Banding-quality audit: recall/precision of the RAW LSH candidate
+    * set against the exact df-capped n-gram Jaccard ground truth
+    * ([[ngramJaccard]], threshold JACCARD_T) — the s-curve check every
+    * LSH deployment owes itself: bands×rows fixes a collision
+    * probability curve 1-(1-s^r)^b, and this query measures where the
+    * deployed (4×4) curve actually lands on this corpus. recall < 1
+    * means true near-dups slipped between the bands (missed dups ship
+    * to training); precision is the verification bill (every FP pays an
+    * exact-jaccard check in the production query).
+    *
+    * Scale: both inputs are pair-table-sized; the full-outer join
+    * shuffles on (d1,d2) and the rollup is one row. Integer ppm via
+    * floor division keeps the row hash-exact cross-engine. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccard(spark, dir).select(col("d1"), col("d2"))
+      .withColumn("t", lit(1L))
+    val cand = lshCandidates(spark, dir).withColumn("c", lit(1L))
+    truth.join(cand, Seq("d1", "d2"), "full_outer")
+      .agg(
+        sum(coalesce(col("t"), lit(0L))).as("n_true"),
+        sum(coalesce(col("c"), lit(0L))).as("n_cand"),
+        sum(when(col("t").isNotNull && col("c").isNotNull, 1L).otherwise(0L))
+          .as("tp"))
+      .select(col("n_true"), col("n_cand"), col("tp"),
+        when(col("n_true") === 0L, 0L)
+          .otherwise(expr("tp * 1000000 div n_true")).as("recall_ppm"),
+        when(col("n_cand") === 0L, 0L)
+          .otherwise(expr("tp * 1000000 div n_cand")).as("precision_ppm"))
+  }
+
+  val lshRecallSql: String =
+    s"""WITH $sqlLshCandCtes,
+       |truth AS (SELECT d1, d2 FROM ($ngramJaccardSql)),
+       |j AS (SELECT (t.d1 IS NOT NULL) AS is_t, (c.d1 IS NOT NULL) AS is_c
+       |      FROM truth t FULL OUTER JOIN cand c
+       |        ON t.d1 = c.d1 AND t.d2 = c.d2),
+       |agg AS (
+       |  SELECT CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |         CAST(sum(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       |         CAST(sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END) AS BIGINT) AS tp
+       |  FROM j)
+       |SELECT n_true, n_cand, tp,
+       |  CAST(CASE WHEN n_true = 0 THEN 0 ELSE tp * 1000000 // n_true END AS BIGINT) AS recall_ppm,
+       |  CAST(CASE WHEN n_cand = 0 THEN 0 ELSE tp * 1000000 // n_cand END AS BIGINT) AS precision_ppm
+       |FROM agg""".stripMargin
 
   // -------------------------------------------------------------- SimHash
   // 60-bit SimHash per doc from token hashes (with multiplicity), near-dup
@@ -538,6 +598,48 @@ object Dedup {
        |SELECT d AS doc_id, min(r) AS cluster_id,
        |       CAST(d = min(r) AS INT) AS is_keeper
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------- soft-dedup weights
+  /** Soft deduplication via sampling weights (the SemDeDup/D4 move):
+    * instead of DELETING near-duplicates, every document gets sampling
+    * weight 1/|cluster| — each near-dup cluster contributes one
+    * document's worth of expected training mass, but WHICH copy
+    * surfaces can still vary per epoch (deletion is the weight-0 [or
+    * keeper-only] special case, and hard-deleting borderline pairs
+    * throws away diversity the cluster still carries). Singletons keep
+    * weight 1. Integer ppm floor-division keeps the rows hash-exact.
+    *
+    * Scale: one cluster-size aggregate over the label table + one left
+    * join of docs against labels — both UN-hinted (the label table is
+    * corpus-proportional at a realistic dup rate; AQE broadcasts it only
+    * when its runtime size allows, same rule as [[leakageSafeSplit]]). */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(spark, dir)
+      .select(col("doc_id").as("d"), col("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+    documents(spark, dir).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("d"), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("csize"), lit(1L)).as("csize"))
+      .withColumn("weight_ppm", expr("1000000 div csize"))
+      .orderBy("doc_id")
+  }
+
+  val softDedupWeightsSql: String =
+    s"""WITH lbl AS (SELECT doc_id AS d, cluster_id FROM ($dedupClustersSql)),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+       |       FROM lbl GROUP BY 1)
+       |SELECT doc_id,
+       |       coalesce(lbl.cluster_id, doc_id) AS cluster_id,
+       |       coalesce(sz.csize, 1) AS csize,
+       |       CAST(1000000 // coalesce(sz.csize, 1) AS BIGINT) AS weight_ppm
+       |FROM documents
+       |LEFT JOIN lbl ON doc_id = lbl.d
+       |LEFT JOIN sz ON lbl.cluster_id = sz.cluster_id
+       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------- duplicated-span extraction
   /** Span k-gram width (tokens). */
@@ -1159,7 +1261,9 @@ object Dedup {
     "q_simhash_pairs"  -> simhashPairs _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_decontaminate"  -> decontaminate _,
-    "q_incremental_neardup" -> incrementalNearDup _)
+    "q_incremental_neardup" -> incrementalNearDup _,
+    "q_lsh_recall"     -> lshRecall _,
+    "q_softdedup_weights" -> softDedupWeights _)
 
   val oracles: Map[String, String] = Map(
     "q_best_keeper"    -> bestKeeperSql,
@@ -1180,5 +1284,7 @@ object Dedup {
     "q_simhash_pairs"  -> simhashPairsSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_decontaminate"  -> decontaminateSql,
-    "q_incremental_neardup" -> incrementalNearDupSql)
+    "q_incremental_neardup" -> incrementalNearDupSql,
+    "q_lsh_recall"     -> lshRecallSql,
+    "q_softdedup_weights" -> softDedupWeightsSql)
 }

@@ -367,4 +367,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected, s"edit near-dup mismatch: got=${got.take(3)} exp=${expected.take(3)}")
     assert(got.nonEmpty, "test data should contain at least one prefix near-dup")
   }
+
+  test("lsh recall audit: counts reconcile and every verified pair was a candidate") {
+    try {
+      val r = graft.operators.Dedup.lshRecall(spark, sf).collect()
+      assert(r.length == 1)
+      val (nTrue, nCand, tp) =
+        (r(0).getAs[Long]("n_true"), r(0).getAs[Long]("n_cand"), r(0).getAs[Long]("tp"))
+      assert(nTrue > 0 && nCand > 0)
+      assert(tp <= math.min(nTrue, nCand))
+      assert(r(0).getAs[Long]("recall_ppm") == tp * 1000000L / nTrue)
+      assert(r(0).getAs[Long]("precision_ppm") == tp * 1000000L / nCand)
+      // the production query verifies candidates with exact jaccard, so
+      // its output size can never exceed the candidate count — and true
+      // pairs the bands MISSED (recall < 1) must equal n_true - tp
+      val verified = graft.operators.Dedup.minhashLsh(spark, sf).count()
+      assert(verified <= nCand, s"verified $verified > candidates $nCand")
+    } finally graft.Materializer.clear()
+  }
+
+  test("soft-dedup weights: every doc weighted once, cluster mass ~1 doc") {
+    try {
+      val w = graft.operators.Dedup.softDedupWeights(spark, sf).collect()
+      val nDocs = Tables.documents(spark, sf).count()
+      assert(w.length == nDocs, "one weight row per document")
+      assert(w.map(_.getAs[Long]("doc_id")).distinct.length == nDocs)
+      w.foreach { r =>
+        val (cs, ppm) = (r.getAs[Long]("csize"), r.getAs[Long]("weight_ppm"))
+        assert(ppm == 1000000L / cs, s"weight not 1/csize: $r")
+        if (cs == 1L) assert(ppm == 1000000L)
+      }
+      // each cluster's total expected mass is ~1 document (floor slack < csize ppm)
+      w.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rows) =>
+        val mass = rows.map(_.getAs[Long]("weight_ppm")).sum
+        assert(mass <= 1000000L && mass > 1000000L - rows.length,
+          s"cluster $cid mass $mass off by more than floor slack")
+        // all members of one cluster agree on csize
+        assert(rows.map(_.getAs[Long]("csize")).distinct.length == 1)
+        assert(rows.length == rows.head.getAs[Long]("csize"))
+      }
+    } finally graft.Materializer.clear()
+  }
 }

@@ -526,17 +526,32 @@ object Curation {
     * downstream of the single token shuffle grows with the corpus. */
   def filterCascade(spark: SparkSession, dir: String): DataFrame = {
     val stop = TextOps.stopWordsAll
-    val per = documents(spark, dir)
+    // explode drops zero-token docs, so the metrics re-attach to the
+    // full corpus via a left join and coalesce to zero — a whitespace-
+    // only document must enter the funnel and FAIL min_tokens, not
+    // vanish from n_in (the funnel's contract is "every doc accounted
+    // for"; CurationSpec pins it on a planted empty-text fixture).
+    val tokAgg = documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("nt"),
-        countDistinct(col("tok")).as("nd"),
-        sum(length(col("tok")).cast("long")).as("tokchars"),
-        sum(when(col("tok").isin(stop: _*), 1L).otherwise(0L)).as("nstop"))
+      .agg(count(lit(1)).as("nt0"),
+        countDistinct(col("tok")).as("nd0"),
+        sum(length(col("tok")).cast("long")).as("tokchars0"),
+        sum(when(col("tok").isin(stop: _*), 1L).otherwise(0L)).as("nstop0"))
+    val per = documents(spark, dir).select(col("doc_id").as("did"))
+      .join(tokAgg, col("did") === col("doc_id"), "left")
+      .select(coalesce(col("nt0"), lit(0L)).as("nt"),
+        coalesce(col("nd0"), lit(0L)).as("nd"),
+        coalesce(col("tokchars0"), lit(0L)).as("tokchars"),
+        coalesce(col("nstop0"), lit(0L)).as("nstop"))
     val b1 = col("nt") >= 20L
-    val b2 = col("nd").cast("double") / col("nt") >= 0.35
+    // nt=0 docs divide by NULL, not zero (ANSI would error): the NULL
+    // ratio makes b2/b4 NULL, and every conjunction using them already
+    // has b1=false first, so a zero-token doc lands in f1 exactly once
+    val ntSafe = when(col("nt") > 0L, col("nt").cast("double"))
+    val b2 = col("nd").cast("double") / ntSafe >= 0.35
     val b3 = col("nstop") >= 2L
-    val b4 = (col("tokchars").cast("double") / col("nt")).between(3.0, 6.0)
+    val b4 = (col("tokchars").cast("double") / ntSafe).between(3.0, 6.0)
     val a = per.agg(
       count(lit(1)).as("n"),
       sum(when(!b1, 1L).otherwise(0L)).as("f1"),
@@ -563,16 +578,20 @@ object Curation {
 
   val filterCascadeSql: String = {
     val stopList = TextOps.stopWordsAll.map("'" + _ + "'").mkString("[", ",", "]")
-    s"""WITH per AS (
+    s"""WITH tokagg AS (
        |  SELECT doc_id, count(*) AS nt, count(DISTINCT tok) AS nd,
        |         CAST(sum(length(tok)) AS BIGINT) AS tokchars,
        |         CAST(sum(CASE WHEN list_contains($stopList, tok) THEN 1 ELSE 0 END) AS BIGINT) AS nstop
        |  FROM (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents)
        |  GROUP BY 1),
+       |per AS (
+       |  SELECT coalesce(nt, 0) AS nt, coalesce(nd, 0) AS nd,
+       |         coalesce(tokchars, 0) AS tokchars, coalesce(nstop, 0) AS nstop
+       |  FROM documents d LEFT JOIN tokagg t ON d.doc_id = t.doc_id),
        |f AS (SELECT nt >= 20 AS b1,
-       |             CAST(nd AS DOUBLE) / nt >= 0.35 AS b2,
+       |             CAST(nd AS DOUBLE) / nullif(nt, 0) >= 0.35 AS b2,
        |             nstop >= 2 AS b3,
-       |             CAST(tokchars AS DOUBLE) / nt BETWEEN 3.0 AND 6.0 AS b4
+       |             CAST(tokchars AS DOUBLE) / nullif(nt, 0) BETWEEN 3.0 AND 6.0 AS b4
        |      FROM per),
        |agg AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n,

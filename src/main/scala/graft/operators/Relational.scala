@@ -519,8 +519,14 @@ object Relational {
   // the ORACLE-MATCHABLE readout instead: the exact per-group distinct
   // plus a boolean attesting the HLL estimate landed within 5% of it
   // (constant TRUE when the sketch honors its 1% target rsd — DuckDB
-  // reproduces the row as exact distinct + literal 1). The estimate
-  // itself stays pinned by the RelationalSpec error-curve test. At
+  // reproduces the row as exact distinct + literal 1). This is NOT a
+  // probabilistic oracle: HLL++ is a deterministic hash sketch (no
+  // RNG), so for a fixed corpus + Spark version the estimate — and
+  // hence the flag — is bit-stable across runs, core counts, and
+  // partitionings; the 5× margin over the 1% target rsd absorbs a
+  // Spark-upgrade estimator drift, and the RelationalSpec error-curve
+  // test pins the observed error per SF so any future violation fails
+  // the SPEC with the measured number, not the oracle with a hash. At
   // 100 TB the exact countDistinct here is the expensive half — the
   // production fast path reads ONLY the HLL column; this query is the
   // calibration audit you run on a sample to certify that fast path.

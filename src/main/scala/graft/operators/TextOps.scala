@@ -666,9 +666,10 @@ object TextOps {
     * the n-gram language-id prediction — the one-number summary of
     * [[langConfusion]]'s matrix. Cohen's kappa in the exact-integer
     * form κ = (N·Σdiag − Σ r_k·c_k) / (N² − Σ r_k·c_k): every term is
-    * an int64 count product (safe while N < ~3·10⁹; beyond that the
-    * same formula runs in DECIMAL(38)), so both engines compute the
-    * identical rational before one IEEE division into micro-units.
+    * an exact integer count product — the N² terms run in DECIMAL(38)
+    * (oracle: HUGEINT), exact past the ~3·10⁹-doc point where int64 N²
+    * would overflow — so both engines compute the identical rational
+    * before one IEEE division into micro-units.
     * Cost: the confusion cells are one scan + one tiny aggregate; the
     * marginals join is |langs|². */
   def langKappa(spark: SparkSession, dir: String): DataFrame = {
@@ -684,6 +685,10 @@ object TextOps {
     val rows = cells.groupBy(col("claimed").as("k")).agg(sum(col("n")).as("r"))
     val cols = cells.groupBy(col("predicted").as("k")).agg(sum(col("n")).as("c"))
     val s = rows.join(cols, "k").agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("s"))
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val nDec = col("n_docs").cast(dec38)
+    val sDec = col("s").cast(dec38)
+    val agreeDec = col("n_agree").cast(dec38)
     agg.crossJoin(broadcast(s)).select(
       col("n_docs"), col("n_agree"),
       floor(col("n_agree").cast("double") * 1000000.0 / col("n_docs").cast("double"))
@@ -693,11 +698,15 @@ object TextOps {
         .cast("long").as("pe_ppm"),
       // pe=1 degenerate case (single label claimed AND predicted
       // everywhere ⇒ s == N²): κ is 0/0 — report 0 instead of letting
-      // the ANSI cast of floor(Infinity) error the query
-      when(col("n_docs") * col("n_docs") === col("s"), lit(0L))
+      // the ANSI cast of floor(Infinity) error the query. The N² terms
+      // run in DECIMAL(38) (oracle: HUGEINT) so the guard AND the
+      // numerator/denominator stay exact past the ~3·10⁹-doc point
+      // where int64 N² overflows; both engines convert the same exact
+      // integers to double for the one final division.
+      when(nDec * nDec === sDec, lit(0L))
         .otherwise(
-          floor((col("n_docs") * col("n_agree") - col("s")).cast("double") * 1000000.0 /
-            (col("n_docs") * col("n_docs") - col("s")).cast("double") + lit(0.5))
+          floor((nDec * agreeDec - sDec).cast("double") * 1000000.0 /
+            (nDec * nDec - sDec).cast("double") + lit(0.5))
             .cast("long")).as("kappa_mu"))
   }
 
@@ -726,9 +735,9 @@ object TextOps {
        |  CAST(floor(CAST(n_agree AS DOUBLE) * 1000000.0 / CAST(n_docs AS DOUBLE)) AS BIGINT) AS po_ppm,
        |  CAST(floor(CAST(s AS DOUBLE) * 1000000.0
        |             / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))) AS BIGINT) AS pe_ppm,
-       |  CASE WHEN n_docs * n_docs = s THEN CAST(0 AS BIGINT)
-       |       ELSE CAST(floor(CAST(n_docs * n_agree - s AS DOUBLE) * 1000000.0
-       |                  / CAST(n_docs * n_docs - s AS DOUBLE) + 0.5) AS BIGINT)
+       |  CASE WHEN CAST(n_docs AS HUGEINT) * n_docs = s THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(floor(CAST(CAST(n_docs AS HUGEINT) * n_agree - s AS DOUBLE) * 1000000.0
+       |                  / CAST(CAST(n_docs AS HUGEINT) * n_docs - s AS DOUBLE) + 0.5) AS BIGINT)
        |  END AS kappa_mu
        |FROM agg, s""".stripMargin
   }

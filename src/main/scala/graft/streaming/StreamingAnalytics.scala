@@ -226,13 +226,13 @@ object StreamingAnalytics {
     * `q_kmv_distinct` does: (k−1)·M/h₍k₎ once the sketch is full.
     *
     * The driver-side merge is bounded BOTH ways: ≤ k longs per key
-    * (the sketch) AND ≤ `maxKeys` keys per batch (smallest keys win,
-    * deterministically) — an unbounded KEY cardinality would otherwise
-    * grow the collect and the accumulator without limit. A batch whose
-    * key count exceeds `maxKeys` fails loudly rather than silently
-    * dropping sketches; callers tracking genuinely high-cardinality
-    * keys should use the stateful `transformWithState` path instead of
-    * this driver-merged demo. */
+    * (the sketch) AND ≤ `maxKeys` distinct keys per batch — an
+    * unbounded KEY cardinality would otherwise grow the collect and
+    * the accumulator without limit. The key bound is ENFORCED, not a
+    * truncation: a batch exceeding `maxKeys` keys fails the query
+    * loudly (no sketch is ever silently dropped). Callers tracking
+    * genuinely high-cardinality keys should use the stateful
+    * `transformWithState` path instead of this driver-merged demo. */
   def runKmvAccumulation(ev: DataFrame, key: String, idCol: String,
                          checkpointDir: String,
                          k: Int = graft.operators.ScalePatterns.KMV_K,

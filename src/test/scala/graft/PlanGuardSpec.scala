@@ -285,24 +285,48 @@ class PlanGuardSpec extends AnyFunSuite {
       case _ => false
     }
 
-  /** A hinted subtree is bounded when every leaf path crosses an
-    * Aggregate or Limit before the exchange, or scans only declared
-    * dimension tables / local relations. (An Aggregate counts as a bound
-    * because every current hinted aggregate groups by a low-cardinality
-    * key or nothing; a per-document aggregate under a hint would need
-    * its own declared entry above.) */
+  /** Grouping columns declared LOW-CARDINALITY (bounded independent of
+    * corpus size): enum-like attributes, calendar buckets, and
+    * constant-size derived keys. An Aggregate under a broadcast() hint
+    * is bounded ONLY when it groups by nothing (1 row) or exclusively
+    * by these — a per-document/per-user grouped aggregate is
+    * corpus-sized and must NOT slip through as "bounded". */
+  private val lowCardGroupCols = Set(
+    // enum-like table attributes
+    "event_type", "c_mktsegment", "o_orderpriority", "o_orderstatus",
+    "l_returnflag", "l_linestatus", "source", "lang", "kind",
+    "claimed_lang", "claimed", "predicted", "n_name", "r_name",
+    "p_brand", "p_type",
+    // calendar / bucket keys (calendar-bounded or constant-size domains
+    // — a DATE grows with the time horizon, ~365 rows/year, never with
+    // event volume)
+    "iso_dow", "hod", "hour", "day", "band", "bucket", "decile", "quantile",
+    "split", "seg", "cohort", "c0", "brand", "brand_a", "brand_b",
+    "type_a", "type_b", "subspace", "cell", "arm", "stage")
+
+  /** A hinted subtree is bounded when every leaf path crosses a 1-row /
+    * low-cardinality Aggregate or a Limit before the exchange, or scans
+    * only declared dimension tables / local relations. Unknown leaf
+    * nodes are UNBOUNDED by default — a new scan type (e.g. a
+    * DataSourceV2Relation) must be classified here before a hint over
+    * it can pass. */
   private def hintBounded(
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     p match {
-      case _: Aggregate => true
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty ||
+          a.groupingExpressions.flatMap(_.references.toSeq.map(_.name))
+            .forall(lowCardGroupCols)
       case _: GlobalLimit => true
       case _: LocalLimit => true
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         isDimScan(lr)
       case _: LocalRelation => true
       case _: OneRowRelation => true
-      case other if other.children.isEmpty => true
+      case _: Range => true // spark.range: literal-bounded generator
+      case other if other.children.isEmpty =>
+        false // unknown leaf = unbounded until declared
       case other => other.children.forall(hintBounded)
     }
   }
@@ -329,6 +353,17 @@ class PlanGuardSpec extends AnyFunSuite {
       assert(mhint.isDefined && !hintBounded(mhint.get.child),
         "guard no longer rejects a broadcast over a Materializer read-back")
     } finally Materializer.clear()
+    // a CORPUS-CARDINALITY grouped aggregate is the subtle variant of
+    // the same OOM shape (one row per document is still corpus-sized) —
+    // it must NOT count as bounded just because an Aggregate node exists
+    val perDoc = broadcast(Tables.documents(spark, sf)
+      .groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.count(col("doc_id")).as("n")))
+    val phint = perDoc.queryExecution.analyzed.collectFirst {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(phint.isDefined && !hintBounded(phint.get.child),
+      "guard no longer rejects a broadcast over a per-document aggregate")
     // and the bounded shapes stay accepted: a 1-row aggregate and a dim scan
     val agg = broadcast(Tables.documents(spark, sf)
       .agg(org.apache.spark.sql.functions.count(col("doc_id")).as("n")))

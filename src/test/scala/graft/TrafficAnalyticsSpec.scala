@@ -174,11 +174,15 @@ class TrafficAnalyticsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has either an oracle or is documented rows-only") {
-    // rows-only by design: stub codec (not SQL-expressible) and HLL
-    // sketch (approximate by design)
-    val rowsOnly = Set("q_media_features", "q_approx_distinct")
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+  test("every registered query has a DuckDB oracle (rows-only class extinct)") {
+    // Round 7 oracled the last two rows-only queries (q_media_features
+    // via the stub codec's SQL-expressible byte math, q_approx_distinct
+    // via its bound-check readout) — the exemption set is gone, so a
+    // future query can only register WITH an oracle or fail here.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
+    // and no orphan oracles for unregistered queries
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query: $orphans")
   }
 }

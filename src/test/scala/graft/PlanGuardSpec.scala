@@ -108,6 +108,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // q_leakage_safe_split: 1-row cross-pair count broadcast onto the
     // 3-row split rollup (Dedup.leakageSafeSplit)
     "q_basket_lift", "q_dq_constraints", "q_leakage_safe_split",
+    // q_important_stock: 1-row nation-total broadcast as the Q11 HAVING
+    // threshold (TpchDecision.importantStock)
+    "q_important_stock",
     // q_ngram_novelty: 1-row max-doc-id broadcast for decile bucketing
     "q_ngram_novelty",
     // q_lang_kappa: 1-row marginal-product broadcast onto the 1-row
@@ -539,5 +542,122 @@ class PlanGuardSpec extends AnyFunSuite {
     }
     assert(probeBelowJoin.isDefined,
       s"bloom probe is not below the exact join:\n$qb")
+  }
+
+  /** Concatenated UN-truncated PushedFilters across every scan in the
+    * plan — `plan.toString` truncates long filter lists, so a pushdown
+    * assertion against it can fail on a healthy plan. */
+  private def pushedFilters(p: org.apache.spark.sql.execution.SparkPlan): String =
+    p.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString("; ")
+
+  test("TPC-H decision shapes (Q2/6/9/11/12/13/16/17/19/20/21) plan pins") {
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+    import org.apache.spark.sql.catalyst.plans.{LeftSemi, LeftAnti, LeftOuter}
+    val T = graft.operators.TpchDecision
+
+    // Q6: the whole query is ONE scan — every predicate pushed, no join
+    // anywhere (a join or a post-scan filter here reads the full fact
+    // at 100 TB for a 3-column aggregate)
+    val q6 = T.forecastRevenue(spark, sf).queryExecution.sparkPlan
+    val q6f = pushedFilters(q6)
+    assert(q6f.contains("GreaterThanOrEqual(l_shipdate,1997-01-01"),
+      s"q6 date filter not pushed:\n$q6f")
+    assert(q6f.contains("LessThan(l_quantity,24"),
+      s"q6 quantity filter not pushed:\n$q6f")
+    assert(q6.collectWithSubqueries { case j: BaseJoinExec => j }.isEmpty,
+      s"q6 plans a join for a scan-only aggregate:\n$q6")
+
+    // Q12: ship-year range reaches the lineitem scan; one aggregate
+    val q12 = T.shipmodePriority(spark, sf).queryExecution.sparkPlan
+    assert(pushedFilters(q12).contains("GreaterThanOrEqual(l_shipdate,1998-01-01"),
+      s"q12 ship-year filter not pushed:\n${pushedFilters(q12)}")
+
+    // Q13: the join must be LEFT OUTER (an inner join silently drops
+    // the zero-order customers the distribution exists to count)
+    val q13 = T.custOrderDist(spark, sf).queryExecution.sparkPlan
+    assert(q13.collectWithSubqueries {
+      case j: BaseJoinExec if j.joinType == LeftOuter => j
+    }.nonEmpty, s"q13 outer join degraded to inner:\n$q13")
+
+    // Q19: the OR-of-conjunctions rides the partkey equi-join as a
+    // residual — the join stays a broadcast HASH join, never nested-loop
+    val q19 = T.disjunctiveRevenue(spark, sf).queryExecution.sparkPlan
+    assert(q19.collectWithSubqueries {
+      case j: BroadcastHashJoinExec => j
+    }.nonEmpty, s"q19 disjunctive join is not a broadcast hash join:\n$q19")
+
+    // Q17: the per-part threshold is an aggregate joined back UN-hinted
+    // (part-catalog-sized — AQE's call), and no window sneaks in
+    val q17an = T.smallQtyRevenue(spark, sf).queryExecution
+    q17an.analyzed.collectWithSubqueries {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          if h.hints.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+    }.foreach { h =>
+      assert(hintBounded(h.child),
+        s"q17 broadcast()s an unbounded relation:\n${h.child}")
+    }
+    assert(q17an.sparkPlan.collectWithSubqueries {
+      case w: WindowExec => w
+      case w: WindowGroupLimitExec => w
+    }.isEmpty, s"q17 plans a window:\n${q17an.sparkPlan}")
+
+    // Q2: min-per-part join-back, top-k as TakeOrderedAndProject, no
+    // window for the argmin
+    val q2 = T.minCostSupplier(spark, sf).queryExecution.sparkPlan
+    assert(q2.collectFirst {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.isDefined, s"q2 top-k is not TakeOrderedAndProject:\n$q2")
+    assert(q2.collectWithSubqueries {
+      case w: WindowExec => w
+      case w: WindowGroupLimitExec => w
+    }.isEmpty, s"q2 plans a window for the argmin:\n$q2")
+
+    // Q9: the part-name LIKE prunes the part scan (StringContains
+    // pushdown), dims broadcast around the one fact shuffle
+    val q9 = T.productProfit(spark, sf).queryExecution.sparkPlan
+    assert(pushedFilters(q9).contains("StringContains(p_name,widget)"),
+      s"q9 part-name filter not pushed to the part scan:\n${pushedFilters(q9)}")
+    assert(q9.collectWithSubqueries {
+      case j: BroadcastHashJoinExec => j
+    }.size >= 3, s"q9 dims not broadcast:\n$q9")
+
+    // Q11: the nation gate reaches the nation scan; the HAVING scalar
+    // is a declared 1-row broadcast (guard sweep covers boundedness)
+    val q11 = T.importantStock(spark, sf).queryExecution.sparkPlan
+    assert(pushedFilters(q11).contains("EqualTo(n_name,NATION_7)"),
+      s"q11 nation filter not pushed:\n${pushedFilters(q11)}")
+
+    // Q16: NOT IN plans as LEFT ANTI (never a filter over a collected
+    // list or a nested loop)
+    val q16 = T.supplierCnt(spark, sf).queryExecution.sparkPlan
+    assert(q16.collectWithSubqueries {
+      case j: BaseJoinExec if j.joinType == LeftAnti => j
+    }.nonEmpty, s"q16 NOT-IN is not an anti-join:\n$q16")
+
+    // Q20: nested IN plans as LEFT SEMI; the ship-year reaches the scan
+    val q20 = T.excessSupply(spark, sf).queryExecution.sparkPlan
+    assert(q20.collectWithSubqueries {
+      case j: BaseJoinExec if j.joinType == LeftSemi => j
+    }.nonEmpty, s"q20 IN is not a semi-join:\n$q20")
+    assert(pushedFilters(q20).contains("GreaterThanOrEqual(l_shipdate,1997-01-01"),
+      s"q20 ship-year filter not pushed:\n${pushedFilters(q20)}")
+
+    // Q21: EXISTS → LEFT SEMI and NOT EXISTS → LEFT ANTI must BOTH be
+    // present — semi/anti emit each probe row at most once, so the
+    // double correlation never fans out
+    val q21 = T.waitingOrders(spark, sf).queryExecution.sparkPlan
+    assert(q21.collectWithSubqueries {
+      case j: BaseJoinExec if j.joinType == LeftSemi => j
+    }.nonEmpty, s"q21 EXISTS is not a semi-join:\n$q21")
+    assert(q21.collectWithSubqueries {
+      case j: BaseJoinExec if j.joinType == LeftAnti => j
+    }.nonEmpty, s"q21 NOT EXISTS is not an anti-join:\n$q21")
+    assert(q21.collectFirst {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.isDefined, s"q21 top-k is not TakeOrderedAndProject:\n$q21")
   }
 }

@@ -71,4 +71,15 @@ object Tables {
     s"CAST(sum(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
   def sqlDavg(col: String): String =
     s"CAST(sum(CAST($col AS DECIMAL(18,2))) AS DOUBLE) / count($col)"
+
+  /** TPC-H revenue item l_extendedprice × (1 − l_discount), exact in
+    * decimal — the money discipline shared by every TPC-H-shaped query
+    * (Relational.scala, TpchDecision.scala) and its oracle mirror. One
+    * definition so a precision change can never make the two query
+    * families diverge from each other. */
+  def revenueItem: Column =
+    col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1) - col("l_discount").cast(DecimalType(18, 2)))
+  val sqlRevenueItem: String =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 }

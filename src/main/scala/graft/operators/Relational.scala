@@ -31,12 +31,7 @@ object Relational {
 
   private val dec: DataType = DecimalType(18, 2)
 
-  /** revenue item: l_extendedprice * (1 - l_discount), exact in decimal. */
-  private def revenueItem: Column =
-    col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))
-
-  private val sqlRevenueItem =
-    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+  // revenueItem / sqlRevenueItem come from Tables (shared money discipline)
 
   // TPC-H Q1 shape: scan-side filter + wide hash aggregate.
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =

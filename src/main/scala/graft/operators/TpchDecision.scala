@@ -34,11 +34,7 @@ object TpchDecision {
   private val dec: DataType = DecimalType(18, 2)
   private val dec30: DataType = DecimalType(30, 4)
 
-  private def revenueItem: Column =
-    col("l_extendedprice").cast(dec) * (lit(1) - col("l_discount").cast(dec))
-
-  private val sqlRevenueItem =
-    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+  // revenueItem / sqlRevenueItem come from Tables (shared money discipline)
 
   // ----------------------- TPC-H Q6 shape: scan-only filtered aggregate
   /** Revenue increase if mid-band discounts on small lots had been
@@ -189,10 +185,16 @@ object TpchDecision {
     * IEEE double op on decimal-exact inputs — DuckDB reproduces them
     * bit-for-bit. */
   def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
-      .join(broadcast(part(spark, dir).filter(col("p_brand") === "Brand#5")
-        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    // the brand slice feeds BOTH the per-part average and the join-back
+    // probe; Spark has no common-subplan reuse, so without an explicit
+    // materialization the fact would be scanned twice (Materializer —
+    // the project's standard shared-subtree pattern)
+    val li = graft.Materializer.materialize(
+      graft.Materializer.tagFor("q17slice", dir),
+      lineitem(spark, dir)
+        .join(broadcast(part(spark, dir).filter(col("p_brand") === "Brand#5")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice")))
     val perPart = li.groupBy(col("l_partkey").as("pk"))
       .agg(davg(col("l_quantity")).as("avg_qty"))
     li.join(perPart, col("l_partkey") === col("pk") &&
@@ -238,12 +240,16 @@ object TpchDecision {
       .select(col("s_suppkey").as("sk"), col("s_name"), col("s_acctbal"), col("n_name"))
     // gate the fact to EU lines BEFORE the aggregate (a broadcast
     // semi-join on the dim-derived key set): the per-(part, supplier)
-    // rollup then only sees the region's share of the fact
-    val supply = lineitem(spark, dir)
-      .join(broadcast(euSupp.select(col("sk"))),
-        col("l_suppkey") === col("sk"), "left_semi")
-      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("psk"))
-      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+    // rollup then only sees the region's share of the fact. The rollup
+    // feeds BOTH the per-part min and the join-back probe — materialized
+    // once (catalog×suppliers-sized) so the fact scans exactly once.
+    val supply = graft.Materializer.materialize(
+      graft.Materializer.tagFor("q2supply", dir),
+      lineitem(spark, dir)
+        .join(broadcast(euSupp.select(col("sk"))),
+          col("l_suppkey") === col("sk"), "left_semi")
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("psk"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost")))
       .join(broadcast(euSupp), col("psk") === col("sk"))
     val best = supply.groupBy(col("pk").as("bpk"))
       .agg(min(col("cost")).as("min_cost"))
@@ -332,10 +338,18 @@ object TpchDecision {
           .select(col("s_suppkey"))),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey"), col("l_extendedprice"))
-    val perPart = natLines.groupBy(col("l_partkey"))
-      .agg(dsum(col("l_extendedprice")).as("value"))
-    val total = natLines.agg(dsum(col("l_extendedprice")).as("total"))
-    perPart.crossJoin(broadcast(total))
+    // ONE fact scan: the per-part rollup keeps its sum in DECIMAL and is
+    // materialized; the grand total RE-AGGREGATES those exact partials
+    // (decimal sums are associative — bit-identical to summing the lines
+    // directly) instead of scanning the fact a second time
+    val perPart = graft.Materializer.materialize(
+      graft.Materializer.tagFor("q11pp", dir),
+      natLines.groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(dec)).as("value_dec")))
+    val total = perPart.agg(sum(col("value_dec")).cast(DoubleType).as("total"))
+    perPart
+      .select(col("l_partkey"), col("value_dec").cast(DoubleType).as("value"))
+      .crossJoin(broadcast(total))
       .filter(col("value") > col("total") * 0.001)
       .select(col("l_partkey"), col("value"))
       .orderBy(col("value").desc, col("l_partkey").asc)
@@ -361,9 +375,10 @@ object TpchDecision {
     * suppliers — the TPC-H Q16 shape: the NOT IN subquery plans as a
     * LEFT ANTI join (here against suppliers in arrears, the schema's
     * stand-in for the complaints LIKE), then a distinct-supplier count
-    * over the surviving catalog slice. The supplier-part pair set is
-    * derived from lineitem (no partsupp) and deduplicated BEFORE the
-    * rollup so each pair counts once. */
+    * over the surviving catalog slice. Supplier-part pairs derive from
+    * lineitem (no partsupp); the once-per-supplier semantics live in
+    * the countDistinct ITSELF — there is deliberately no pre-dedup of
+    * (part, supplier) pairs, which would add a shuffle for nothing. */
   def supplierCnt(spark: SparkSession, dir: String): DataFrame = {
     val flagged = supplier(spark, dir).filter(col("s_acctbal") < 0)
       .select(col("s_suppkey").as("bad_sk"))
@@ -404,11 +419,19 @@ object TpchDecision {
       .join(broadcast(part(spark, dir).filter(col("p_name").like("small%"))
         .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-    val perSup = f97.groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(dsum(col("l_quantity")).as("sqty"))
-    val perPart = f97.groupBy(col("l_partkey").as("pk2"))
-      .agg(dsum(col("l_quantity")).as("tqty"))
-    val dominating = perSup.join(perPart, col("l_partkey") === col("pk2"))
+    // ONE fact scan: the (part, supplier) rollup keeps DECIMAL sums and
+    // is materialized; the per-part total RE-AGGREGATES those exact
+    // partials (associative) rather than scanning the fact again
+    val perSup = graft.Materializer.materialize(
+      graft.Materializer.tagFor("q20ps", dir),
+      f97.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(dec)).as("sqty_dec")))
+    val perPart = perSup.groupBy(col("l_partkey").as("pk2"))
+      .agg(sum(col("sqty_dec")).cast(DoubleType).as("tqty"))
+    val dominating = perSup
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("sqty_dec").cast(DoubleType).as("sqty"))
+      .join(perPart, col("l_partkey") === col("pk2"))
       .filter(col("sqty") > col("tqty") * 0.5)
       .select(col("l_suppkey"))
     supplier(spark, dir)

@@ -557,6 +557,7 @@ class PlanGuardSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
     import org.apache.spark.sql.catalyst.plans.{LeftSemi, LeftAnti, LeftOuter}
     val T = graft.operators.TpchDecision
+    try {
 
     // Q6: the whole query is ONE scan — every predicate pushed, no join
     // anywhere (a join or a post-scan filter here reads the full fact
@@ -589,9 +590,17 @@ class PlanGuardSpec extends AnyFunSuite {
       case j: BroadcastHashJoinExec => j
     }.nonEmpty, s"q19 disjunctive join is not a broadcast hash join:\n$q19")
 
-    // Q17: the per-part threshold is an aggregate joined back UN-hinted
+    // Q17: the brand slice is materialized once (it feeds both the
+    // per-part average and the join-back probe — without this the fact
+    // scans twice), the threshold aggregate joins back UN-hinted
     // (part-catalog-sized — AQE's call), and no window sneaks in
     val q17an = T.smallQtyRevenue(spark, sf).queryExecution
+    assert(q17an.sparkPlan.toString.contains("graft-mat-"),
+      s"q17 does not read the materialized brand slice:\n${q17an.sparkPlan}")
+    assert(q17an.sparkPlan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.count(_.toString.contains("lineitem")) == 0,
+      s"q17 re-scans the fact:\n${q17an.sparkPlan}")
     q17an.analyzed.collectWithSubqueries {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
           if h.hints.strategy.contains(
@@ -605,8 +614,9 @@ class PlanGuardSpec extends AnyFunSuite {
       case w: WindowGroupLimitExec => w
     }.isEmpty, s"q17 plans a window:\n${q17an.sparkPlan}")
 
-    // Q2: min-per-part join-back, top-k as TakeOrderedAndProject, no
-    // window for the argmin
+    // Q2: min-per-part join-back over the materialized supply rollup
+    // (referenced by both the min and the probe — one fact scan), top-k
+    // as TakeOrderedAndProject, no window for the argmin
     val q2 = T.minCostSupplier(spark, sf).queryExecution.sparkPlan
     assert(q2.collectFirst {
       case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
@@ -615,6 +625,12 @@ class PlanGuardSpec extends AnyFunSuite {
       case w: WindowExec => w
       case w: WindowGroupLimitExec => w
     }.isEmpty, s"q2 plans a window for the argmin:\n$q2")
+    assert(q2.toString.contains("graft-mat-"),
+      s"q2 does not read the materialized supply rollup:\n$q2")
+    assert(q2.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.count(_.toString.contains("lineitem")) == 0,
+      s"q2 re-scans the fact:\n$q2")
 
     // Q9: the part-name LIKE prunes the part scan (StringContains
     // pushdown), dims broadcast around the one fact shuffle
@@ -625,11 +641,18 @@ class PlanGuardSpec extends AnyFunSuite {
       case j: BroadcastHashJoinExec => j
     }.size >= 3, s"q9 dims not broadcast:\n$q9")
 
-    // Q11: the nation gate reaches the nation scan; the HAVING scalar
-    // is a declared 1-row broadcast (guard sweep covers boundedness)
+    // Q11: the per-part rollup is materialized and the grand total
+    // RE-AGGREGATES it — the registered plan reads the materialized
+    // partials and scans the lineitem fact ZERO times (the nation-gated
+    // scan ran exactly once, at materialization). A lineitem scan here
+    // is the double-fact-read regression.
     val q11 = T.importantStock(spark, sf).queryExecution.sparkPlan
-    assert(pushedFilters(q11).contains("EqualTo(n_name,NATION_7)"),
-      s"q11 nation filter not pushed:\n${pushedFilters(q11)}")
+    assert(q11.toString.contains("graft-mat-"),
+      s"q11 does not read materialized partials:\n$q11")
+    assert(q11.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.count(_.toString.contains("lineitem")) == 0,
+      s"q11 re-scans the fact:\n$q11")
 
     // Q16: NOT IN plans as LEFT ANTI (never a filter over a collected
     // list or a nested loop)
@@ -638,13 +661,21 @@ class PlanGuardSpec extends AnyFunSuite {
       case j: BaseJoinExec if j.joinType == LeftAnti => j
     }.nonEmpty, s"q16 NOT-IN is not an anti-join:\n$q16")
 
-    // Q20: nested IN plans as LEFT SEMI; the ship-year reaches the scan
+    // Q20: nested IN plans as LEFT SEMI, and the (part, supplier) rollup
+    // is materialized with the per-part total re-aggregated from it —
+    // the registered plan reads the materialized partials and never
+    // re-scans the fact (the ship-year-gated scan ran once, at
+    // materialization)
     val q20 = T.excessSupply(spark, sf).queryExecution.sparkPlan
     assert(q20.collectWithSubqueries {
       case j: BaseJoinExec if j.joinType == LeftSemi => j
     }.nonEmpty, s"q20 IN is not a semi-join:\n$q20")
-    assert(pushedFilters(q20).contains("GreaterThanOrEqual(l_shipdate,1997-01-01"),
-      s"q20 ship-year filter not pushed:\n${pushedFilters(q20)}")
+    assert(q20.toString.contains("graft-mat-"),
+      s"q20 does not read materialized partials:\n$q20")
+    assert(q20.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.count(_.toString.contains("lineitem")) == 0,
+      s"q20 re-scans the fact:\n$q20")
 
     // Q21: EXISTS → LEFT SEMI and NOT EXISTS → LEFT ANTI must BOTH be
     // present — semi/anti emit each probe row at most once, so the
@@ -659,5 +690,7 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(q21.collectFirst {
       case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
     }.isDefined, s"q21 top-k is not TakeOrderedAndProject:\n$q21")
+
+    } finally Materializer.clear() // Q2/11/17/20 materialize during construction
   }
 }

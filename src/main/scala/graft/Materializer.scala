@@ -48,15 +48,37 @@ object Materializer {
     rootDir
   }
 
-  /** Stable per-(subtree, input-dir) key: the same logical content always
-    * maps to the same tag, so repeated builds within one query (or one
-    * test suite) reuse one on-disk copy instead of re-deriving it. The
-    * dir is folded in as a full MD5 hex digest — a 32-bit String.hashCode
-    * would let two distinct input dirs collide within one session and
-    * silently serve the wrong dataset's materialization. */
+  /** Stable per-(subtree, input-data) key: the same logical content
+    * always maps to the same tag, so repeated builds within one query
+    * (or one test suite) reuse one on-disk copy instead of re-deriving
+    * it. The dir is folded in as a full MD5 digest — a 32-bit
+    * String.hashCode would let two distinct input dirs collide within
+    * one session and silently serve the wrong dataset's
+    * materialization — and so is every input file's (path, size,
+    * mtime): a session that REWRITES the input dir in place gets a new
+    * tag and a fresh materialization, making staleness invalidation a
+    * mechanism rather than a clear()-discipline convention (Bench and
+    * Verify clear between queries, but a long-lived interactive session
+    * has no such referee). The walk is a metadata-only listing of the
+    * input dir (~10 files at any SF) — never a content read. */
   def tagFor(name: String, dir: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    md.update(dir.getBytes("UTF-8"))
+    val p = java.nio.file.Paths.get(dir)
+    if (Files.isDirectory(p)) {
+      val s = Files.walk(p)
+      try {
+        val it = s.filter(f => Files.isRegularFile(f)).sorted().iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          md.update(f.toString.getBytes("UTF-8"))
+          md.update(java.nio.ByteBuffer.allocate(16)
+            .putLong(Files.size(f))
+            .putLong(Files.getLastModifiedTime(f).toMillis).array())
+        }
+      } finally s.close()
+    }
+    val hex = md.digest().map("%02x".format(_)).mkString
     s"$name-$hex"
   }
 

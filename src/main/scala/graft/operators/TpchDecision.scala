@@ -184,17 +184,26 @@ object TpchDecision {
     * The threshold multiply (0.2 × avg) and the final ÷7 are each one
     * IEEE double op on decimal-exact inputs — DuckDB reproduces them
     * bit-for-bit. */
+  /** Construction-side subtree of [[smallQtyRevenue]] — the brand slice
+    * that executes INSIDE Materializer.materialize() and therefore never
+    * appears in the registered query plan. Exposed so PlanGuardSpec can
+    * pin its scan pushdown and hint boundedness (the hotKeysPlan
+    * pattern): without this, a pushdown regression in the materialization
+    * job would read the full fact at 100 TB while every test stays
+    * green. */
+  def q17SliceBuilder(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(broadcast(part(spark, dir).filter(col("p_brand") === "Brand#5")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+
   def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
     // the brand slice feeds BOTH the per-part average and the join-back
     // probe; Spark has no common-subplan reuse, so without an explicit
     // materialization the fact would be scanned twice (Materializer —
     // the project's standard shared-subtree pattern)
     val li = graft.Materializer.materialize(
-      graft.Materializer.tagFor("q17slice", dir),
-      lineitem(spark, dir)
-        .join(broadcast(part(spark, dir).filter(col("p_brand") === "Brand#5")
-          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
-        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice")))
+      graft.Materializer.tagFor("q17slice", dir), q17SliceBuilder(spark, dir))
     val perPart = li.groupBy(col("l_partkey").as("pk"))
       .agg(davg(col("l_quantity")).as("avg_qty"))
     li.join(perPart, col("l_partkey") === col("pk") &&
@@ -232,25 +241,33 @@ object TpchDecision {
     * sized, AQE's pick); the final ORDER BY ... LIMIT plans as
     * TakeOrderedAndProject. Double min/equality are engine-stable: both
     * engines min over the identical IEEE quotients. */
-  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val euSupp = supplier(spark, dir)
+  private def euSupp(spark: SparkSession, dir: String): DataFrame =
+    supplier(spark, dir)
       .join(broadcast(nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region(spark, dir).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select(col("s_suppkey").as("sk"), col("s_name"), col("s_acctbal"), col("n_name"))
-    // gate the fact to EU lines BEFORE the aggregate (a broadcast
-    // semi-join on the dim-derived key set): the per-(part, supplier)
-    // rollup then only sees the region's share of the fact. The rollup
-    // feeds BOTH the per-part min and the join-back probe — materialized
-    // once (catalog×suppliers-sized) so the fact scans exactly once.
+
+  /** Construction-side subtree of [[minCostSupplier]] (see
+    * [[q17SliceBuilder]] for why builders are exposed): the fact is
+    * gated to EU lines BEFORE the aggregate by a broadcast semi-join on
+    * the dim-derived key set, so the per-(part, supplier) rollup only
+    * sees the region's share of the fact. */
+  def q2SupplyBuilder(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
+      .join(broadcast(euSupp(spark, dir).select(col("sk"))),
+        col("l_suppkey") === col("sk"), "left_semi")
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("psk"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val eu = euSupp(spark, dir)
+    // the rollup feeds BOTH the per-part min and the join-back probe —
+    // materialized once (catalog×suppliers-sized) so the fact scans
+    // exactly once
     val supply = graft.Materializer.materialize(
-      graft.Materializer.tagFor("q2supply", dir),
-      lineitem(spark, dir)
-        .join(broadcast(euSupp.select(col("sk"))),
-          col("l_suppkey") === col("sk"), "left_semi")
-        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("psk"))
-        .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost")))
-      .join(broadcast(euSupp), col("psk") === col("sk"))
+      graft.Materializer.tagFor("q2supply", dir), q2SupplyBuilder(spark, dir))
+      .join(broadcast(eu), col("psk") === col("sk"))
     val best = supply.groupBy(col("pk").as("bpk"))
       .agg(min(col("cost")).as("min_cost"))
     supply
@@ -330,22 +347,27 @@ object TpchDecision {
     * as a HAVING threshold. The 1-row broadcast is the declared-bounded
     * hint pattern; value = Σ extendedprice over the nation's observed
     * supply lines stands in for supplycost × availqty. */
-  def importantStock(spark: SparkSession, dir: String): DataFrame = {
-    val natLines = lineitem(spark, dir)
+  /** Construction-side subtree of [[importantStock]] (see
+    * [[q17SliceBuilder]]): the nation-gated per-part rollup with its sum
+    * kept in DECIMAL so the grand total can re-aggregate it exactly. */
+  def q11PerPartBuilder(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
       .join(broadcast(supplier(spark, dir)
           .join(broadcast(nation(spark, dir).filter(col("n_name") === "NATION_7")),
             col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"))),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey"), col("l_extendedprice"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(dec)).as("value_dec"))
+
+  def importantStock(spark: SparkSession, dir: String): DataFrame = {
     // ONE fact scan: the per-part rollup keeps its sum in DECIMAL and is
     // materialized; the grand total RE-AGGREGATES those exact partials
     // (decimal sums are associative — bit-identical to summing the lines
     // directly) instead of scanning the fact a second time
     val perPart = graft.Materializer.materialize(
-      graft.Materializer.tagFor("q11pp", dir),
-      natLines.groupBy(col("l_partkey"))
-        .agg(sum(col("l_extendedprice").cast(dec)).as("value_dec")))
+      graft.Materializer.tagFor("q11pp", dir), q11PerPartBuilder(spark, dir))
     val total = perPart.agg(sum(col("value_dec")).cast(DoubleType).as("total"))
     perPart
       .select(col("l_partkey"), col("value_dec").cast(DoubleType).as("value"))
@@ -412,20 +434,26 @@ object TpchDecision {
     * LEFT SEMI join, with availqty > ½·shipped replaced by "this
     * supplier shipped > ½ of the part's total 1997 volume". Quantity
     * sums are decimal-exact; the ×0.5 compare is one double op. */
-  def excessSupply(spark: SparkSession, dir: String): DataFrame = {
-    val f97 = lineitem(spark, dir)
+  /** Construction-side subtree of [[excessSupply]] (see
+    * [[q17SliceBuilder]]): the ship-year + small-part gated
+    * (part, supplier) rollup, DECIMAL sums kept for exact
+    * re-aggregation. */
+  def q20PerSupBuilder(spark: SparkSession, dir: String): DataFrame =
+    lineitem(spark, dir)
       .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
         col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
       .join(broadcast(part(spark, dir).filter(col("p_name").like("small%"))
         .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(dec)).as("sqty_dec"))
+
+  def excessSupply(spark: SparkSession, dir: String): DataFrame = {
     // ONE fact scan: the (part, supplier) rollup keeps DECIMAL sums and
     // is materialized; the per-part total RE-AGGREGATES those exact
     // partials (associative) rather than scanning the fact again
     val perSup = graft.Materializer.materialize(
-      graft.Materializer.tagFor("q20ps", dir),
-      f97.groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(sum(col("l_quantity").cast(dec)).as("sqty_dec")))
+      graft.Materializer.tagFor("q20ps", dir), q20PerSupBuilder(spark, dir))
     val perPart = perSup.groupBy(col("l_partkey").as("pk2"))
       .agg(sum(col("sqty_dec")).cast(DoubleType).as("tqty"))
     val dominating = perSup

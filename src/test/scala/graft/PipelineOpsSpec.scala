@@ -245,6 +245,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally Materializer.clear()
   }
 
+  test("tagFor is stable for unchanged inputs and invalidates on in-place rewrite") {
+    // the staleness mechanism: a long-lived session that rewrites its
+    // input dir must get a NEW tag (fresh materialization), never a
+    // silent reuse of the copy built from the old data — Bench/Verify
+    // clear() between queries, but an interactive session has no referee
+    val dir = java.nio.file.Files.createTempDirectory("graft-tagfor").toString
+    Seq(1L).toDF("x").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val t1 = Materializer.tagFor("probe", dir)
+    assert(t1 == Materializer.tagFor("probe", dir),
+      "tag not stable across calls on unchanged inputs")
+    Seq(1L, 2L).toDF("x").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val t2 = Materializer.tagFor("probe", dir)
+    assert(t1 != t2, "tag unchanged after the input dir was rewritten in place")
+  }
+
   test("simhash recall on >=0.5-jaccard pairs is high (60-bit, hamming<=6)") {
     // SimHash is probabilistic: a 0.99-jaccard pair can still flip >6 of
     // 60 bits via token-multiplicity differences. Require >=90% recall.

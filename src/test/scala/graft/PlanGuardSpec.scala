@@ -691,6 +691,39 @@ class PlanGuardSpec extends AnyFunSuite {
       case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
     }.isDefined, s"q21 top-k is not TakeOrderedAndProject:\n$q21")
 
+    // construction-side pins: the Q2/11/17/20 shared subtrees execute
+    // INSIDE Materializer.materialize() and never appear in the
+    // registered plans, so their pushdown and hint boundedness are
+    // pinned on the exposed builders — without these, a pushdown
+    // regression in a materialization job reads the full fact at 100 TB
+    // while every registered-plan test stays green
+    val builders = Seq(
+      "q17slice" -> T.q17SliceBuilder(spark, sf),
+      "q2supply" -> T.q2SupplyBuilder(spark, sf),
+      "q11pp"    -> T.q11PerPartBuilder(spark, sf),
+      "q20ps"    -> T.q20PerSupBuilder(spark, sf))
+    for ((bname, bdf) <- builders) {
+      bdf.queryExecution.analyzed.collectWithSubqueries {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+            if h.hints.strategy.contains(
+              org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+      }.foreach { h =>
+        assert(hintBounded(h.child),
+          s"$bname builder broadcast()s an unbounded relation:\n${h.child}")
+      }
+    }
+    val bplans = builders.toMap.view.mapValues(df =>
+      pushedFilters(df.queryExecution.sparkPlan)).toMap
+    assert(bplans("q17slice").contains("EqualTo(p_brand,Brand#5)"),
+      s"q17 brand filter not pushed in the builder:\n${bplans("q17slice")}")
+    assert(bplans("q2supply").contains("EqualTo(r_name,EUROPE)"),
+      s"q2 region filter not pushed in the builder:\n${bplans("q2supply")}")
+    assert(bplans("q11pp").contains("EqualTo(n_name,NATION_7)"),
+      s"q11 nation filter not pushed in the builder:\n${bplans("q11pp")}")
+    assert(bplans("q20ps").contains("GreaterThanOrEqual(l_shipdate,1997-01-01") &&
+      bplans("q20ps").contains("StringStartsWith(p_name,small)"),
+      s"q20 ship-year/part-name filters not pushed in the builder:\n${bplans("q20ps")}")
+
     } finally Materializer.clear() // Q2/11/17/20 materialize during construction
   }
 }

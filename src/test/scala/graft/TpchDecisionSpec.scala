@@ -16,13 +16,15 @@ class TpchDecisionSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("all decision queries run at sf0.001") {
-    for ((name, fn) <- TpchDecision.queries) {
-      val n = fn(spark, sf).count()
-      // q_important_stock's 0.1%-of-nation-supply threshold can leave
-      // nothing above the line at 600-line scale — 0 rows is the correct
-      // answer there (the DuckDB oracle agrees), not a regression
-      if (name != "q_important_stock") assert(n > 0, s"$name returned no rows")
-    }
+    try {
+      for ((name, fn) <- TpchDecision.queries) {
+        val n = fn(spark, sf).count()
+        // q_important_stock's 0.1%-of-nation-supply threshold can leave
+        // nothing above the line at 600-line scale — 0 rows is the correct
+        // answer there (the DuckDB oracle agrees), not a regression
+        if (name != "q_important_stock") assert(n > 0, s"$name returned no rows")
+      }
+    } finally Materializer.clear() // Q2/11/17/20 materialize on construction
   }
 
   test("Q13: order-less AND all-disqualified customers both land in the zero bucket") {
@@ -77,7 +79,9 @@ class TpchDecisionSpec extends AnyFunSuite {
     val expected =
       if (keep.isEmpty) 0.0
       else keep.map(x => BigDecimal(x._3).setScale(2)).sum.toDouble / 7.0
-    val got = TpchDecision.smallQtyRevenue(spark, sf).collect()(0)
+    val got =
+      try TpchDecision.smallQtyRevenue(spark, sf).collect()(0)
+      finally Materializer.clear() // q17 materializes the brand slice
     assert(got.getLong(1) == keep.size.toLong,
       s"line count: got ${got.getLong(1)}, recount ${keep.size}")
     assert(got.getDouble(0) == expected,

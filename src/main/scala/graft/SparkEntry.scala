@@ -16,6 +16,7 @@ object SparkEntry {
       (operators.TrafficAnalytics.queries, operators.TrafficAnalytics.oracles),
       (operators.Relational.queries, operators.Relational.oracles),
       (operators.TpchDecision.queries, operators.TpchDecision.oracles),
+      (operators.SqlSurface.queries, operators.SqlSurface.oracles),
       (operators.TextOps.queries, operators.TextOps.oracles),
       (operators.Dedup.queries, operators.Dedup.oracles),
       (operators.Similarity.queries, operators.Similarity.oracles),

@@ -174,6 +174,23 @@ class TrafficAnalyticsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("SQL-string surface is interchangeable with the DataFrame twins") {
+    // the reference's batch interface is literal SQL; a user's SQL text
+    // and our DataFrame builders must be two spellings of the same
+    // engine — bit-identical results on the same input
+    import graft.operators.SqlSurface
+    val pairs = Seq(
+      (SqlSurface.sqlEngagement _, TrafficAnalytics.engagementWindowed _),
+      (SqlSurface.sqlSessionCategories _, TrafficAnalytics.sessionCategories _),
+      (SqlSurface.sqlHourlyPatterns _, TrafficAnalytics.hourlyPatterns _))
+    for ((sqlFn, dfFn) <- pairs) {
+      val viaSql = sqlFn(spark, sf).collect().toSeq
+      val viaDf = dfFn(spark, sf).collect().toSeq
+      assert(viaSql == viaDf, s"SQL and DataFrame paths disagree: " +
+        s"sql=${viaSql.take(3)}… df=${viaDf.take(3)}…")
+    }
+  }
+
   test("every registered query has a DuckDB oracle (rows-only class extinct)") {
     // Round 7 oracled the last two rows-only queries (q_media_features
     // via the stub codec's SQL-expressible byte math, q_approx_distinct

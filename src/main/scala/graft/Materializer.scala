@@ -60,24 +60,35 @@ object Materializer {
     * mechanism rather than a clear()-discipline convention (Bench and
     * Verify clear between queries, but a long-lived interactive session
     * has no such referee). The walk is a metadata-only listing of the
-    * input dir (~10 files at any SF) — never a content read. */
+    * input dir (~10 files at any SF) — never a content read.
+    *
+    * Mtimes hash at NANOSECOND granularity and the regular-file count is
+    * folded in, so an in-place rewrite landing within the same
+    * millisecond, or an add/remove of a zero-length file, still flips
+    * the tag. Residual window (accepted, documented): a rewrite that
+    * preserves every file's path, size, AND nanosecond mtime — only
+    * possible with a deliberate utimensat, not a normal write. */
   def tagFor(name: String, dir: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(dir.getBytes("UTF-8"))
     val p = java.nio.file.Paths.get(dir)
+    var nFiles = 0L
     if (Files.isDirectory(p)) {
       val s = Files.walk(p)
       try {
         val it = s.filter(f => Files.isRegularFile(f)).sorted().iterator()
         while (it.hasNext) {
           val f = it.next()
+          nFiles += 1
           md.update(f.toString.getBytes("UTF-8"))
           md.update(java.nio.ByteBuffer.allocate(16)
             .putLong(Files.size(f))
-            .putLong(Files.getLastModifiedTime(f).toMillis).array())
+            .putLong(Files.getLastModifiedTime(f)
+              .to(java.util.concurrent.TimeUnit.NANOSECONDS)).array())
         }
       } finally s.close()
     }
+    md.update(java.nio.ByteBuffer.allocate(8).putLong(nFiles).array())
     val hex = md.digest().map("%02x".format(_)).mkString
     s"$name-$hex"
   }

@@ -154,14 +154,23 @@ object Multimodal {
     * byte at index i IS ascii(substr(text, i+1, 1)). generate_series
     * cannot take lateral bounds in DuckDB, so frames enumerate the
     * CONSTANT 0..3 range (mediaTable caps n_frames at `% 4 + 1` ≤ 4)
-    * and filter to each row's n_frames. */
+    * and filter to each row's n_frames. The empty-payload branch
+    * mirrors StubCodec's zero-fill exactly (codec: `if (payload
+    * .isEmpty) 0`, with len clamped via greatest so the modulo never
+    * divides by zero even when DuckDB evaluates both CASE arms
+    * vectorized) — without it an empty-text document is NULL here and
+    * 0 in the codec, an opaque cross-engine hash flip. The
+    * MultimodalSpec ASCII/non-empty precondition test stays as
+    * belt-and-braces. */
   val mediaFeaturesSql: String =
     """WITH m AS (SELECT doc_id AS media_id, text,
       |                  CAST(n_chars % 4 + 1 AS INT) AS n_frames,
       |                  length(text) AS len FROM documents),
       |px AS (
       |  SELECT media_id, f.f AS frame_no,
-      |         ascii(substr(text, ((f.f*31 + p.p*7) % len) + 1, 1)) AS px
+      |         CASE WHEN len = 0 THEN 0
+      |              ELSE ascii(substr(text, ((f.f*31 + p.p*7) % greatest(len, 1)) + 1, 1))
+      |         END AS px
       |  FROM m, generate_series(0, 3) AS f(f), generate_series(0, 63) AS p(p)
       |  WHERE f.f < m.n_frames)
       |SELECT media_id, CAST(max(frame_no) + 1 AS INT) AS n_frames,

@@ -30,9 +30,11 @@ import graft.Tables._
 object TrafficAnalytics {
 
   /** 5-min tumbling window; category thresholds mapped to the events value
-    * range (reference: Short<5/Medium 5-15/Long — batch_stream.sql:42-46). */
-  private val SHORT_MAX  = 50.0
-  private val MEDIUM_MAX = 150.0
+    * range (reference: Short<5/Medium 5-15/Long — batch_stream.sql:42-46).
+    * Non-private: SqlSurface interpolates the SAME constants into its SQL
+    * text so the two surfaces can never silently diverge on thresholds. */
+  val SHORT_MAX  = 50.0
+  val MEDIUM_MAX = 150.0
 
   // A3 engagement avg/min/max per 5-min window
   // (spark_streaming_new.py:198-212 / batch_stream.sql:57-74)
@@ -726,7 +728,48 @@ object TrafficAnalytics {
        |       CAST(1.0 AS DOUBLE) / n_touches AS credit
        |FROM j ORDER BY purchase_id, click_id""".stripMargin
 
+  // ---------------------------------------- streaming-metrics rollup
+  /** Oracled batch form of
+    * [[graft.streaming.StreamingAnalytics.latencyQuantiles]] — the SLO
+    * readout over the reference's `streaming_metrics` sink (per-record
+    * latency_sec, spark_streaming_new.py:117-118), previously
+    * spec-tested only. The sink fixture is a DETERMINISTIC replay:
+    * epoch_id is the synthetic micro-batch id (event_id blocks of 500,
+    * the same snapshot device as the mismatch family) and latency_sec
+    * an affine-hash stand-in for wall-clock latency (the real
+    * current_timestamp() derivation can never oracle-match) — so the
+    * EXACT rollup code the streaming path runs is hash-checked
+    * end-to-end in DuckDB. Scale shape is the rollup's own: one
+    * fact-sized pass down to (epoch × integer-second) cells, cumulative
+    * window over those bounded cells only. */
+  def latencyQuantilesBatch(spark: SparkSession, dir: String): DataFrame = {
+    val metrics = events(spark, dir).select(
+      floor(col("event_id") / 500).as("epoch_id"),
+      pmod(col("event_id") * 131 + 17, lit(37)).cast("int").as("latency_sec"))
+    graft.streaming.StreamingAnalytics.latencyQuantiles(metrics)
+  }
+
+  val latencyQuantilesBatchSql: String =
+    """WITH m AS (SELECT CAST(floor(event_id / 500) AS BIGINT) AS epoch_id,
+      |                  CAST((event_id * 131 + 17) % 37 AS INT) AS latency_sec
+      |           FROM events),
+      |cells AS (SELECT epoch_id, latency_sec, CAST(count(*) AS BIGINT) AS c
+      |          FROM m GROUP BY 1, 2),
+      |r AS (SELECT epoch_id, latency_sec, c,
+      |             sum(c) OVER (PARTITION BY epoch_id ORDER BY latency_sec ASC
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |             sum(c) OVER (PARTITION BY epoch_id) AS n
+      |      FROM cells)
+      |SELECT epoch_id, CAST(max(n) AS BIGINT) AS n_records,
+      |       min(latency_sec) AS min_sec,
+      |       min(CASE WHEN cum >= ceil(n * 0.5) THEN latency_sec END) AS p50_sec,
+      |       min(CASE WHEN cum >= ceil(n * 0.9) THEN latency_sec END) AS p90_sec,
+      |       min(CASE WHEN cum >= ceil(n * 0.99) THEN latency_sec END) AS p99_sec,
+      |       max(latency_sec) AS max_sec
+      |FROM r GROUP BY epoch_id ORDER BY epoch_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_latency_quantiles"       -> latencyQuantilesBatch _,
     "q_multitouch_attribution"  -> multitouchAttribution _,
     "q_attribution"             -> attribution _,
     "q_cohort_retention"        -> cohortRetention _,
@@ -748,6 +791,7 @@ object TrafficAnalytics {
     "q_comparison_accuracy"     -> comparisonAccuracy _)
 
   val oracles: Map[String, String] = Map(
+    "q_latency_quantiles"       -> latencyQuantilesBatchSql,
     "q_multitouch_attribution"  -> multitouchAttributionSql,
     "q_attribution"             -> attributionSql,
     "q_cohort_retention"        -> cohortRetentionSql,

@@ -182,6 +182,13 @@ class RelationalSpec extends AnyFunSuite {
           col("exact_users")).as("rel_err"))
       .collect()
     assert(errs.nonEmpty)
+    // ALWAYS print the observed per-group error (ADVICE r7): if the
+    // estimator ever drifts past 5% — Spark upgrade, differently-shaped
+    // corpus — the verify failure is an opaque oracle hash mismatch;
+    // this readout is where the measured number lives for diagnosis.
+    errs.foreach { r =>
+      info(f"HLL rel_err ${r.getString(0)}%-10s = ${r.getDouble(1)}%.5f (bound 0.05)")
+    }
     errs.foreach { r =>
       val e = r.getDouble(1)
       assert(e <= 0.05, s"${r.getString(0)}: HLL relative error $e exceeds 5%")

@@ -182,13 +182,35 @@ class TrafficAnalyticsSpec extends AnyFunSuite {
     val pairs = Seq(
       (SqlSurface.sqlEngagement _, TrafficAnalytics.engagementWindowed _),
       (SqlSurface.sqlSessionCategories _, TrafficAnalytics.sessionCategories _),
-      (SqlSurface.sqlHourlyPatterns _, TrafficAnalytics.hourlyPatterns _))
-    for ((sqlFn, dfFn) <- pairs) {
+      (SqlSurface.sqlHourlyPatterns _, TrafficAnalytics.hourlyPatterns _),
+      (SqlSurface.sqlQuarterlyTrend _, TrafficAnalytics.quarterlyTrend _),
+      (SqlSurface.sqlBounceRate _, TrafficAnalytics.bounceRate _),
+      (SqlSurface.sqlConversionRate _, TrafficAnalytics.conversionRate _),
+      (SqlSurface.sqlComparisonAccuracy _, TrafficAnalytics.comparisonAccuracy _))
+    try for ((sqlFn, dfFn) <- pairs) {
       val viaSql = sqlFn(spark, sf).collect().toSeq
       val viaDf = dfFn(spark, sf).collect().toSeq
       assert(viaSql == viaDf, s"SQL and DataFrame paths disagree: " +
         s"sql=${viaSql.take(3)}… df=${viaDf.take(3)}…")
-    }
+    } finally Materializer.clear() // sqlComparisonAccuracy materializes partials
+  }
+
+  test("SqlSurface views are per-dir unique (no shared-name race)") {
+    // ADVICE r7: a session-global `events` view raced two concurrent
+    // SqlSurface queries over different dirs. Views now embed md5(dir):
+    // running against two dirs must leave two distinct views, and each
+    // query's result must match its own dir's DataFrame twin.
+    import graft.operators.SqlSurface
+    val sfOther = "/root/testdata/sf0.01"
+    val a = SqlSurface.sqlHourlyPatterns(spark, sf).collect().toSeq
+    val b = SqlSurface.sqlHourlyPatterns(spark, sfOther).collect().toSeq
+    // re-running dir A AFTER dir B must still serve dir A's data
+    val a2 = SqlSurface.sqlHourlyPatterns(spark, sf).collect().toSeq
+    assert(a == a2, "re-registration for the same dir changed the result")
+    assert(a != b, "two dirs produced identical results (views collided)")
+    val views = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("events_"))
+    assert(views.length >= 2, s"expected >=2 per-dir events views, got ${views.toSeq}")
   }
 
   test("every registered query has a DuckDB oracle (rows-only class extinct)") {

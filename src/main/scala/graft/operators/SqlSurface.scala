@@ -32,9 +32,14 @@ import graft.Tables
   * SqlSurface queries over different input dirs running concurrently in
   * one session each read their own view (each query stays a pure
   * function of (session, dir); a shared name would race and could serve
-  * the other dir's data). Re-registration for the same (name, dir) is
-  * idempotent by construction — the view body is a pure function of
-  * dir.
+  * the other dir's data). The view is DROPPED as soon as the query is
+  * built (ADVICE r8: per-dir views otherwise accumulate without bound
+  * in a long-lived session iterating many dirs, each pinning a resolved
+  * plan) — safe because `spark.sql` analyzes eagerly, so the returned
+  * DataFrame's resolved plan no longer references the catalog entry.
+  * The create→build→drop window is synchronized on this object so two
+  * concurrent SAME-dir calls cannot drop each other's view
+  * mid-analysis; different dirs never collide by naming.
   */
 object SqlSurface {
 
@@ -42,23 +47,28 @@ object SqlSurface {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** Register the per-dir events view the SQL strings read and return
-    * its unique name. Goes through [[Tables.events]] so the ts
-    * type-dispatch (nanos-long vs micros timestamp parquet generations)
-    * applies to the SQL path too. */
-  private def eventsView(spark: SparkSession, dir: String): String = {
-    val name = s"events_${dirHash(dir)}"
-    Tables.events(spark, dir).createOrReplaceTempView(name)
-    name
+  /** Register `df` under a per-dir-unique `name`, build the query
+    * against it, drop the view (see "View hygiene" above). */
+  private def withView(spark: SparkSession, name: String, df: DataFrame)(
+      body: String => DataFrame): DataFrame = synchronized {
+    df.createOrReplaceTempView(name)
+    try body(name)
+    finally spark.catalog.dropTempView(name)
   }
+
+  /** Build a query against the per-dir events view. Goes through
+    * [[Tables.events]] so the ts type-dispatch (nanos-long vs micros
+    * timestamp parquet generations) applies to the SQL path too. */
+  private def withEventsView(spark: SparkSession, dir: String)(
+      body: String => DataFrame): DataFrame =
+    withView(spark, s"events_${dirHash(dir)}", Tables.events(spark, dir))(body)
 
   private val davgSql =
     "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)"
   private val dsumSql =
     "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
 
-  def sqlEngagement(spark: SparkSession, dir: String): DataFrame = {
-    val v = eventsView(spark, dir)
+  def sqlEngagement(spark: SparkSession, dir: String): DataFrame = withEventsView(spark, dir) { v =>
     spark.sql(
       s"""SELECT w.start AS window_start, w.end AS window_end,
          |       $davgSql AS avg_score,
@@ -68,8 +78,7 @@ object SqlSurface {
          |GROUP BY w ORDER BY window_start""".stripMargin)
   }
 
-  def sqlSessionCategories(spark: SparkSession, dir: String): DataFrame = {
-    val v = eventsView(spark, dir)
+  def sqlSessionCategories(spark: SparkSession, dir: String): DataFrame = withEventsView(spark, dir) { v =>
     spark.sql(
       s"""WITH b AS (
          |  SELECT window(ts, '5 minutes') AS w,
@@ -88,8 +97,7 @@ object SqlSurface {
          |ORDER BY window_start, session_category""".stripMargin)
   }
 
-  def sqlHourlyPatterns(spark: SparkSession, dir: String): DataFrame = {
-    val v = eventsView(spark, dir)
+  def sqlHourlyPatterns(spark: SparkSession, dir: String): DataFrame = withEventsView(spark, dir) { v =>
     spark.sql(
       s"""SELECT hour(ts) AS hour_of_day,
          |       count(*) AS visit_count,
@@ -101,8 +109,7 @@ object SqlSurface {
   }
 
   // batch_stream.sql:80-91 — 15-min trend with the formatted bucket label
-  def sqlQuarterlyTrend(spark: SparkSession, dir: String): DataFrame = {
-    val v = eventsView(spark, dir)
+  def sqlQuarterlyTrend(spark: SparkSession, dir: String): DataFrame = withEventsView(spark, dir) { v =>
     spark.sql(
       s"""SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:00') AS quarter_window,
          |       count(*) AS total_sessions,
@@ -113,8 +120,7 @@ object SqlSurface {
   }
 
   // batch_stream.sql:95-101 — global conditional-ratio aggregate
-  def sqlBounceRate(spark: SparkSession, dir: String): DataFrame = {
-    val v = eventsView(spark, dir)
+  def sqlBounceRate(spark: SparkSession, dir: String): DataFrame = withEventsView(spark, dir) { v =>
     spark.sql(
       s"""SELECT sum(CASE WHEN value < 1 THEN 1 ELSE 0 END) * CAST(100.0 AS DOUBLE)
          |       / count(*) AS bounce_rate_percentage
@@ -122,8 +128,7 @@ object SqlSurface {
   }
 
   // batch_stream.sql:107-113 — conjunctive-predicate ratio
-  def sqlConversionRate(spark: SparkSession, dir: String): DataFrame = {
-    val v = eventsView(spark, dir)
+  def sqlConversionRate(spark: SparkSession, dir: String): DataFrame = withEventsView(spark, dir) { v =>
     spark.sql(
       s"""SELECT sum(CASE WHEN event_type = 'purchase' AND value > 100 THEN 1 ELSE 0 END)
          |       * CAST(100.0 AS DOUBLE) / count(*) AS conversion_rate_percentage
@@ -136,9 +141,9 @@ object SqlSurface {
     * single-fact-scan materialized pipeline unchanged) and the SQL is
     * the reference's rollup verbatim in shape: COALESCE'd ±10 tolerance
     * over the full-outer mismatch rows. */
-  def sqlComparisonAccuracy(spark: SparkSession, dir: String): DataFrame = {
-    val name = s"session_categories_comparison_${dirHash(dir)}"
-    TrafficAnalytics.sessionCatMismatch(spark, dir).createOrReplaceTempView(name)
+  def sqlComparisonAccuracy(spark: SparkSession, dir: String): DataFrame =
+    withView(spark, s"session_categories_comparison_${dirHash(dir)}",
+             TrafficAnalytics.sessionCatMismatch(spark, dir)) { name =>
     spark.sql(
       s"""SELECT 'session_categories_comparison' AS table_name,
          |       count(*) AS total_records,

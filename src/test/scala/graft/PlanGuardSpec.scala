@@ -97,7 +97,10 @@ class PlanGuardSpec extends AnyFunSuite {
   private val nljAggBounded = Set(
     "q_above_avg_orders", "q_quantiles_disc", "q_quantiles_cont",
     "q_session_cat_mismatch", "q_page_views_mismatch",
+    // q_sql_comparison_accuracy is the SQL-text twin of
+    // q_comparison_accuracy — identical 1-row max(batch_id) bound
     "q_engagement_mismatch", "q_comparison_accuracy",
+    "q_sql_comparison_accuracy",
     "q_cms_heavy_hitters",
     // q_bm25: 1-row (N, Σdl) corpus stats broadcast; q_source_mix: 1-row
     // weight denominator broadcast — both the standard

@@ -145,6 +145,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(metrics.select(countDistinct(col("epoch_id"))).first().getLong(0) >= 2)
   }
 
+  test("checkpoint restart under schema evolution: added input column resumes; " +
+      "changed state schema fails loudly (r7 #8)") {
+    val work = Files.createTempDirectory("graft_ckpt_evo").toString
+    val rows = mkEvents(600)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+
+    // Part A — INPUT evolution, compatible: the source declares an
+    // explicit schema (eventsFileStream), so files that GAIN a column
+    // after the checkpoint was laid down read back fine (parquet with an
+    // explicit schema projects the declared columns and ignores extras).
+    // The restart must keep exactly-once semantics across the evolution.
+    val incoming = s"$work/incoming"
+    rows.take(300).toDF().select(cols.map(col): _*)
+      .write.mode("append").parquet(incoming)
+    def runSink(): Unit = {
+      val q = StreamingAnalytics.runMultiSink(
+        StreamingAnalytics.eventsFileStream(spark, incoming),
+        s"$work/out", s"$work/ckpt",
+        Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      try q.awaitTermination() finally q.stop()
+    }
+    runSink()
+    rows.drop(300).toDF().select(cols.map(col): _*)
+      .withColumn("schema_v2_extra", lit("added-after-checkpoint"))
+      .write.mode("append").parquet(incoming)
+    runSink() // same checkpoint, evolved files
+    val metrics = spark.read.parquet(s"$work/out/streaming_metrics")
+    assert(metrics.count() == 600, "restart under added input column lost/replayed rows")
+    assert(metrics.select("event_id").distinct().count() == 600)
+
+    // Part B — STATE evolution, incompatible: restarting a stateful
+    // windowed aggregation from a checkpoint with an ADDED aggregate
+    // changes the state-store value schema (avg keeps (sum,count); the
+    // new sum adds a field). Spark's StateSchemaCompatibilityChecker
+    // must reject this LOUDLY at restart — a silent resume over
+    // misaligned state rows would corrupt every open window. We pin the
+    // loud-failure contract, not a message string.
+    val incoming2 = s"$work/incoming2"
+    rows.take(300).toDF().select(cols.map(col): _*)
+      .write.mode("append").parquet(incoming2)
+    def runAgg(addSum: Boolean): Unit = {
+      val src = StreamingAnalytics.eventsFileStream(spark, incoming2)
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "5 minutes").as("w"))
+      val agg = if (addSum)
+        src.agg(avg("value").as("a"), sum("value").as("s"))
+      else src.agg(avg("value").as("a"))
+      val q = agg.select(col("w.start").as("window_start"), col("*"))
+        .drop("w")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/ckpt2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$work/out2").start()
+      try q.awaitTermination() finally q.stop()
+    }
+    runAgg(addSum = false)
+    rows.drop(300).toDF().select(cols.map(col): _*)
+      .write.mode("append").parquet(incoming2)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runAgg(addSum = true)
+    }
+    val msg = (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")).toLowerCase
+    assert(msg.contains("schema"),
+      s"expected a state-schema incompatibility error, got: ${e.getMessage}")
+  }
+
   test("late data: beyond-watermark rows are dropped, inside-watermark rows are merged (T1)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)

@@ -195,13 +195,16 @@ class TrafficAnalyticsSpec extends AnyFunSuite {
     } finally Materializer.clear() // sqlComparisonAccuracy materializes partials
   }
 
-  test("SqlSurface views are per-dir unique (no shared-name race)") {
+  test("SqlSurface views are per-dir unique and dropped after build (no race, no leak)") {
     // ADVICE r7: a session-global `events` view raced two concurrent
-    // SqlSurface queries over different dirs. Views now embed md5(dir):
-    // running against two dirs must leave two distinct views, and each
-    // query's result must match its own dir's DataFrame twin.
+    // SqlSurface queries over different dirs — views now embed md5(dir).
+    // ADVICE r8: per-dir views accumulated without bound — views are now
+    // dropped as soon as the query is built (eager analysis makes the
+    // returned DataFrame independent of the catalog entry).
     import graft.operators.SqlSurface
     val sfOther = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sfOther/events.parquet").exists(),
+      s"optional fixture $sfOther absent")
     val a = SqlSurface.sqlHourlyPatterns(spark, sf).collect().toSeq
     val b = SqlSurface.sqlHourlyPatterns(spark, sfOther).collect().toSeq
     // re-running dir A AFTER dir B must still serve dir A's data
@@ -210,7 +213,7 @@ class TrafficAnalyticsSpec extends AnyFunSuite {
     assert(a != b, "two dirs produced identical results (views collided)")
     val views = spark.catalog.listTables().collect()
       .map(_.name).filter(_.startsWith("events_"))
-    assert(views.length >= 2, s"expected >=2 per-dir events views, got ${views.toSeq}")
+    assert(views.isEmpty, s"events views leaked past query build: ${views.toSeq}")
   }
 
   test("every registered query has a DuckDB oracle (rows-only class extinct)") {

@@ -348,6 +348,15 @@ object Dedup {
   // (a 32-bit variant on this shared-vocab corpus emitted 1.6M noise
   // pairs at sf0.1). Bit j of h is floor(h / 2^j) % 2 — division by a
   // power of two is double-exact for h < 2^52, so engines agree bitwise.
+  // Scale knob (round-9 sf1 probe: slope 11.4 ≈ 1.14× linear-in-rows —
+  // acceptable, but the trend is quadratic-in-occupancy): per-chunk
+  // bucket space is 2^9 = 512, so chunk-value occupancy — and candidate
+  // pairs, quadratically — grows with the corpus. The pigeonhole
+  // guarantee fixes CHUNKS ≥ HAMMING_T+1, so the knob is SIGNATURE
+  // WIDTH: a 119-bit simhash (4 derived hashes) gives 7 × 17-bit chunks
+  // = 128k buckets/chunk, holding occupancy at today's level through
+  // ~×250 the corpus. Widen when the measured slope creeps past ~2×
+  // linear; results change with the signature, oracle in lockstep.
   private val HAMMING_T = 6
   private val CHUNKS = 7 // 7 × 9-bit chunks; hamming ≤ 6 ⇒ ≥1 chunk equal
   private val HALF_BITS = 30
@@ -714,28 +723,55 @@ object Dedup {
   private val EDIT_T = 12    // max edits to call a pair near-dup
 
   /** Record-linkage-style fuzzy dedup: Levenshtein distance over a fixed
-    * 48-char prefix, but ONLY within (lang, length-band) blocks — the
-    * classic blocking trade that turns the O(N²·L²) all-pairs edit
-    * distance into per-block pair spaces bounded by block size, with
-    * per-pair cost capped by the prefix length. Complements the
-    * token/shingle suite ([[ngramJaccard]], [[minhashLsh]]): edit
-    * distance catches character-level mutations (OCR noise, typo farms)
-    * that survive token-level hashing.
+    * 48-char prefix, gated to candidate pairs that share at least one
+    * sub-cap shingle AND sit in the same (lang, length-band) block.
+    * Complements the token/shingle suite ([[ngramJaccard]],
+    * [[minhashLsh]]): edit distance catches character-level mutations
+    * (OCR noise, typo farms) that survive token-level hashing.
     *
-    * Shape: one scan projected to (id, lang, band, prefix); one
-    * (lang, band) equi-shuffle; the a<b self-join runs inside each
-    * block. At 100 TB the block key is the partition key (pairs never
-    * cross executors) and boundary misses are closed with the standard
-    * sorted-neighborhood second pass on (band+1) — same plan, shifted
-    * key. Levenshtein is the engine-exact unit-cost DP in both Spark
-    * and DuckDB, so the distances hash-match as plain ints. */
+    * Candidate generation is CONTENT-keyed (the shared df-capped shingle
+    * index), not band-blocked. Round 7's (lang, band)-only blocking was
+    * measured by the round-9 synthetic-sf1 probe at slope 77.8× for a
+    * ×10 row step: length bands are content-blind, so their occupancy —
+    * and the within-block pair space, quadratically — grows with the
+    * corpus. The shingle index bounds fan-out at DF_CAP² per key at ANY
+    * corpus size (same bound the jaccard family carries), at the
+    * documented recall cost that a pair sharing zero sub-cap shingles
+    * across the FULL text is never surfaced — character-level mutations
+    * dense enough to destroy every 3-token shingle are out of scope for
+    * the prefix gate anyway (12 edits in 48 chars cannot wipe out
+    * shingle overlap in multi-hundred-char documents).
+    *
+    * Shape: the capped-index pair join (one window shuffle + one
+    * equi-join, both on the shingle key), then two hash-joins back to
+    * the (id, lang, band, prefix) projection, banded levenshtein last.
+    * Levenshtein is the engine-exact unit-cost DP in both Spark and
+    * DuckDB, so the distances hash-match as plain ints. */
   def editNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // Candidates come from the shared df-capped shingle index (the same
+    // `candidx` materialization the jaccard/containment family reuses),
+    // NOT from a (lang, length-band) self-join: the round-9 sf1 slope
+    // probe measured the band-blocked form at 77.8× for a ×10 row step
+    // (linear would be 10×) — length bands are content-blind, so block
+    // occupancy grows linearly with the corpus and within-block pairs
+    // quadratically. Content-keyed candidates keep pair fan-out bounded
+    // by DF_CAP² per shingle at any corpus size. Contract: a reported
+    // pair must share ≥1 sub-cap shingle AND sit in the same (lang,
+    // length-band) AND pass the banded prefix edit-distance gate — the
+    // shingle requirement is the scale bound, documented recall trade.
+    val capped = NearDup.cappedPostings(shingleIndex(spark, dir), "sh", DF_CAP,
+      Materializer.tagFor("candidx", dir))
+    val cand = capped.as("ca").join(capped.as("cb"),
+        col("ca.sh") === col("cb.sh") && col("ca.doc_id") < col("cb.doc_id"))
+      .select(col("ca.doc_id").as("d1"), col("cb.doc_id").as("d2"))
+      .distinct()
     val d = documents(spark, dir).select(col("doc_id"), col("lang"),
       expr(s"n_chars DIV $EDIT_BAND").as("band"),
       substring(col("text"), 1, EDIT_PFX).as("pfx"))
-    d.as("a").join(d.as("b"),
-        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
+    cand
+      .join(d.as("a"), col("d1") === col("a.doc_id"))
+      .join(d.as("b"), col("d2") === col("b.doc_id") &&
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band"))
       // 3-arg threshold form: banded O(k·n) DP with early abandon (returns
       // -1 past the threshold) instead of the full O(n·m) table — the
       // per-pair cost cap that matters when blocks are thousands wide
@@ -747,14 +783,22 @@ object Dedup {
   }
 
   val editNearDupSql: String =
-    s"""WITH d AS (
+    s"""WITH ex AS ($sqlShingleIndex),
+       |capped AS (SELECT doc_id, sh FROM (
+       |  SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM ex)
+       |  WHERE df <= $DF_CAP),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM capped a JOIN capped b
+       |           ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |d AS (
        |  SELECT doc_id, lang, n_chars // $EDIT_BAND AS band,
        |         substring(text, 1, $EDIT_PFX) AS pfx
        |  FROM documents)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+       |SELECT c.d1 AS doc_a, c.d2 AS doc_b, a.lang AS lang,
        |       CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
-       |FROM d a JOIN d b
-       |  ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+       |FROM cand c
+       |JOIN d a ON c.d1 = a.doc_id
+       |JOIN d b ON c.d2 = b.doc_id AND a.lang = b.lang AND a.band = b.band
        |WHERE levenshtein(a.pfx, b.pfx) <= $EDIT_T
        |ORDER BY doc_a, doc_b""".stripMargin
 

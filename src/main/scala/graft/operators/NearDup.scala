@@ -65,14 +65,21 @@ object NearDup {
     * capped-key candidate pair under `pairCond` — the raw material for
     * asymmetric scorers that want BOTH directions from one half-sized
     * pair join (compute a<b once, derive a→b and b→a). */
-  def cappedPairStats(postings: DataFrame, key: String, dfCap: Int,
-                      tag: String, pairCond: Column,
-                      c1: String, c2: String): DataFrame = {
-    val capped = Materializer.materialize(tag,
+  /** The df-capped posting list itself, materialized under `tag` — the
+    * shared candidate substrate every consumer (jaccard, containment,
+    * edit-verify, …) builds its pair join from. */
+  def cappedPostings(postings: DataFrame, key: String, dfCap: Int,
+                     tag: String): DataFrame =
+    Materializer.materialize(tag,
       postings
         .withColumn("df", count(lit(1)).over(Window.partitionBy(col(key))))
         .filter(col("df") <= dfCap)
         .drop("df"))
+
+  def cappedPairStats(postings: DataFrame, key: String, dfCap: Int,
+                      tag: String, pairCond: Column,
+                      c1: String, c2: String): DataFrame = {
+    val capped = cappedPostings(postings, key, dfCap, tag)
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     capped.as("a").join(capped.as("b"),
         col(s"a.$key") === col(s"b.$key") && pairCond)

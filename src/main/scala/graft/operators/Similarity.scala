@@ -34,10 +34,25 @@ import graft.functions.VectorOps._
 object Similarity {
 
   private val DIM = 64
-  private val NPLANES = 4
   private val QUERY_MOD = 50 // vec_id % 50 == 0 → the query subset
   private val TOPK = 5
   private val NEARDUP_T = 0.4
+
+  /** Hyperplane pool for the sign-LSH family. The number of planes USED
+    * is corpus-adaptive (see [[pmaskCase]]); 16 covers a corpus of
+    * 125·2¹⁶ ≈ 8.2M vectors per bucket-occupancy target, beyond which
+    * the mask saturates (at genuine 100 TB scale the pool constant
+    * simply grows — the formula is unchanged). */
+  private val MAX_PLANES = 16
+
+  /** Target mean bucket occupancy. 125 calibrates p so the driver SFs
+    * reproduce round-7's fixed 4-plane buckets exactly (sf0.1: n=2000 =
+    * 125·2⁴ → p=4), while a ×10 corpus gets p=8 instead of quadratic
+    * within-bucket pair growth — the round-9 sf1 probe measured the
+    * FIXED-plane form at slope 93× for a ×10 row step (linear = 10).
+    * With occupancy pinned, candidate work is n·occ·|probes(p)| =
+    * O(n·log²n). */
+  private val LSH_OCC = 125L
 
   /** Fixed pseudo-random integer hyperplanes (LCG on (j,d); values in
     * [-3, 3]) — identical literals land in the Spark plan and oracle SQL. */
@@ -45,7 +60,20 @@ object Similarity {
     (((1103515245L * (j * DIM + d) + 12345L) >> 16) % 7).toInt - 3
 
   private val planes: Seq[Seq[Int]] =
-    (0 until NPLANES).map(j => (0 until DIM).map(d => hp(j, d)))
+    (0 until MAX_PLANES).map(j => (0 until DIM).map(d => hp(j, d)))
+
+  /** Adaptive plane-count mask: keep the low p sign bits where
+    * p = min{k ≤ 16 : n ≤ 125·2^k} — an integer comparison chain (no
+    * floating log), so Spark and DuckDB agree bit-for-bit at every n.
+    * Returned as the MASK (2^p − 1) so consumers need no shift. */
+  private def pmaskCase(n: Column): Column =
+    (0 to MAX_PLANES).foldLeft(when(lit(false), lit(0))) { (acc, k) =>
+      acc.when(n <= lit(LSH_OCC << k), lit((1 << k) - 1))
+    }.otherwise(lit((1 << MAX_PLANES) - 1))
+
+  private val sqlPmask: String =
+    (0 to MAX_PLANES).map(k => s"WHEN n_vec <= ${LSH_OCC << k} THEN ${(1 << k) - 1}")
+      .mkString("CASE ", " ", s" ELSE ${(1 << MAX_PLANES) - 1} END")
 
   private def planeLit(j: Int): Column =
     array(planes(j).map(v => lit(v.toFloat)): _*)
@@ -103,21 +131,42 @@ object Similarity {
        |QUALIFY rnk <= $TOPK
        |ORDER BY query_id, rnk""".stripMargin
 
-  /** Random-hyperplane bucket id: Σ_j 2^j · [dot(v, plane_j) > 0]. */
+  /** Random-hyperplane bucket id over the FULL pool:
+    * Σ_j 2^j · [dot(v, plane_j) > 0]; consumers mask to the adaptive
+    * low-p bits ([[pmaskCase]]). */
   private def bucketCol(emb: Column): Column =
-    (0 until NPLANES).map(j =>
+    (0 until MAX_PLANES).map(j =>
       when(dotF(emb, planeLit(j)) > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _)
 
   private def sqlBucket(emb: String): String =
-    (0 until NPLANES).map(j =>
+    (0 until MAX_PLANES).map(j =>
       s"(CASE WHEN ${sqlDot(emb, sqlPlane(j))} > 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
 
+  /** vec_id, embedding, nrm, pmask, bucket — the shared substrate of the
+    * sign-LSH family: norms once, the corpus-adaptive plane mask
+    * broadcast from a 1-row count aggregate (the standard agg-bounded
+    * BNLJ shape, machine-checked by PlanGuardSpec), and the masked
+    * bucket id. */
+  private def withNormBucket(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val m = e.agg(count(lit(1)).as("n_vec"))
+      .select(pmaskCase(col("n_vec")).as("pmask"))
+    e.crossJoin(broadcast(m))
+      .withColumn("bucket", bucketCol(col("embedding")).bitwiseAND(col("pmask")))
+  }
+
+  private val sqlWithNormBucket: String =
+    s"""SELECT vec_id, embedding, nrm, pmask, (${sqlBucket("embedding")}) & pmask AS bucket
+       |FROM ($sqlWithNorm), (SELECT $sqlPmask AS pmask FROM
+       |  (SELECT count(*) AS n_vec FROM embeddings))""".stripMargin
+
   // LSH-bucketed ANN: candidates share the query's hyperplane sign
-  // pattern; equi-join on bucket replaces the quadratic pair space.
+  // pattern (adaptive low-p bits — occupancy pinned as the corpus
+  // grows); equi-join on bucket replaces the quadratic pair space.
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
+    val e = withNormBucket(spark, dir)
     val q = e.filter(col("vec_id") % QUERY_MOD === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket").as("qb"))
@@ -133,8 +182,7 @@ object Similarity {
   }
 
   val annLshSql: String =
-    s"""WITH n AS (SELECT vec_id, embedding, nrm, ${sqlBucket("embedding")} AS bucket
-       |           FROM ($sqlWithNorm)),
+    s"""WITH n AS ($sqlWithNormBucket),
        |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket AS qb
        |      FROM n WHERE vec_id % $QUERY_MOD = 0),
        |s AS (
@@ -148,31 +196,39 @@ object Similarity {
        |QUALIFY rnk <= $TOPK
        |ORDER BY query_id, rnk""".stripMargin
 
-  /** Multi-probe masks: XOR deltas with ≤ PROBE_BITS of NPLANES bits set.
-    * A pair (x, y) is a candidate iff their bucket codes differ in at
-    * most PROBE_BITS hyperplane signs — x probes y's bucket via exactly
-    * one mask (bx ⊕ by), so the candidate set is duplicate-free by
-    * construction. */
+  /** Multi-probe masks: XOR deltas with ≤ PROBE_BITS of the pool's bits
+    * set, runtime-filtered to the adaptive low-p bits (m & pmask = m).
+    * A pair (x, y) is a candidate iff their MASKED bucket codes differ
+    * in at most PROBE_BITS hyperplane signs — x probes y's bucket via
+    * exactly one mask (bx ⊕ by), so the candidate set is duplicate-free
+    * by construction. Pool-wide count: 1 + 16 + C(16,2) = 137 literals;
+    * the runtime filter keeps 1 + p + C(p,2) of them. */
   private val PROBE_BITS = 2
   private val probeMasks: Seq[Int] =
-    (0 until (1 << NPLANES)).filter(m => Integer.bitCount(m) <= PROBE_BITS)
+    (0 until (1 << MAX_PLANES)).filter(m => Integer.bitCount(m) <= PROBE_BITS)
 
   // Embedding-cosine near-dup, LSH-bucketed with multi-probe: candidates
-  // are pairs whose hyperplane sign patterns differ in ≤ 2 of 4 bits
-  // (11 of 16 probe deltas); cosine is verified exactly within
-  // candidates only. This replaces round 1's all-pairs v1<v2 cartesian —
-  // the equi-join on probe-bucket is linear in candidates and survives a
-  // 100× scale-up (more planes + the same probe radius at real scale).
-  // Deliberate LSH semantics: a pair whose codes differ in ≥ 3 planes is
-  // not reported even above the threshold; AnnRecallSpec measures recall
-  // vs the exact all-pairs form at tiny SF, and the oracle mirrors the
-  // probe set exactly so the result is deterministic cross-engine.
+  // are pairs whose ADAPTIVE-p hyperplane sign patterns differ in ≤ 2
+  // bits; cosine is verified exactly within candidates only. This
+  // replaces round 1's all-pairs v1<v2 cartesian, and round 7's FIXED
+  // 4-plane form, which the round-9 sf1 probe measured at slope 93× for
+  // a ×10 row step: fixed planes ⇒ occupancy grows with the corpus ⇒
+  // within-bucket pairs grow quadratically. With p = f(count) pinning
+  // occupancy at ~125, candidate work is n·occ·(1+p+C(p,2)) =
+  // O(n·log²n); at the driver SFs (n ≤ 2000 → p ≤ 4) buckets and
+  // results are IDENTICAL to the fixed-plane round-7 form.
+  // Deliberate LSH semantics: a pair whose codes differ in ≥ 3 used
+  // planes is not reported even above the threshold; AnnRecallSpec
+  // measures recall vs the exact all-pairs form at tiny SF, and the
+  // oracle mirrors the mask set exactly so the result is deterministic
+  // cross-engine.
   def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(spark, dir).withColumn("bucket", bucketCol(col("embedding")))
-    val probes = e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
-        col("nrm").as("n1"),
-        explode(array(probeMasks.map(m => col("bucket").bitwiseXOR(lit(m))): _*))
-          .as("pb"))
+    val e = withNormBucket(spark, dir)
+    val probes = e
+      .withColumn("m", explode(array(probeMasks.map(lit(_)): _*)))
+      .filter(col("m").bitwiseAND(col("pmask")) === col("m"))
+      .select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nrm").as("n1"), col("bucket").bitwiseXOR(col("m")).as("pb"))
     probes.join(e, col("pb") === col("bucket") && col("v1") < col("vec_id"))
       .select(col("v1"), col("vec_id").as("v2"),
         cosine(col("e1"), col("n1"), col("embedding"), col("nrm")).as("cosine"))
@@ -181,10 +237,10 @@ object Similarity {
   }
 
   val embeddingNeardupSql: String =
-    s"""WITH n AS (SELECT vec_id, embedding, nrm, ${sqlBucket("embedding")} AS bucket
-       |           FROM ($sqlWithNorm)),
+    s"""WITH n AS ($sqlWithNormBucket),
        |p AS (SELECT vec_id AS v1, embedding AS e1, nrm AS n1, xor(bucket, m) AS pb
-       |      FROM n, (SELECT unnest([${probeMasks.mkString(",")}]) AS m) masks)
+       |      FROM n, (SELECT unnest([${probeMasks.mkString(",")}]) AS m) masks
+       |      WHERE (m & pmask) = m)
        |SELECT v1, b.vec_id AS v2,
        |       ${sqlCosine("e1", "n1", "b.embedding", "b.nrm")} AS cosine
        |FROM p JOIN n b ON p.pb = b.bucket AND p.v1 < b.vec_id

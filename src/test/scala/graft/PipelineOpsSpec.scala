@@ -369,16 +369,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     val docs = Tables.documents(spark, sf)
       .selectExpr("doc_id", "lang", "n_chars DIV 40 AS band",
-        "substring(text, 1, 48) AS pfx").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq
+        "substring(text, 1, 48) AS pfx", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        r.getString(4))).toSeq
+    // candidate gate (round 9): a pair must share ≥1 sub-cap shingle —
+    // recomputed independently via the plain-Scala hash twin
+    import graft.functions.TextHashImpl
+    val shingles: Map[Long, Set[Long]] = docs.map(d =>
+      d._1 -> TextHashImpl.shingleHashes(TextHashImpl.tokenHashes(d._5)).toSet).toMap
+    val df = shingles.values.toSeq.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val kept: Map[Long, Set[Long]] =
+      shingles.map { case (id, ss) => id -> ss.filter(df(_) <= 20) }
     val expected = docs.groupBy(d => (d._2, d._3)).toSeq.flatMap { case (_, g) =>
       for {
         a <- g; b <- g if a._1 < b._1
+        if kept(a._1).exists(kept(b._1).contains)
         d = lev(a._4, b._4) if d <= 12
       } yield (a._1, b._1, a._2, d)
     }.sortBy(p => (p._1, p._2))
-    val got = graft.operators.Dedup.editNearDup(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSeq
+    val got =
+      try graft.operators.Dedup.editNearDup(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSeq
+      finally graft.Materializer.clear()
     assert(got == expected, s"edit near-dup mismatch: got=${got.take(3)} exp=${expected.take(3)}")
     assert(got.nonEmpty, "test data should contain at least one prefix near-dup")
   }

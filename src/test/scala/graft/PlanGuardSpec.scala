@@ -116,6 +116,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_important_stock",
     // q_ngram_novelty: 1-row max-doc-id broadcast for decile bucketing
     "q_ngram_novelty",
+    // q_ann_lsh / q_embedding_neardup: 1-row corpus-count broadcast
+    // computing the adaptive LSH plane mask (Similarity.withNormBucket)
+    "q_ann_lsh", "q_embedding_neardup",
     // q_lang_kappa: 1-row marginal-product broadcast onto the 1-row
     // agreement aggregate
     "q_lang_kappa",

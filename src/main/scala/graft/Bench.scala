@@ -193,6 +193,15 @@ object Bench {
       if (probeRatios.size == NOISE_PROBES.size)
         math.exp(probeRatios.map(math.log).sum / probeRatios.size)
       else -1.0
+    // envelope_inflation: Σ first-attempt / Σ envelope over covered
+    // queries — the DIRECT total-inflation label a full-map envelope
+    // makes possible. Unlike the fixed probe set (which a time-localized
+    // burst can miss: r9 measured probes 1.27 vs true 1.52), this is
+    // total inflation by construction; the probe-based noise_ratio stays
+    // as the probe-positional secondary signal.
+    val covered = firstTimes.keys.filter(k => env0.contains(k) && firstTimes(k) > 0).toSeq
+    val envSum = covered.map(env0).sum
+    val envelopeInflation = if (envSum > 0) covered.map(firstTimes).sum / envSum else -1.0
     val retriedJson = retriedFirst.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     val retryErroredJson = retryErrored.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -201,7 +210,7 @@ object Bench {
     // 2000-char tail window; stdout carries the count + noise_ratio
     val env = s""""loadavg_start":${f2(load0)},"loadavg_end":${f2(loadavg)},""" +
       s""""gc_ms":$gcMillis,"peak_heap_mib":$peakHeapMiB,""" +
-      s""""noise_ratio":${f2(noiseRatio)}"""
+      s""""noise_ratio":${f2(noiseRatio)},"envelope_inflation":${f2(envelopeInflation)}"""
     // The driver keeps only the LAST 2000 chars of stdout and parses the
     // JSON line out of that tail. At 120+ registry queries the full
     // per-query map can never fit (BENCH_r03/r04 both landed as

@@ -69,7 +69,17 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    synthesize(spark, srcDir, outDir)
+    val counts = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      .map(n => s""""$n":${spark.read.parquet(s"$outDir/$n.parquet").count()}""")
+    println(s"""{"metric":"sf1_synth_rows",${counts.mkString(",")},"out":"$outDir"}""")
+    spark.stop()
+  }
 
+  /** Replicate every table of `srcDir` ×[[REPS]] into `outDir` (dims
+    * copy through ×1); see the object doc for the fidelity contract. */
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     def tbl(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
 
     /** max(key)+1 — the remap stride that keeps replica key spaces disjoint. */
@@ -120,11 +130,5 @@ object ScaleProbe {
         concat(slice(col("embedding"), col("rep") + 1,
                      size(col("embedding")) - col("rep")),
                slice(col("embedding"), lit(1), col("rep")))), "embeddings")
-
-    val counts = Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings")
-      .map(n => s""""$n":${spark.read.parquet(s"$outDir/$n.parquet").count()}""")
-    println(s"""{"metric":"sf1_synth_rows",${counts.mkString(",")},"out":"$outDir"}""")
-    spark.stop()
   }
 }

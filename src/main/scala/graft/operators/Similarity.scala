@@ -679,6 +679,73 @@ object Similarity {
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) = 1
        |ORDER BY query_id""".stripMargin
 
+  /** [[knnClassify]]'s promised scale form, registered: the SAME vote
+    * tail over [[annIvfAt]]-style candidates instead of the exact scan.
+    * The round-9 full-registry sf1 sweep measured the brute-force form
+    * at slope 40 for a ×10 row step (its query set is a corpus fraction
+    * here, so it is quadratic by construction — fine as the DECLARED
+    * exactness baseline, not as the production path); this variant's
+    * candidates are the NPROBE probed cells per query, so per-query
+    * work is probe-bounded and total work is linear in the corpus at
+    * fixed cell occupancy. Approximation contract mirrors
+    * [[annIvf]]'s: a neighbor outside the probed cells is never voted,
+    * AnnRecallSpec-style agreement vs the exact form is measured in
+    * PipelineOpsSpec, and the oracle reproduces the probe set exactly
+    * so the prediction is deterministic cross-engine. */
+  def knnClassifyIvf(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val pool = ivfAssign(spark, dir)
+      .filter(col("vec_id") % QUERY_MOD =!= 0)
+      .join(lbl, Seq("vec_id"))
+    val q = ivfProbeCells(spark, dir, NPROBE)
+      .join(lbl.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), Seq("query_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val wVote = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    broadcast(q).join(pool, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("true_label"), col("label"),
+        col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= KNN_K)
+      .groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("label").as("predicted_label"), col("votes"),
+        (col("label") === col("true_label")).cast("int").as("correct"))
+      .orderBy("query_id")
+  }
+
+  val knnClassifyIvfSql: String = {
+    val cosNC = sqlCosine("n.embedding", "n.nrm", "c.ce", "c.cn")
+    s"""WITH $sqlIvfAssignCtes,
+       |p AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cent_id AS cell FROM (
+       |  SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY $cosNC DESC, c.cent_id ASC) AS rk
+       |  FROM n, c WHERE n.vec_id % $QUERY_MOD = 0) WHERE rk <= $NPROBE),
+       |s AS (SELECT p.query_id, ql.label AS true_label, el.label AS label,
+       |             a.vec_id AS neighbor_id,
+       |             ${sqlCosine("p.qe", "p.qn", "a.embedding", "a.nrm")} AS cosine
+       |      FROM p JOIN a ON a.cell = p.cell
+       |        AND a.vec_id % $QUERY_MOD != 0 AND a.vec_id != p.query_id
+       |      JOIN embeddings el ON el.vec_id = a.vec_id
+       |      JOIN embeddings ql ON ql.vec_id = p.query_id),
+       |t AS (SELECT * FROM s
+       |      QUALIFY row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cosine DESC, neighbor_id ASC) <= $KNN_K),
+       |v AS (SELECT query_id, true_label, label, count(*) AS votes FROM t GROUP BY 1, 2, 3)
+       |SELECT query_id, true_label, label AS predicted_label, votes,
+       |       CAST(label = true_label AS INT) AS correct
+       |FROM v
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) = 1
+       |ORDER BY query_id""".stripMargin
+  }
+
   // ---------------------------------------------- hard-negative mining
   /** Hard negatives kept per anchor. */
   private val HARDNEG_K = 5
@@ -1530,6 +1597,7 @@ object Similarity {
     "q_semantic_dedup"    -> semanticDedup _,
     "q_hybrid_rrf"        -> hybridRrf _,
     "q_knn_classify"      -> knnClassify _,
+    "q_knn_ivf"           -> knnClassifyIvf _,
     "q_hard_negatives"    -> hardNegatives _,
     "q_ann_sq8"           -> annSq8 _,
     "q_ann_pq"            -> annPq _,
@@ -1552,6 +1620,7 @@ object Similarity {
     "q_semantic_dedup"    -> semanticDedupSql,
     "q_hybrid_rrf"        -> hybridRrfSql,
     "q_knn_classify"      -> knnClassifySql,
+    "q_knn_ivf"           -> knnClassifyIvfSql,
     "q_hard_negatives"    -> hardNegativesSql,
     "q_ann_sq8"           -> annSq8Sql,
     "q_ann_pq"            -> annPqSql,

@@ -303,6 +303,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lsh.isEmpty)
   }
 
+  test("knn-ivf scale form: one verdict per query, majority agreement with the exact knn") {
+    import graft.operators.Similarity
+    val exact = Similarity.knnClassify(spark, sf)
+      .select("query_id", "predicted_label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ivf = Similarity.knnClassifyIvf(spark, sf)
+      .select("query_id", "predicted_label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every query classified exactly once, same query universe
+    assert(ivf.keySet == exact.keySet,
+      s"query sets differ: ${ivf.keySet.diff(exact.keySet)} / ${exact.keySet.diff(ivf.keySet)}")
+    assert(ivf.nonEmpty)
+    // probe-bounded candidates may flip borderline votes; a majority of
+    // predictions must still agree with the exact form
+    val agree = exact.count { case (q, l) => ivf(q) == l }
+    assert(agree * 2 >= exact.size,
+      s"ivf-knn agrees on only $agree of ${exact.size} queries")
+  }
+
   test("near-dup pairs are ordered v1 < v2 with cosine above threshold") {
     val nd = Similarity.embeddingNeardup(spark, sf)
     assert(nd.filter(col("v1") >= col("v2") || col("cosine") < 0.4).isEmpty)

@@ -801,6 +801,64 @@ object Similarity {
        |QUALIFY rnk <= $HARDNEG_K
        |ORDER BY anchor_id, rnk""".stripMargin
 
+  /** [[hardNegatives]]'s promised scale form, registered: the same
+    * cross-label top-k tail over [[annIvfAt]]-style probed-cell
+    * candidates instead of the exact corpus scan. The round-9 sf1 sweep
+    * measured the brute-force form at slope 39 for a ×10 row step —
+    * quadratic by construction when the anchor set is a corpus fraction
+    * (fine as the DECLARED exactness baseline; the production contract
+    * is a bounded anchor batch). Here per-anchor work is bounded by the
+    * NPROBE probed cells, so total work is linear in the corpus at fixed
+    * cell occupancy — the same contract as [[knnClassifyIvf]].
+    * Approximation: a cross-label neighbor outside the probed cells is
+    * never mined; recovered-pair agreement vs the exact form is measured
+    * in PipelineOpsSpec, and the oracle reproduces the probe set exactly
+    * so the mined set is deterministic cross-engine. An anchor whose
+    * probed cells hold no cross-label vector drops out (both engines). */
+  def hardNegativesIvf(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val pool = ivfAssign(spark, dir).join(lbl, Seq("vec_id"))
+    val q = ivfProbeCells(spark, dir, NPROBE)
+      .join(lbl.select(col("vec_id").as("query_id"),
+        col("label").as("anchor_label")), Seq("query_id"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).join(pool, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id") &&
+        col("label") =!= col("anchor_label"))
+      .select(col("query_id").as("anchor_id"), col("anchor_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= HARDNEG_K)
+      .select(col("anchor_id"), col("anchor_label"), col("rnk"),
+        col("neighbor_id"), col("neighbor_label"), col("cosine"))
+      .orderBy("anchor_id", "rnk")
+  }
+
+  val hardNegativesIvfSql: String = {
+    val cosNC = sqlCosine("n.embedding", "n.nrm", "c.ce", "c.cn")
+    s"""WITH $sqlIvfAssignCtes,
+       |p AS (SELECT vec_id AS anchor_id, embedding AS qe, nrm AS qn, cent_id AS cell FROM (
+       |  SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY $cosNC DESC, c.cent_id ASC) AS rk
+       |  FROM n, c WHERE n.vec_id % $QUERY_MOD = 0) WHERE rk <= $NPROBE),
+       |s AS (SELECT p.anchor_id, ql.label AS anchor_label, a.vec_id AS neighbor_id,
+       |             el.label AS neighbor_label,
+       |             ${sqlCosine("p.qe", "p.qn", "a.embedding", "a.nrm")} AS cosine
+       |      FROM p JOIN a ON a.cell = p.cell AND a.vec_id != p.anchor_id
+       |      JOIN embeddings el ON el.vec_id = a.vec_id
+       |      JOIN embeddings ql ON ql.vec_id = p.anchor_id
+       |      WHERE el.label != ql.label)
+       |SELECT anchor_id, anchor_label,
+       |       CAST(row_number() OVER (PARTITION BY anchor_id
+       |                               ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rnk,
+       |       neighbor_id, neighbor_label, cosine
+       |FROM s
+       |QUALIFY rnk <= $HARDNEG_K
+       |ORDER BY anchor_id, rnk""".stripMargin
+  }
+
   // ------------------------------------------- scalar-quantized (SQ8) ANN
   /** Int8 scalar-quantized ANN — the memory-side scale lever next to the
     * LSH/IVF pruning levers: per-dimension corpus min/max (one narrow
@@ -1587,6 +1645,102 @@ object Similarity {
        |FROM f ORDER BY query_id""".stripMargin
   }
 
+  /** [[retrievalEval]] over the IVF index instead of the exact scan —
+    * the scaladoc-promised "swap in [[annIvfAt]]'s output to grade that
+    * index" form, registered. The round-9 sf1 sweep measured the exact
+    * form at slope 30 for a ×10 row step (quadratic by construction when
+    * the eval-query set is a corpus fraction); here the scoring scan is
+    * probe-bounded per query, linear in the corpus at fixed cell
+    * occupancy. The metric DENOMINATORS stay exact: `n_rel_corpus` and
+    * the ideal DCG come from the full per-label counts (a tiny broadcast
+    * aggregate), so the numbers grade the IVF index against what an
+    * exact retriever could achieve — recall lost to un-probed cells
+    * shows up as lower ndcg/precision, which is the point of the eval.
+    * A query whose probed cells hold no other vector drops out (both
+    * engines, deterministically). */
+  def retrievalEvalIvf(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val labelCnt = lbl.groupBy(col("label")).agg(count(lit(1)).as("lblN"))
+    val pool = ivfAssign(spark, dir).join(lbl, Seq("vec_id"))
+    val q = ivfProbeCells(spark, dir, NPROBE)
+      .join(lbl.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel")), Seq("query_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val gainMu = floor(log(lit(2.0)) / log(lit(1.0) + col("rnk")) *
+      1000000.0 + lit(0.5)).cast("long")
+    val ranked = broadcast(q).join(pool, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qlabel"),
+        col("vec_id").as("neighbor_id"), col("label"),
+        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= EVAL_K)
+      .withColumn("rel", (col("label") === col("qlabel")).cast("long"))
+    val perQ = ranked
+      .groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(col("rel")).as("n_rel_topk"),
+        sum(col("rel") * gainMu).as("dcg_mu"),
+        min(when(col("rel") === 1L, col("rnk"))).as("first_rel"))
+      .join(broadcast(labelCnt), col("qlabel") === col("label"))
+      .withColumn("n_rel_corpus", col("lblN") - 1)
+    val idcgMu = when(col("n_rel_corpus") >= 1,
+      aggregate(sequence(lit(1), least(col("n_rel_corpus"), lit(EVAL_K)).cast("int")),
+        lit(0L), (acc, i) =>
+          acc + floor(log(lit(2.0)) / log(lit(1.0) + i) * 1000000.0 + lit(0.5))
+            .cast("long"))).otherwise(lit(0L))
+    perQ
+      .withColumn("idcg_mu", idcgMu)
+      .select(col("query_id"), col("qlabel").as("label"),
+        col("n_rel_corpus"), col("n_rel_topk"),
+        coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("rr"),
+        (col("n_rel_topk").cast("double") / EVAL_K).as("precision_k"),
+        when(col("idcg_mu") > 0,
+          col("dcg_mu").cast("double") / col("idcg_mu").cast("double"))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy("query_id")
+  }
+
+  val retrievalEvalIvfSql: String = {
+    val cosNC = sqlCosine("n.embedding", "n.nrm", "c.ce", "c.cn")
+    val gain = "CAST(floor(ln(CAST(2.0 AS DOUBLE)) / ln(CAST(1.0 AS DOUBLE) + rnk) * 1000000.0 + 0.5) AS BIGINT)"
+    s"""WITH $sqlIvfAssignCtes,
+       |p AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, cent_id AS cell FROM (
+       |  SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY $cosNC DESC, c.cent_id ASC) AS rk
+       |  FROM n, c WHERE n.vec_id % $QUERY_MOD = 0) WHERE rk <= $NPROBE),
+       |lc AS (SELECT label, count(*) AS lblN FROM embeddings GROUP BY 1),
+       |s AS (SELECT p.query_id, ql.label AS qlabel, a.vec_id AS neighbor_id,
+       |             el.label AS label,
+       |             ${sqlCosine("p.qe", "p.qn", "a.embedding", "a.nrm")} AS cosine
+       |      FROM p JOIN a ON a.cell = p.cell AND a.vec_id != p.query_id
+       |      JOIN embeddings el ON el.vec_id = a.vec_id
+       |      JOIN embeddings ql ON ql.vec_id = p.query_id),
+       |t AS (SELECT *, CAST(label = qlabel AS BIGINT) AS rel FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM s)
+       |      WHERE rnk <= $EVAL_K),
+       |pq AS (SELECT query_id, qlabel, CAST(sum(rel) AS BIGINT) AS n_rel_topk,
+       |              CAST(sum(rel * $gain) AS BIGINT) AS dcg_mu,
+       |              min(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+       |       FROM t GROUP BY 1, 2),
+       |j AS (SELECT pq.*, lc.lblN - 1 AS n_rel_corpus FROM pq
+       |      JOIN lc ON pq.qlabel = lc.label),
+       |f AS (SELECT *,
+       |        CASE WHEN n_rel_corpus >= 1 THEN coalesce(list_sum(
+       |          list_transform(range(1, least(n_rel_corpus, $EVAL_K) + 1),
+       |            rnk -> $gain)), 0) ELSE 0 END AS idcg_mu
+       |      FROM j)
+       |SELECT query_id, qlabel AS label, CAST(n_rel_corpus AS BIGINT) AS n_rel_corpus,
+       |       n_rel_topk,
+       |       coalesce(CAST(1.0 AS DOUBLE) / first_rel, CAST(0.0 AS DOUBLE)) AS rr,
+       |       CAST(n_rel_topk AS DOUBLE) / $EVAL_K AS precision_k,
+       |       CASE WHEN idcg_mu > 0
+       |            THEN CAST(dcg_mu AS DOUBLE) / CAST(idcg_mu AS DOUBLE)
+       |            ELSE CAST(0.0 AS DOUBLE) END AS ndcg
+       |FROM f ORDER BY query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce"    -> annBruteforce _,
     "q_ann_lsh"           -> annLsh _,
@@ -1599,11 +1753,13 @@ object Similarity {
     "q_knn_classify"      -> knnClassify _,
     "q_knn_ivf"           -> knnClassifyIvf _,
     "q_hard_negatives"    -> hardNegatives _,
+    "q_hardneg_ivf"       -> hardNegativesIvf _,
     "q_ann_sq8"           -> annSq8 _,
     "q_ann_pq"            -> annPq _,
     "q_pq_distortion"     -> pqDistortion _,
     "q_ivf_balance"       -> ivfBalance _,
     "q_retrieval_eval"    -> retrievalEval _,
+    "q_retrieval_ivf"     -> retrievalEvalIvf _,
     "q_label_centroids"   -> labelCentroids _,
     "q_negative_pairs"    -> negativePairs _,
     "q_embedding_stats"   -> embeddingStats _,
@@ -1622,11 +1778,13 @@ object Similarity {
     "q_knn_classify"      -> knnClassifySql,
     "q_knn_ivf"           -> knnClassifyIvfSql,
     "q_hard_negatives"    -> hardNegativesSql,
+    "q_hardneg_ivf"       -> hardNegativesIvfSql,
     "q_ann_sq8"           -> annSq8Sql,
     "q_ann_pq"            -> annPqSql,
     "q_pq_distortion"     -> pqDistortionSql,
     "q_ivf_balance"       -> ivfBalanceSql,
     "q_retrieval_eval"    -> retrievalEvalSql,
+    "q_retrieval_ivf"     -> retrievalEvalIvfSql,
     "q_label_centroids"   -> labelCentroidsSql,
     "q_negative_pairs"    -> negativePairsSql,
     "q_embedding_stats"   -> embeddingStatsSql,

@@ -322,6 +322,58 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"ivf-knn agrees on only $agree of ${exact.size} queries")
   }
 
+  test("hardneg-ivf scale form: cross-label pairs with exact-form cosines, majority recovered") {
+    import graft.operators.Similarity
+    val exact = Similarity.hardNegatives(spark, sf)
+      .select("anchor_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.hardNegativesIvf(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    // structural: cross-label only, ≤ K per anchor, rnk contiguous from 1
+    val byAnchor = ivf.groupBy(_.getLong(0))
+    byAnchor.foreach { case (a, rows) =>
+      assert(rows.forall(r => r.getInt(1) != r.getInt(4)),
+        s"anchor $a mined a same-label pair")
+      val rnks = rows.map(_.getInt(2)).sorted.toSeq
+      assert(rnks == (1 to rows.length), s"anchor $a rnk gap: $rnks")
+    }
+    // every IVF pair that the exact top-k also mined carries the SAME
+    // cosine (the probe prunes candidates, never perturbs the metric)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(3))
+      exact.get(key).foreach(c => assert(c == r.getDouble(5),
+        s"cosine drift on $key: exact $c vs ivf ${r.getDouble(5)}"))
+    }
+    // probe-bounded candidates lose some true hard negatives; a majority
+    // of the exact form's mined pairs must still be recovered
+    val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(3))).toSet
+    val recovered = exact.keys.count(ivfPairs)
+    assert(recovered * 2 >= exact.size,
+      s"ivf recovers only $recovered of ${exact.size} exact hard negatives")
+  }
+
+  test("retrieval-ivf scale form: exact corpus denominators, metrics within approx bounds") {
+    import graft.operators.Similarity
+    val exact = Similarity.retrievalEval(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(6))).toMap
+    val ivf = Similarity.retrievalEvalIvf(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(6))).toMap
+    assert(ivf.nonEmpty)
+    // the IVF eval grades the same query universe (a query only drops
+    // when its probed cells are empty — not the case on this fixture)
+    assert(ivf.keySet == exact.keySet,
+      s"query sets differ: ${ivf.keySet.diff(exact.keySet)} / ${exact.keySet.diff(ivf.keySet)}")
+    // n_rel_corpus is the EXACT per-label denominator in both forms
+    for ((q, (nrel, _)) <- exact)
+      assert(ivf(q)._1 == nrel, s"query $q n_rel_corpus drifted: ${ivf(q)._1} vs $nrel")
+    // ndcg grades the index against the exact ideal: mean degradation is
+    // the recall cost of NPROBE cells — bounded, not zero
+    val meanExact = exact.values.map(_._2).sum / exact.size
+    val meanIvf = ivf.values.map(_._2).sum / ivf.size
+    assert(meanIvf >= meanExact - 0.5,
+      s"ivf mean ndcg $meanIvf collapsed vs exact $meanExact")
+  }
+
   test("near-dup pairs are ordered v1 < v2 with cosine above threshold") {
     val nd = Similarity.embeddingNeardup(spark, sf)
     assert(nd.filter(col("v1") >= col("v2") || col("cosine") < 0.4).isEmpty)

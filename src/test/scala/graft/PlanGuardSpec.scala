@@ -29,8 +29,9 @@ class PlanGuardSpec extends AnyFunSuite {
     * fixed K. */
   private val nljAllowed = Set("q_ann_bruteforce", "q_ann_ivf", "q_ivf_refine", "q_ivf_refine2",
     // q_knn_ivf: corpus x broadcast centroid set (the q_ann_ivf
-    // assignment shape) under the kNN vote tail
-    "q_knn_ivf",
+    // assignment shape) under the kNN vote tail; q_hardneg_ivf and
+    // q_retrieval_ivf embed the same assignment under their own tails
+    "q_knn_ivf", "q_hardneg_ivf", "q_retrieval_ivf",
     // q_hybrid_rrf: the vector side broadcasts the 1-row query vector
     // across the corpus scan — the same declared q_ann_bruteforce shape
     "q_hybrid_rrf",
@@ -200,7 +201,7 @@ class PlanGuardSpec extends AnyFunSuite {
       "the ANN/decontamination operator contract; the corpus itself scans once")(
       "q_ann_bruteforce", "q_ann_ivf", "q_ann_lsh", "q_ivf_balance",
       "q_ivf_refine", "q_ivf_refine2", "q_jl_projection", "q_knn_classify",
-      "q_knn_ivf",
+      "q_knn_ivf", "q_hardneg_ivf", "q_retrieval_ivf",
       "q_hard_negatives", "q_negative_pairs", "q_retrieval_eval",
       "q_hybrid_rrf", "q_decontaminate") ++
     declared("semantic self-join over disjoint/filtered row subsets " +
@@ -365,7 +366,8 @@ class PlanGuardSpec extends AnyFunSuite {
     *    opaque graft-mat scan. */
   private val broadcastHintAllowed = Set(
     "q_ann_bruteforce", "q_ann_lsh", "q_ann_ivf", "q_ann_sq8", "q_ann_pq",
-    "q_knn_classify", "q_knn_ivf", "q_hard_negatives", "q_retrieval_eval", "q_hybrid_rrf",
+    "q_knn_classify", "q_knn_ivf", "q_hardneg_ivf", "q_retrieval_ivf",
+    "q_hard_negatives", "q_retrieval_eval", "q_hybrid_rrf",
     "q_jl_projection", "q_mmr_diversify", "q_ivf_balance", "q_ivf_refine",
     "q_ivf_refine2", "q_pq_distortion", "q_negative_pairs",
     "q_decontaminate", "q_skew_join")

@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Synthetic sf1 generator for the one-decade-up scale-slope probe
+/** Synthetic scale-up generator for the decade-step slope probes
   * (VERDICT r7 #3 / r8 #5): deterministically replicate the driver's
-  * sf0.1 tables ×10 so the slope table in BASELINE.md extends a decade
-  * beyond the largest driver-provided SF. Writes to `target/sf1_synth/`
-  * (inside the repo; never touches /root/testdata).
+  * sf0.1 tables ×N so the slope table in BASELINE.md extends beyond the
+  * largest driver-provided SF. Writes inside the repo's `target/`
+  * (never touches /root/testdata). REPS=10 (the default) is the sf1
+  * probe; REPS=100 is the sf10 probe — two decades above driver data.
   *
   * Design — the replication must preserve each table's STATISTICAL
   * shape while scaling row counts linearly, or the probe measures a
@@ -15,51 +16,91 @@ import org.apache.spark.sql.functions._
   *
   *  - **Key remapping, not key reuse.** Every scaled key column gets
   *    `key + rep * stride` where `stride = max(key)+1` from sf0.1 and
-  *    `rep` is the replica index 0..9. Foreign keys remap with the SAME
-  *    stride as their parent (l_orderkey with orders' stride, o_custkey
-  *    with customer's), so join fan-in per key is IDENTICAL to sf0.1 —
-  *    10 disjoint copies of the same join graph. Replica 0 is the
-  *    original data unchanged.
+  *    `rep` is the replica index 0..N-1. Foreign keys remap with the
+  *    SAME stride as their parent (l_orderkey with orders' stride,
+  *    o_custkey with customer's), so join fan-in per key is IDENTICAL
+  *    to sf0.1 — N disjoint copies of the same join graph. Replica 0 is
+  *    the original data unchanged.
   *  - **Dimensions don't scale.** nation/region copy through ×1 (TPC-H
   *    semantics: sf scales facts, not the 25-nation world). Customer/
-  *    supplier nationkeys are untouched, so dim joins get ×10 fan-in —
+  *    supplier nationkeys are untouched, so dim joins get ×N fan-in —
   *    exactly what a real sf step does.
   *  - **Text perturbation, not text duplication.** documents.text gets
-  *    a per-replica Caesar rotation (letters shifted by rep, via
-  *    translate — codegen'd, no UDF). This preserves length, token
-  *    boundaries, and within-replica dup/near-dup structure EXACTLY
-  *    (each replica reproduces sf0.1's pair set under its own
-  *    alphabet), while making cross-replica shingle overlap ~zero —
-  *    near-dup pair counts scale exactly ×10. Ten verbatim copies
-  *    would instead weld every doc into a 10-clone cluster and blow
-  *    the pair count up ×45/doc: a DIFFERENT, degenerate workload.
-  *  - **Embedding decorrelation by rotation.** embeddings.embedding is
-  *    circularly shifted by rep positions (slice+concat — preserves
-  *    the norm and the coordinate distribution exactly). Cross-replica
-  *    cosines land near zero for these random-ish vectors, so ANN
-  *    top-k / semantic near-dup don't degenerate into 10-way ties.
-  *  - **Timestamps unchanged.** Event/order/shipdate densities go ×10
+  *    a per-replica ALPHABET BIJECTION (via translate — codegen'd, no
+  *    UDF). This preserves length, token boundaries, and within-replica
+  *    dup/near-dup structure EXACTLY (each replica reproduces sf0.1's
+  *    pair set under its own alphabet), while making cross-replica
+  *    shingle overlap ~zero — near-dup pair counts scale exactly ×N.
+  *    N verbatim copies would instead weld every doc into an N-clone
+  *    cluster and blow the pair count up ×(N choose 2)/doc: a
+  *    DIFFERENT, degenerate workload. Replicas 1-9 keep the original
+  *    Caesar rotation (the committed sf1 contract, bit-stable);
+  *    replicas ≥ 10 use a Fisher-Yates permutation seeded by the
+  *    replica index — Caesar has only 26 distinct rotations, so
+  *    two-digit replica counts would collide alphabets (rep 5 ≡ rep 31)
+  *    and weld cross-replica EXACT dups. Pairwise distinctness of all N
+  *    alphabets is asserted at generation.
+  *  - **Embedding decorrelation by rotation (+ sign flips past rep 9).**
+  *    embeddings.embedding is circularly shifted by `rep mod dim`
+  *    positions (slice+concat — preserves the norm and the coordinate
+  *    distribution exactly). Replicas ≥ 10 additionally multiply by a
+  *    per-replica deterministic ±1 sign pattern (seeded by rep): with
+  *    dim=64 the shift alone collides one decade up (rep ≡ rep+64), and
+  *    sign flips keep cross-replica cosines near zero where two
+  *    replicas share a shift. Norms are unchanged (|±x| = |x|); replicas
+  *    0-9 take the pure-shift path so the sf1 output stays bit-stable.
+  *  - **Timestamps unchanged.** Event/order/shipdate densities go ×N
   *    per time window — that IS what a bigger corpus over the same
-  *    period looks like; windowed aggregates see real ×10 group sizes.
+  *    period looks like; windowed aggregates see real ×N group sizes.
   */
 object ScaleProbe {
-  private val REPS = 10
+  private val DEFAULT_REPS = 10
 
   private val lower = "abcdefghijklmnopqrstuvwxyz"
-  private val upper = lower.toUpperCase
 
-  /** Per-replica Caesar rotation as a translate() CASE — deterministic,
+  private def rot(s: String, k: Int) = s.drop(k) + s.take(k)
+
+  /** The replica's lowercase alphabet image: identity (0), Caesar (1-9,
+    * the pinned sf1 contract), seeded Fisher-Yates permutation (≥ 10). */
+  private[graft] def alphabetFor(rep: Int): String =
+    if (rep < 10) rot(lower, rep)
+    else {
+      val arr = lower.toCharArray
+      val rnd = new scala.util.Random(0x5ca1eL * 7919L + rep)
+      var i = arr.length - 1
+      while (i >= 1) {
+        val j = rnd.nextInt(i + 1)
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
+      }
+      new String(arr)
+    }
+
+  /** Per-replica ±1 sign pattern for embedding decorrelation (reps ≥ 10
+    * only; reps 0-9 never consult it). Deterministic in (rep, dim). */
+  private[graft] def signsFor(rep: Int, dim: Int): Array[Float] = {
+    val rnd = new scala.util.Random(0xf1a95L * 104729L + rep)
+    Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+  }
+
+  /** Per-replica alphabet bijection as a translate() CASE — deterministic,
     * length-preserving, codegen-friendly. rep 0 is identity. */
-  private def caesar(text: org.apache.spark.sql.Column, rep: org.apache.spark.sql.Column) = {
-    def rot(s: String, k: Int) = s.drop(k) + s.take(k)
-    (1 until REPS).foldLeft(when(rep === 0, text)) { (acc, k) =>
-      acc.when(rep === k, translate(text, lower + upper, rot(lower, k) + rot(upper, k)))
+  private def perturbText(text: org.apache.spark.sql.Column,
+                          rep: org.apache.spark.sql.Column, reps: Int) = {
+    val alphabets = (0 until reps).map(alphabetFor)
+    require(alphabets.distinct.size == reps,
+      "alphabet collision across replicas — exact dups would weld")
+    (1 until reps).foldLeft(when(rep === 0, text)) { (acc, k) =>
+      val a = alphabets(k)
+      acc.when(rep === k, translate(text, lower + lower.toUpperCase,
+        a + a.toUpperCase))
     }.otherwise(text)
   }
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "target/sf1_synth"
+    val reps = if (args.length > 2) args(2).toInt else DEFAULT_REPS
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -69,17 +110,18 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    synthesize(spark, srcDir, outDir)
+    synthesize(spark, srcDir, outDir, reps)
     val counts = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
       .map(n => s""""$n":${spark.read.parquet(s"$outDir/$n.parquet").count()}""")
-    println(s"""{"metric":"sf1_synth_rows",${counts.mkString(",")},"out":"$outDir"}""")
+    println(s"""{"metric":"scale_synth_rows",${counts.mkString(",")},"reps":$reps,"out":"$outDir"}""")
     spark.stop()
   }
 
-  /** Replicate every table of `srcDir` ×[[REPS]] into `outDir` (dims
+  /** Replicate every table of `srcDir` ×`reps` into `outDir` (dims
     * copy through ×1); see the object doc for the fidelity contract. */
-  def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String,
+                 reps: Int = DEFAULT_REPS): Unit = {
     def tbl(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
 
     /** max(key)+1 — the remap stride that keeps replica key spaces disjoint. */
@@ -96,17 +138,19 @@ object ScaleProbe {
     val vecS  = stride(tbl("embeddings"), "vec_id")
 
     /** Cross-join with the replica index and remap the named long keys
-      * by their parents' strides. crossJoin(range(10)) is a broadcast
-      * NLJ against a 10-row side — linear scan, no shuffle. */
+      * by their parents' strides. crossJoin(range(reps)) is a broadcast
+      * NLJ against an reps-row side — linear scan, no shuffle. */
     def replicate(df: DataFrame, remap: (String, Long)*): DataFrame = {
-      val reps = spark.range(REPS).toDF("rep")
-      remap.foldLeft(df.crossJoin(broadcast(reps))) { case (d, (k, s)) =>
+      val repsDf = spark.range(reps).toDF("rep")
+      remap.foldLeft(df.crossJoin(broadcast(repsDf))) { case (d, (k, s)) =>
         d.withColumn(k, col(k) + col("rep") * s)
       }
     }
 
     def write(df: DataFrame, name: String): Unit = {
-      df.drop("rep").coalesce(4).write.mode("overwrite")
+      // output partition count scales with the replication so sf10
+      // doesn't land in 4 giant row groups
+      df.drop("rep").coalesce(4 * math.max(1, reps / 10)).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       System.err.println(s"[scaleprobe] wrote $name")
     }
@@ -123,12 +167,24 @@ object ScaleProbe {
       "l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS), "lineitem")
     write(replicate(tbl("events"), "event_id" -> evS, "user_id" -> userS), "events")
     write(replicate(tbl("documents"), "doc_id" -> docS)
-      .withColumn("text", caesar(col("text"), col("rep"))), "documents")
+      .withColumn("text", perturbText(col("text"), col("rep"), reps)), "documents")
+
+    val dim = tbl("embeddings").select(size(col("embedding"))).head.getInt(0)
+    // circular shift by rep mod dim: norm-preserving, decorrelates replicas
+    val shiftCol = pmod(col("rep"), lit(dim)).cast("int")
+    val shifted = concat(
+      slice(col("embedding"), shiftCol + 1, lit(dim) - shiftCol),
+      slice(col("embedding"), lit(1), shiftCol))
+    // reps ≥ 10 add a per-replica ±1 pattern (see object doc); the join
+    // side is reps rows — broadcast
+    val signsDf = broadcast(spark.createDataFrame(
+      (0 until reps).map(r => (r.toLong, signsFor(r, dim).toSeq)))
+      .toDF("rep", "signs"))
     write(replicate(tbl("embeddings"), "vec_id" -> vecS)
+      .join(signsDf, "rep")
       .withColumn("embedding",
-        // circular shift by rep: norm-preserving, decorrelates replicas
-        concat(slice(col("embedding"), col("rep") + 1,
-                     size(col("embedding")) - col("rep")),
-               slice(col("embedding"), lit(1), col("rep")))), "embeddings")
+        when(col("rep") < 10, shifted)
+          .otherwise(zip_with(shifted, col("signs"), (a, b) => a * b)))
+      .drop("signs"), "embeddings")
   }
 }

@@ -81,6 +81,63 @@ class ScaleProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("two-digit replicas: distinct alphabets, disjoint shingles, norms exact (sf10 contract)") {
+    // the sf10 probe replicates ×100; Caesar has only 26 rotations and a
+    // 64-dim circular shift only 64 distinct positions, so reps ≥ 10
+    // switch to seeded alphabet permutations and ±1 sign patterns — this
+    // pins that the extension holds the same fidelity contract
+    val alphas = (0 until 100).map(ScaleProbe.alphabetFor)
+    assert(alphas.distinct.size == 100, "alphabet collision across 100 replicas")
+    assert(alphas.forall(_.sorted == "abcdefghijklmnopqrstuvwxyz"),
+      "a replica alphabet is not a bijection")
+
+    val dir = Files.createTempDirectory("graft_scaleprobe30").toString
+    ScaleProbe.synthesize(spark, sf, dir, 30)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(docs.count() == 30 * src("documents").count(), "facts not ×30")
+    // replica 0 verbatim: the generalization must not disturb the base
+    val stride = src("documents").agg(max("doc_id")).head.getLong(0) + 1
+    val rep0 = docs.filter(col("doc_id") < stride).select("doc_id", "text")
+    val s0 = src("documents").select("doc_id", "text")
+    assert(rep0.exceptAll(s0).isEmpty && s0.exceptAll(rep0).isEmpty,
+      "replica 0 diverged under the generalized generator")
+    // cross-replica shingle disjointness across the Caesar/permutation
+    // boundary: same source doc under reps {5, 12, 27} shares nothing
+    import graft.functions.TextHashImpl
+    val byRep = docs.filter(col("doc_id") % stride < 2)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0) % stride, (r.getLong(0) / stride).toInt, r.getString(1)))
+      .filter { case (_, r, _) => Set(5, 12, 27)(r) }
+    for {
+      (d, r1, t1) <- byRep; (d2, r2, t2) <- byRep
+      if d == d2 && r1 < r2
+    } {
+      val s1 = TextHashImpl.shingleHashes(TextHashImpl.tokenHashes(t1)).toSet
+      val s2 = TextHashImpl.shingleHashes(TextHashImpl.tokenHashes(t2)).toSet
+      assert(s1.intersect(s2).isEmpty,
+        s"doc $d replicas $r1/$r2 share shingles across the rep-10 boundary")
+    }
+    // sign-flipped embeddings: norm exact, replica 0 verbatim, and the
+    // shared-shift collision pair (rep, rep+dim) decorrelated by signs
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val vstride = src("embeddings").agg(max("vec_id")).head.getLong(0) + 1
+    val vecs = emb.filter(col("vec_id") % vstride === 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => ((r.getLong(0) / vstride).toInt, r.getSeq[Float](1).toArray))
+      .toMap
+    val srcV = src("embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    assert(vecs(0).sameElements(srcV), "replica 0 embedding diverged")
+    val n0 = srcV.map(x => x.toDouble * x).sum
+    for ((r, v) <- vecs) {
+      val n = v.map(x => x.toDouble * x).sum
+      assert(math.abs(n - n0) < 1e-9, s"replica $r norm drifted")
+      // every perturbed replica keeps the same multiset of |coords|
+      assert(v.map(math.abs(_)).sorted.sameElements(srcV.map(math.abs(_)).sorted),
+        s"replica $r is not a signed permutation of the source vector")
+    }
+  }
+
   test("embedding rotation preserves the norm exactly, decorrelates replicas") {
     val stride = src("embeddings").agg(max("vec_id")).head.getLong(0) + 1
     val byRep = gen("embeddings").filter(col("vec_id") % stride === 0)

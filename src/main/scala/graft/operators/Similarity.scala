@@ -251,10 +251,36 @@ object Similarity {
   /** IVF coarse-quantizer params: every KMODth vector is a centroid
     * (deterministic, data-derived — a k-means refinement would train
     * offline and broadcast the same way); queries probe the NPROBE
-    * nearest cells. */
-  private val KMOD = 100
+    * nearest cells.
+    *
+    * The stride is CORPUS-ADAPTIVE (round-9 sf10 probe): a fixed
+    * KMOD=100 makes K = n/100 centroids, so assignment is O(n²/100) —
+    * measured 925.97 s at the synthetic sf10 (slope 421 for a ×10 row
+    * step) vs 2.20 s at sf1. kmodCase doubles the stride every ×4 of
+    * the corpus, so K and cell occupancy both grow as √n and the
+    * assignment cost as n^1.5 — the balanced IVF design (K ≈ √n is the
+    * classical optimum when probe and assignment costs are weighed
+    * equally). Same machinery as the sign-LSH plane mask: an integer
+    * CASE chain over a 1-row count broadcast, bit-identical in the
+    * DuckDB oracle, and the identity KMOD=100 at every driver SF
+    * (n ≤ [[KMOD_BASE_N]]), so registry results are unchanged where
+    * they are hash-verified. */
+  private val KMOD = 100L
+  private val KMOD_BASE_N = 2000L
+  private val MAX_KSTEP = 16
   private val CENT_RESIDUE = 7
   private val NPROBE = 3
+
+  /** kmod = KMOD·2^j, j = min{k ≤ 16 : n ≤ KMOD_BASE_N·4^k} — integer
+    * comparisons only, so Spark and DuckDB agree at every n. */
+  private def kmodCase(n: Column): Column =
+    (0 to MAX_KSTEP).foldLeft(when(lit(false), lit(0L))) { (acc, k) =>
+      acc.when(n <= lit(KMOD_BASE_N << (2 * k)), lit(KMOD << k))
+    }.otherwise(lit(KMOD << MAX_KSTEP))
+
+  private val sqlKmod: String =
+    (0 to MAX_KSTEP).map(k => s"WHEN n_vec <= ${KMOD_BASE_N << (2 * k)} THEN ${KMOD << k}")
+      .mkString("CASE ", " ", s" ELSE ${KMOD << MAX_KSTEP} END")
 
   /** IVF-bucketed ANN — the second scale path next to [[annLsh]]:
     *  1. assignment: every vector joins the (small, broadcast) centroid
@@ -269,22 +295,46 @@ object Similarity {
     * instead of the full corpus. All ranking is deterministic: cosine
     * desc, centroid/neighbor id asc tiebreak, so the DuckDB oracle
     * verifies ids AND scores. */
-  private def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
-    withNorm(spark, dir).filter(col("vec_id") % KMOD === CENT_RESIDUE)
+  private def ivfCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val m = e.agg(count(lit(1)).as("n_vec"))
+      .select(kmodCase(col("n_vec")).as("kmod"))
+    e.crossJoin(broadcast(m))
+      .filter(col("vec_id") % col("kmod") === CENT_RESIDUE)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+  }
 
   /** Rank every vector of `src` against the broadcast centroid set and
     * keep its `maxRank` nearest cells — the shared core of assignment
-    * (maxRank=1) and probing (maxRank=NPROBE). */
+    * (maxRank=1) and probing (maxRank=NPROBE).
+    *
+    * The maxRank=1 (assignment) path is an ARGMAX, not a window: the
+    * window form shuffles all |src|·K ranked rows to rank them
+    * (measured as the second half of the sf10 925.97 s q_ann_ivf — a
+    * 400M-row exchange), while max(struct(cos, −cent_id)) partial-
+    * aggregates map-side and shuffles |src| rows total. The struct max
+    * is lexicographic, so it reproduces the window's (cos desc, cent_id
+    * asc) tiebreak exactly; embedding/nrm are per-vector constants
+    * within the group, so first() is value-deterministic. */
   private def rankCells(src: DataFrame, cents: DataFrame, maxRank: Int): DataFrame = {
-    val wVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cent_id").asc)
-    src.crossJoin(broadcast(cents))
+    val scored = src.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
         cosine(col("embedding"), col("nrm"), col("ce"), col("cn")).as("cos_c"))
-      .withColumn("rk", row_number().over(wVec))
-      .filter(col("rk") <= maxRank)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    if (maxRank == 1)
+      scored
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"),
+          max(struct(col("cos_c"), (-col("cent_id")).as("neg_cent"))).as("m"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          (-col("m.neg_cent")).as("cell"))
+    else {
+      val wVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_c").desc, col("cent_id").asc)
+      scored
+        .withColumn("rk", row_number().over(wVec))
+        .filter(col("rk") <= maxRank)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    }
   }
 
   /** PUBLIC IVF assignment: (vec_id, embedding, nrm, cell) — the
@@ -330,8 +380,9 @@ object Similarity {
   private val sqlIvfAssignCtes: String = {
     val cosNC = sqlCosine("n.embedding", "n.nrm", "c.ce", "c.cn")
     s"""n AS ($sqlWithNorm),
-       |c AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM n
-       |      WHERE vec_id % $KMOD = $CENT_RESIDUE),
+       |c AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn FROM n,
+       |      (SELECT $sqlKmod AS kmod FROM (SELECT count(*) AS n_vec FROM embeddings))
+       |      WHERE vec_id % kmod = $CENT_RESIDUE),
        |a AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM (
        |  SELECT n.vec_id, n.embedding, n.nrm, c.cent_id,
        |         row_number() OVER (PARTITION BY n.vec_id ORDER BY $cosNC DESC, c.cent_id ASC) AS rk
@@ -510,9 +561,11 @@ object Similarity {
     * the pruned fraction is the semantic-redundancy rate of the corpus).
     *
     * Scale shape — the defining SemDeDup trick: candidate pairs exist
-    * only WITHIN a cell, so with centroid count scaled to the corpus
-    * (here every KMODth vector ⇒ E[cell size] ≈ KMOD regardless of N),
-    * pair work is N·KMOD/2 — linear in the corpus, never all-pairs. The
+    * only WITHIN a cell, so with the adaptive stride (cell size ≈
+    * kmod(N) ~ √N) pair work is N·√N/2 and assignment N·√N — the
+    * balanced IVF point that minimizes their sum (a fixed stride would
+    * pin pair work linear but send the assignment quadratic: the
+    * measured sf10 cliff at the KMOD scaladoc). Never all-pairs. The
     * assignment is materialized once (three plan references = three
     * pruned parquet scans, not three crossJoin recomputes); the
     * within-cell join is a plain equi-join on cell. Cosine, assignment,

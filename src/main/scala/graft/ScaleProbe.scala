@@ -101,6 +101,11 @@ object ScaleProbe {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "target/sf1_synth"
     val reps = if (args.length > 2) args(2).toInt else DEFAULT_REPS
+    // optional comma-list of tables (plus dims, always written): a
+    // three-decade probe of the text/embedding families doesn't need
+    // 600M replicated lineitem rows on disk
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -110,32 +115,37 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    synthesize(spark, srcDir, outDir, reps)
+    synthesize(spark, srcDir, outDir, reps, only)
     val counts = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
+      .filter(n => only.forall(_.contains(n)) || n == "region" || n == "nation")
       .map(n => s""""$n":${spark.read.parquet(s"$outDir/$n.parquet").count()}""")
     println(s"""{"metric":"scale_synth_rows",${counts.mkString(",")},"reps":$reps,"out":"$outDir"}""")
     spark.stop()
   }
 
   /** Replicate every table of `srcDir` ×`reps` into `outDir` (dims
-    * copy through ×1); see the object doc for the fidelity contract. */
+    * copy through ×1); see the object doc for the fidelity contract.
+    * `only` restricts which FACT tables are written (dims always are) —
+    * strides are computed lazily so skipped parents are never read. */
   def synthesize(spark: SparkSession, srcDir: String, outDir: String,
-                 reps: Int = DEFAULT_REPS): Unit = {
+                 reps: Int = DEFAULT_REPS,
+                 only: Option[Set[String]] = None): Unit = {
     def tbl(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
 
     /** max(key)+1 — the remap stride that keeps replica key spaces disjoint. */
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head.getLong(0) + 1L
 
-    val custS = stride(tbl("customer"), "c_custkey")
-    val suppS = stride(tbl("supplier"), "s_suppkey")
-    val partS = stride(tbl("part"), "p_partkey")
-    val ordS  = stride(tbl("orders"), "o_orderkey")
-    val evS   = stride(tbl("events"), "event_id")
-    val userS = stride(tbl("events"), "user_id")
-    val docS  = stride(tbl("documents"), "doc_id")
-    val vecS  = stride(tbl("embeddings"), "vec_id")
+    lazy val custS = stride(tbl("customer"), "c_custkey")
+    lazy val suppS = stride(tbl("supplier"), "s_suppkey")
+    lazy val partS = stride(tbl("part"), "p_partkey")
+    lazy val ordS  = stride(tbl("orders"), "o_orderkey")
+    lazy val evS   = stride(tbl("events"), "event_id")
+    lazy val userS = stride(tbl("events"), "user_id")
+    lazy val docS  = stride(tbl("documents"), "doc_id")
+    lazy val vecS  = stride(tbl("embeddings"), "vec_id")
 
     /** Cross-join with the replica index and remap the named long keys
       * by their parents' strides. crossJoin(range(reps)) is a broadcast
@@ -159,32 +169,41 @@ object ScaleProbe {
     write(tbl("region").withColumn("rep", lit(0)), "region")
     write(tbl("nation").withColumn("rep", lit(0)), "nation")
 
-    write(replicate(tbl("customer"), "c_custkey" -> custS), "customer")
-    write(replicate(tbl("supplier"), "s_suppkey" -> suppS), "supplier")
-    write(replicate(tbl("part"), "p_partkey" -> partS), "part")
-    write(replicate(tbl("orders"), "o_orderkey" -> ordS, "o_custkey" -> custS), "orders")
-    write(replicate(tbl("lineitem"),
-      "l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS), "lineitem")
-    write(replicate(tbl("events"), "event_id" -> evS, "user_id" -> userS), "events")
-    write(replicate(tbl("documents"), "doc_id" -> docS)
-      .withColumn("text", perturbText(col("text"), col("rep"), reps)), "documents")
+    if (wanted("customer"))
+      write(replicate(tbl("customer"), "c_custkey" -> custS), "customer")
+    if (wanted("supplier"))
+      write(replicate(tbl("supplier"), "s_suppkey" -> suppS), "supplier")
+    if (wanted("part"))
+      write(replicate(tbl("part"), "p_partkey" -> partS), "part")
+    if (wanted("orders"))
+      write(replicate(tbl("orders"), "o_orderkey" -> ordS, "o_custkey" -> custS), "orders")
+    if (wanted("lineitem"))
+      write(replicate(tbl("lineitem"),
+        "l_orderkey" -> ordS, "l_partkey" -> partS, "l_suppkey" -> suppS), "lineitem")
+    if (wanted("events"))
+      write(replicate(tbl("events"), "event_id" -> evS, "user_id" -> userS), "events")
+    if (wanted("documents"))
+      write(replicate(tbl("documents"), "doc_id" -> docS)
+        .withColumn("text", perturbText(col("text"), col("rep"), reps)), "documents")
 
-    val dim = tbl("embeddings").select(size(col("embedding"))).head.getInt(0)
-    // circular shift by rep mod dim: norm-preserving, decorrelates replicas
-    val shiftCol = pmod(col("rep"), lit(dim)).cast("int")
-    val shifted = concat(
-      slice(col("embedding"), shiftCol + 1, lit(dim) - shiftCol),
-      slice(col("embedding"), lit(1), shiftCol))
-    // reps ≥ 10 add a per-replica ±1 pattern (see object doc); the join
-    // side is reps rows — broadcast
-    val signsDf = broadcast(spark.createDataFrame(
-      (0 until reps).map(r => (r.toLong, signsFor(r, dim).toSeq)))
-      .toDF("rep", "signs"))
-    write(replicate(tbl("embeddings"), "vec_id" -> vecS)
-      .join(signsDf, "rep")
-      .withColumn("embedding",
-        when(col("rep") < 10, shifted)
-          .otherwise(zip_with(shifted, col("signs"), (a, b) => a * b)))
-      .drop("signs"), "embeddings")
+    if (wanted("embeddings")) {
+      val dim = tbl("embeddings").select(size(col("embedding"))).head.getInt(0)
+      // circular shift by rep mod dim: norm-preserving, decorrelates replicas
+      val shiftCol = pmod(col("rep"), lit(dim)).cast("int")
+      val shifted = concat(
+        slice(col("embedding"), shiftCol + 1, lit(dim) - shiftCol),
+        slice(col("embedding"), lit(1), shiftCol))
+      // reps ≥ 10 add a per-replica ±1 pattern (see object doc); the join
+      // side is reps rows — broadcast
+      val signsDf = broadcast(spark.createDataFrame(
+        (0 until reps).map(r => (r.toLong, signsFor(r, dim).toSeq)))
+        .toDF("rep", "signs"))
+      write(replicate(tbl("embeddings"), "vec_id" -> vecS)
+        .join(signsDf, "rep")
+        .withColumn("embedding",
+          when(col("rep") < 10, shifted)
+            .otherwise(zip_with(shifted, col("signs"), (a, b) => a * b)))
+        .drop("signs"), "embeddings")
+    }
   }
 }

@@ -1518,24 +1518,32 @@ object Similarity {
     * dead-unit check run after every embedding model change (a dim with
     * ~zero variance carries no information; a dominant one distorts
     * cosine geometry). Values go through micro-units so the moments are
-    * exact longs; the ranking orders by the integer variance NUMERATOR
+    * exact; the ranking orders by the integer variance NUMERATOR
     * n·Σx²−(Σx)² (n is the same for every dim, so the order equals the
-    * variance order with no float ties). One posexplode + one (dim)
-    * aggregate + a distributed TakeOrderedAndProject. */
+    * variance order with no float ties). The moments accumulate in
+    * DECIMAL(38,0) — the lang_kappa overflow discipline: per-element
+    * m² ≤ ~1.6e13 is long-safe, but Σm² reaches ~2e18 at 2M vectors and
+    * n·Σm²−(Σm)² ~4e24 overflows BIGINT outright (the round-9 sf100
+    * probe caught this as an ANSI ARITHMETIC_OVERFLOW; DuckDB masked it
+    * by silently widening BIGINT sums to HUGEINT). One posexplode + one
+    * (dim) aggregate + a distributed TakeOrderedAndProject. */
   def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
     val mu = floor(col("x").cast("double") * 1000000.0 + lit(0.5)).cast("long")
+    val dec = "decimal(38,0)"
     embeddings(spark, dir)
       .select(posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("d"), mu.as("m"))
       .groupBy(col("d"))
-      .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
-        sum(col("m") * col("m")).as("sq"))
-      .withColumn("num", col("n") * col("sq") - col("s") * col("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("m").cast(dec)).as("s"),
+        sum((col("m") * col("m")).cast(dec)).as("sq"))
+      .withColumn("num", col("n").cast(dec) * col("sq") - col("s") * col("s"))
       .orderBy(col("num").desc, col("d").asc)
       .limit(ESTAT_TOPK)
       .select(col("d").cast("long").as("dim"), col("n"),
         (col("s").cast("double") / col("n") / 1000000.0).as("mean"),
-        (col("num").cast("double") / (col("n") * col("n")).cast("double") /
+        (col("num").cast("double") /
+          (col("n").cast(dec) * col("n").cast(dec)).cast("double") /
           1.0e12).as("variance"))
   }
 
@@ -1543,12 +1551,14 @@ object Similarity {
     s"""WITH e AS (SELECT i - 1 AS d,
        |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS m
        |  FROM embeddings, (SELECT unnest(generate_series(1, $DIM)) AS i) dims),
-       |mo AS (SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s,
-       |              CAST(sum(m * m) AS BIGINT) AS sq FROM e GROUP BY 1),
-       |r AS (SELECT *, n * sq - s * s AS num FROM mo
+       |mo AS (SELECT d, CAST(count(*) AS BIGINT) AS n,
+       |              CAST(sum(CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+       |              CAST(sum(CAST(m * m AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq
+       |       FROM e GROUP BY 1),
+       |r AS (SELECT *, CAST(n AS DECIMAL(38,0)) * sq - s * s AS num FROM mo
        |      ORDER BY num DESC, d ASC LIMIT $ESTAT_TOPK)
        |SELECT d AS dim, n, CAST(s AS DOUBLE) / n / 1000000.0 AS mean,
-       |       CAST(num AS DOUBLE) / CAST(n * n AS DOUBLE) / 1.0e12 AS variance
+       |       CAST(num AS DOUBLE) / CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE) / 1.0e12 AS variance
        |FROM r ORDER BY num DESC, dim ASC""".stripMargin
 
   // ------------------------------------------- negative-pair sampling

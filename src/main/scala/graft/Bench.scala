@@ -41,6 +41,21 @@ object Bench {
   // already protects sub-second jitter from spurious retries
   private val RETRY_FACTOR = 2.0
   private val RETRY_MIN_DELTA_SEC = 1.0
+  // Retry-gate posture (VERDICT r9 #3): a retry fired into the SAME
+  // sustained contention burst that inflated the first attempt measures
+  // nothing (BENCH_r09: 13 retries fired, q_bigram_surprise still 23.09 s
+  // vs envelope 3.03 — both attempts in one burst). Before retrying, wait
+  // (bounded) for the AMBIENT machine to go quiet. Raw loadavg can't gate
+  // this mid-run — it is a 1-min EMA that our OWN just-finished attempt
+  // dominates (4-32 runnable threads decay over ~a minute) — so the gate
+  // measures ambient directly: Δ(/proc/stat busy incl. steal) minus
+  // Δ(/proc/self/stat utime+stime) over a 2 s idle window = CPU cores
+  // burned by OTHER processes right now, EMA-free. Limitation (documented):
+  // hypervisor-side virtio stalls that burn no guest CPU stay invisible;
+  // those remain covered by the noise_ratio/envelope_inflation labels.
+  private val RETRY_WAIT_MAX_SEC = 60.0
+  private val RETRY_WAIT_WINDOW_SEC = 2.0
+  private val AMBIENT_QUIET_CORES = 1.0
   // two stable CPU probes + one Materializer/IO-heavy probe: this
   // sandbox's dominant noise mode is virtio IO bursts that leave
   // CPU-bound queries untouched (r8 self-labeled 1.06 while the IO tail
@@ -57,6 +72,65 @@ object Bench {
       try src.getLines().next().split(" ")(0).toDouble
       finally src.close()
     } catch { case _: Throwable => -1.0 }
+
+  /** System-wide busy jiffies (user+nice+system+irq+softirq+steal) from
+    * /proc/stat, or -1 if unreadable. steal is included because this
+    * sandbox's contention is hypervisor-shared — stolen time IS ambient
+    * contamination from the guest's perspective. */
+  private def systemBusyJiffies: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+") // "cpu u n s idle iow irq sirq steal ..."
+        Seq(1, 2, 3, 6, 7, 8).map(i => if (i < f.length) f(i).toLong else 0L).sum
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  /** This JVM's utime+stime jiffies from /proc/self/stat, or -1. */
+  private def selfBusyJiffies: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      try {
+        val line = src.getLines().next()
+        // comm can contain spaces/parens — fields resume after the LAST ')'
+        val rest = line.substring(line.lastIndexOf(')') + 2).split(" ")
+        rest(11).toLong + rest(12).toLong // utime, stime (fields 14, 15)
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  /** CPU cores currently burned by processes OTHER than this JVM, sampled
+    * over one [[RETRY_WAIT_WINDOW_SEC]] idle window (USER_HZ = 100, the
+    * fixed userland-visible Linux tick). -1 when /proc is unreadable. */
+  private def ambientCores(): Double = {
+    val (sys0, own0) = (systemBusyJiffies, selfBusyJiffies)
+    if (sys0 < 0 || own0 < 0) return -1.0
+    val t0 = System.nanoTime()
+    Thread.sleep((RETRY_WAIT_WINDOW_SEC * 1000).toLong)
+    val (sys1, own1) = (systemBusyJiffies, selfBusyJiffies)
+    if (sys1 < 0 || own1 < 0) return -1.0
+    val dt = (System.nanoTime() - t0) / 1e9
+    math.max(0.0, ((sys1 - sys0) - (own1 - own0)) / (dt * 100.0))
+  }
+
+  /** Bounded wait for ambient quiet before a retry attempt. Returns
+    * (secondsWaited, quietReached). A quiet machine costs one 2 s window;
+    * a sustained burst costs at most [[RETRY_WAIT_MAX_SEC]] and is then
+    * retried anyway (the first-attempt time is already recorded, so the
+    * honest labels survive either way). */
+  private def awaitAmbientQuiet(): (Double, Boolean) = {
+    val t0 = System.nanoTime()
+    var quiet = false
+    var cores = ambientCores()
+    if (cores < 0) return (0.0, false) // /proc unreadable: don't stall
+    while (!quiet && (System.nanoTime() - t0) / 1e9 < RETRY_WAIT_MAX_SEC) {
+      if (cores <= AMBIENT_QUIET_CORES) quiet = true
+      else {
+        System.err.println(f"[bench]   ambient ${cores}%.1f cores busy, waiting...")
+        cores = ambientCores()
+      }
+    }
+    ((System.nanoTime() - t0) / 1e9, quiet)
+  }
 
   private def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
@@ -136,11 +210,23 @@ object Bench {
 
     // one timed attempt; Materializer always cleared so no state (disk
     // copies OR block-manager) leaks into the next measurement — a retry
-    // reusing the first attempt's materializations would be unfairly fast
+    // reusing the first attempt's materializations would be unfairly fast.
+    //
+    // Forcing action (VERDICT r9 #1): `df.count()` lets Catalyst collapse
+    // row-count-preserving plans (projection/window/sort-only) to a parquet
+    // METADATA count — q_exact_dedup, q_lang_id, q_quality_score,
+    // q_doc_fingerprint, q_token_stats read ~0.2 s at EVERY SF because
+    // their real work was optimized away under the count aggregate.
+    // `queryExecution.toRdd.count()` executes df's OWN physical plan (the
+    // optimizer never sees a count on top, so nothing is pruned) and
+    // counts InternalRows per partition — every column is computed, no
+    // rows reach the driver beyond per-partition counts. This is what
+    // Verify pays when it materializes full parquet output, minus the
+    // encoder/write cost — the honest per-query time.
     def attempt(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[Throwable]) = {
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
+      val err = try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
         catch { case e: Throwable => Some(e) }
       val sec = (System.nanoTime() - t0) / 1e9
       Materializer.clear()
@@ -153,6 +239,8 @@ object Bench {
     // this the emitted "retried" map under-reports on exactly the flaky
     // case — every attempted retry must be visible in the JSON
     val retryErrored = scala.collection.mutable.ArrayBuffer[String]()
+    var retryWaitSec = 0.0   // total seconds spent in ambient-quiet gates
+    var retryWaitGaveUp = 0  // gates that hit RETRY_WAIT_MAX still-loud
     val results = subset.sortBy(_._1).map { case (name, fn) =>
       val (t1, err1) = attempt(name, fn)
       firstTimes(name) = t1
@@ -168,6 +256,14 @@ object Bench {
           val outlier = quiet.exists(q =>
             t1 > q * RETRY_FACTOR && t1 - q > RETRY_MIN_DELTA_SEC)
           if (outlier) {
+            // gate the retry on ambient quiet (bounded): retrying INTO the
+            // burst that inflated attempt 1 measures the burst twice
+            val (waited, reachedQuiet) = awaitAmbientQuiet()
+            retryWaitSec += waited
+            if (!reachedQuiet && waited > 0) retryWaitGaveUp += 1
+            if (waited > RETRY_WAIT_WINDOW_SEC + 0.5)
+              System.err.println(
+                f"[bench]   waited $waited%.1f s for ambient quiet (reached=$reachedQuiet)")
             val (t2, err2) = attempt(name, fn)
             if (err2.isDefined) {
               // first attempt succeeded; a flaky second must not fail the
@@ -208,7 +304,13 @@ object Bench {
     // burst can miss: r9 measured probes 1.27 vs true 1.52), this is
     // total inflation by construction; the probe-based noise_ratio stays
     // as the probe-positional secondary signal.
-    val covered = firstTimes.keys.filter(k => env0.contains(k) && firstTimes(k) > 0).toSeq
+    // covered = succeeded AND enveloped (ADVICE r9: attempt() records
+    // elapsed time even when fn throws, so a fast-failing query would
+    // deflate — and a slow-failing one inflate — the label against an
+    // all-success envelope; failures already scream through `failed`)
+    val succeeded = results.collect { case (n, v) if v >= 0 => n }.toSet
+    val covered = firstTimes.keys
+      .filter(k => succeeded(k) && env0.contains(k) && firstTimes(k) > 0).toSeq
     val envSum = covered.map(env0).sum
     val envelopeInflation = if (envSum > 0) covered.map(firstTimes).sum / envSum else -1.0
     val retriedJson = retriedFirst.toSeq.sortBy(_._1)
@@ -219,6 +321,7 @@ object Bench {
     // 2000-char tail window; stdout carries the count + noise_ratio
     val env = s""""loadavg_start":${f2(load0)},"loadavg_end":${f2(loadavg)},""" +
       s""""gc_ms":$gcMillis,"peak_heap_mib":$peakHeapMiB,""" +
+      s""""retry_wait_s":${f2(retryWaitSec)},"retry_wait_gaveup":$retryWaitGaveUp,""" +
       s""""noise_ratio":${f2(noiseRatio)},"envelope_inflation":${f2(envelopeInflation)}"""
     // The driver keeps only the LAST 2000 chars of stdout and parses the
     // JSON line out of that tail. At 120+ registry queries the full
@@ -265,7 +368,19 @@ object Bench {
         System.err.println(
           f"[bench] NOT overwriting bench_full.json (prior n=$priorN noise=$priorNoise%.2f vs this n=${results.size} noise=$noiseRatio%.2f) — this run is in bench_runs/")
     } catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: $e") }
-    val budget = 1500 // chars for the stdout queries map, leaving ~300 for the rest
+    // stdout retried detail (VERDICT r9 #7): BENCH snapshots must be
+    // self-explaining — n_retried alone forced the judge to cross-reference
+    // bench_runs/. Worst-retried first as "name":[first,kept], greedily up
+    // to its own char budget; the count still reports the true total.
+    val resultMap = results.toMap
+    val retriedOrdered = retriedFirst.toSeq
+      .map { case (k, v) => (k, v, resultMap.getOrElse(k, -1.0)) }
+      .sortBy { case (_, first, kept) => -(first - kept) }
+      .map { case (k, first, kept) => "\"" + k + "\":[" + f2(first) + "," + f2(kept) + "]" }
+    val retriedKeep = retriedOrdered.scanLeft(0)(_ + _.length + 1).tail
+      .zip(retriedOrdered).takeWhile(_._1 <= 350).map(_._2)
+    val retriedCompact = retriedKeep.mkString("{", ",", "}")
+    val budget = 1150 // chars for the stdout queries map (retried gets 350, rest ~300)
     val ordered = results.filter(_._2 < 0) ++ results.filter(_._2 >= 0).sortBy(-_._2)
     val entries = ordered.map { case (k, v) => "\"" + k + "\":" + f2(v) }
     val keep = entries.scanLeft(0)(_ + _.length + 1).tail
@@ -273,7 +388,7 @@ object Bench {
     val omitted = ordered.drop(keep.size)
     val omittedSec = omitted.map(_._2).filter(_ >= 0).sum
     val qs = keep.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$qs,"queries_omitted":${omitted.size},"omitted_sec":${f2(omittedSec)},"failed":$failedJson,"n_retried":${retriedFirst.size},$env,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$qs,"queries_omitted":${omitted.size},"omitted_sec":${f2(omittedSec)},"failed":$failedJson,"n_retried":${retriedFirst.size},"retried_firsts":$retriedCompact,$env,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -722,6 +722,24 @@ object Dedup {
   private val EDIT_PFX = 48  // prefix compared (min doc length in TESTDATA)
   private val EDIT_T = 12    // max edits to call a pair near-dup
 
+  /** Pigeonhole segment count for the prefix-segment candidate source:
+    * EDIT_T + 1 segments of the compared prefix — a pair within EDIT_T
+    * SUBSTITUTIONS must agree exactly on at least one same-index segment
+    * (13 segments, ≤ 12 edited). Insertions/deletions shift the tail and
+    * void the guarantee (full PassJoin-style shifted matching is not
+    * worth its complexity here) — indel-heavy pairs rely on the shingle
+    * source, and the verify gate is the full banded levenshtein either
+    * way. */
+  private val EDIT_SEGS = EDIT_T + 1
+
+  /** (start, len) 1-based substring bounds of segment i — identical
+    * literals land in the Spark plan and the oracle SQL. */
+  private def segBounds(i: Int): (Int, Int) = {
+    val s = i * EDIT_PFX / EDIT_SEGS
+    val e = (i + 1) * EDIT_PFX / EDIT_SEGS
+    (s + 1, e - s)
+  }
+
   /** Record-linkage-style fuzzy dedup: Levenshtein distance over a fixed
     * 48-char prefix, gated to candidate pairs that share at least one
     * sub-cap shingle AND sit in the same (lang, length-band) block.
@@ -729,24 +747,37 @@ object Dedup {
     * [[minhashLsh]]): edit distance catches character-level mutations
     * (OCR noise, typo farms) that survive token-level hashing.
     *
-    * Candidate generation is CONTENT-keyed (the shared df-capped shingle
-    * index), not band-blocked. Round 7's (lang, band)-only blocking was
-    * measured by the round-9 synthetic-sf1 probe at slope 77.8× for a
-    * ×10 row step: length bands are content-blind, so their occupancy —
-    * and the within-block pair space, quadratically — grows with the
-    * corpus. The shingle index bounds fan-out at DF_CAP² per key at ANY
-    * corpus size (same bound the jaccard family carries), at the
-    * documented recall cost that a pair sharing zero sub-cap shingles
-    * across the FULL text is never surfaced — character-level mutations
-    * dense enough to destroy every 3-token shingle are out of scope for
-    * the prefix gate anyway (12 edits in 48 chars cannot wipe out
-    * shingle overlap in multi-hundred-char documents).
+    * Candidate generation is CONTENT-keyed, never band-blocked (round
+    * 7's (lang, band)-only blocking measured slope 77.8× at the ×10
+    * probe: content-blind block occupancy grows with the corpus, pairs
+    * quadratically). TWO df-capped sources, OR'd:
     *
-    * Shape: the capped-index pair join (one window shuffle + one
-    * equi-join, both on the shingle key), then two hash-joins back to
-    * the (id, lang, band, prefix) projection, banded levenshtein last.
-    * Levenshtein is the engine-exact unit-cost DP in both Spark and
-    * DuckDB, so the distances hash-match as plain ints. */
+    *  1. the shared df-capped whole-text shingle index (fan-out ≤
+    *     DF_CAP² per shingle at any corpus size) — witnesses whole-doc
+    *     overlap;
+    *  2. prefix-segment pigeonhole blocks (round 10, ADVICE r9): the
+    *     compared EDIT_PFX-char prefix split into EDIT_SEGS = EDIT_T+1
+    *     exact segments, df-capped per (index, segment) key. A pair
+    *     within EDIT_T substitutions MUST share a same-index segment,
+    *     so prefix-edit near-dups whose shared shingles are ALL hot
+    *     (df > DF_CAP — the boilerplate/template class source 1 is
+    *     blind to) are guaranteed candidates as long as their segment
+    *     block is ≤ DF_CAP wide.
+    *
+    * Documented recall bounds (the honest stop-key semantics the whole
+    * dedup family carries): a template cluster wider than DF_CAP docs
+    * exceeds BOTH caps and its pairs are dropped BY DESIGN — any
+    * df-capped scheme bounds an m-doc near-identical cluster's O(m²)
+    * pair explosion this way (the keeper/cluster queries, not the pair
+    * reporter, are the scale-correct tool there). Indel-type edits
+    * shift segment boundaries and void the pigeonhole guarantee; such
+    * pairs rely on source 1.
+    *
+    * Shape: two capped-posting pair joins (window + equi-join each, on
+    * the shingle / segment key), UNION'd and deduped, then two
+    * hash-joins back to the (id, lang, band, prefix) projection, banded
+    * levenshtein last. Levenshtein is the engine-exact unit-cost DP in
+    * both Spark and DuckDB, so the distances hash-match as plain ints. */
   def editNearDup(spark: SparkSession, dir: String): DataFrame = {
     // Candidates come from the shared df-capped shingle index (the same
     // `candidx` materialization the jaccard/containment family reuses),
@@ -761,13 +792,26 @@ object Dedup {
     // shingle requirement is the scale bound, documented recall trade.
     val capped = NearDup.cappedPostings(shingleIndex(spark, dir), "sh", DF_CAP,
       Materializer.tagFor("candidx", dir))
-    val cand = capped.as("ca").join(capped.as("cb"),
+    val primary = capped.as("ca").join(capped.as("cb"),
         col("ca.sh") === col("cb.sh") && col("ca.doc_id") < col("cb.doc_id"))
       .select(col("ca.doc_id").as("d1"), col("cb.doc_id").as("d2"))
-      .distinct()
     val d = documents(spark, dir).select(col("doc_id"), col("lang"),
       expr(s"n_chars DIV $EDIT_BAND").as("band"),
       substring(col("text"), 1, EDIT_PFX).as("pfx"))
+    // secondary source: pigeonhole prefix segments, df-capped on the
+    // (segment index, segment text) key — "si#seg" as one string key so
+    // the shared cappedPostings window applies unchanged
+    val segs = (0 until EDIT_SEGS).map { i =>
+      val (start, len) = segBounds(i)
+      concat_ws("#", lit(i), substring(col("pfx"), start, len))
+    }
+    val segCapped = NearDup.cappedPostings(
+      d.select(col("doc_id"), explode(array(segs: _*)).as("segk")),
+      "segk", DF_CAP, Materializer.tagFor("editsegs", dir))
+    val secondary = segCapped.as("sa").join(segCapped.as("sb"),
+        col("sa.segk") === col("sb.segk") && col("sa.doc_id") < col("sb.doc_id"))
+      .select(col("sa.doc_id").as("d1"), col("sb.doc_id").as("d2"))
+    val cand = primary.union(secondary).distinct()
     cand
       .join(d.as("a"), col("d1") === col("a.doc_id"))
       .join(d.as("b"), col("d2") === col("b.doc_id") &&
@@ -782,18 +826,30 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val editNearDupSql: String =
+  val editNearDupSql: String = {
+    val segSelects = (0 until EDIT_SEGS).map { i =>
+      val (start, len) = segBounds(i)
+      s"SELECT doc_id, $i || '#' || substring(pfx, $start, $len) AS segk FROM d"
+    }.mkString("\n  UNION ALL ")
     s"""WITH ex AS ($sqlShingleIndex),
        |capped AS (SELECT doc_id, sh FROM (
        |  SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM ex)
        |  WHERE df <= $DF_CAP),
-       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |         FROM capped a JOIN capped b
-       |           ON a.sh = b.sh AND a.doc_id < b.doc_id),
        |d AS (
        |  SELECT doc_id, lang, n_chars // $EDIT_BAND AS band,
        |         substring(text, 1, $EDIT_PFX) AS pfx
-       |  FROM documents)
+       |  FROM documents),
+       |segp AS ($segSelects),
+       |segcap AS (SELECT doc_id, segk FROM (
+       |  SELECT doc_id, segk, count(*) OVER (PARTITION BY segk) AS df FROM segp)
+       |  WHERE df <= $DF_CAP),
+       |cand AS (SELECT DISTINCT d1, d2 FROM (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT sa.doc_id, sb.doc_id
+       |  FROM segcap sa JOIN segcap sb
+       |    ON sa.segk = sb.segk AND sa.doc_id < sb.doc_id))
        |SELECT c.d1 AS doc_a, c.d2 AS doc_b, a.lang AS lang,
        |       CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
        |FROM cand c
@@ -801,6 +857,7 @@ object Dedup {
        |JOIN d b ON c.d2 = b.doc_id AND a.lang = b.lang AND a.band = b.band
        |WHERE levenshtein(a.pfx, b.pfx) <= $EDIT_T
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   // -------------------------------------------- normalized exact dedup
   /** Normalization-hash dedup — exact dedup after case folding,

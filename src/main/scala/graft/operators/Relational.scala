@@ -1408,8 +1408,15 @@ object Relational {
     val rts = cells.groupBy(col("c_mktsegment")).agg(sum(col("o")).as("rt"))
     val cts = cells.groupBy(col("o_orderpriority")).agg(sum(col("o")).as("ct"))
     val ntot = cells.agg(sum(col("o")).as("n"))
-    val num = (col("o") * col("n") - col("rt") * col("ct")).cast("double")
-    val contribMu = floor(num * num / (col("rt") * col("ct")).cast("double") /
+    // o·n and rt·ct are products of corpus-scale counts — int64 overflows
+    // past ~3·10⁹ orders (r9 overflow-class sweep); form the exact
+    // integers in DECIMAL(38,0) and cast ONCE to double (both engines
+    // round nearest, so the micro-unit determinism contract holds)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val num = (col("o").cast(dec38) * col("n").cast(dec38) -
+      col("rt").cast(dec38) * col("ct").cast(dec38)).cast("double")
+    val contribMu = floor(num * num /
+      (col("rt").cast(dec38) * col("ct").cast(dec38)).cast("double") /
       col("n").cast("double") * 1000000.0 + lit(0.5)).cast("long")
     val agg = cells
       .join(broadcast(rts), "c_mktsegment")
@@ -1440,8 +1447,9 @@ object Relational {
       |         CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS r,
       |         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS c,
       |         CAST(sum(CAST(floor(
-      |           CAST(o * n - rt * ct AS DOUBLE) * CAST(o * n - rt * ct AS DOUBLE)
-      |             / CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+      |           CAST(CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct AS DOUBLE)
+      |             * CAST(CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct AS DOUBLE)
+      |             / CAST(CAST(rt AS HUGEINT) * ct AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
       |           AS BIGINT)) AS BIGINT) AS chi2_mu
       |  FROM cells JOIN rts USING (c_mktsegment) JOIN cts USING (o_orderpriority), ntot)
       |SELECT n, (r - 1) * (c - 1) AS df,

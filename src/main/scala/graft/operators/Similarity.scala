@@ -149,7 +149,46 @@ object Similarity {
     * broadcast from a 1-row count aggregate (the standard agg-bounded
     * BNLJ shape, machine-checked by PlanGuardSpec), and the masked
     * bucket id. */
+  /** Per-dir corpus counts, cached per JVM — a parquet footer count, run
+    * once at first LSH/IVF-family build against a dir: makes mask
+    * saturation LOUD and sizes the query-side broadcast decision (the
+    * in-plan count stays the pmask source). */
+  private val nVecSeen = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def nVecOf(spark: SparkSession, dir: String): Long =
+    nVecSeen.computeIfAbsent(dir, d => Long.box(embeddings(spark, d).count()))
+
+  /** Broadcast bound for the probed-cell query relation (ADVICE r9): the
+    * IVF scale forms' query side is nq·NPROBE rows of 64-dim embeddings,
+    * and nq is a CORPUS FRACTION here (vec_id % QUERY_MOD) — an
+    * unconditional broadcast therefore grows linearly with the corpus
+    * and blows driver/executor broadcast memory at exactly the scale
+    * these forms advertise. Up to ~500k probe rows (~150 MB at 64 float
+    * dims) the broadcast saves the corpus-side shuffle; above it the
+    * hint is withheld and the join falls back to AQE's choice (a shuffled
+    * equi-join on `cell`, which the IVF cell partitioning co-locates at
+    * 100 TB). The production contract stays bounded-query-batch — this
+    * bound just makes the demo registry honest when the query set is a
+    * corpus fraction. */
+  private val QUERY_BROADCAST_MAX = 500000L
+
+  private def maybeBroadcastQ(spark: SparkSession, dir: String, q: DataFrame): DataFrame =
+    if (nVecOf(spark, dir) / QUERY_MOD * NPROBE <= QUERY_BROADCAST_MAX) broadcast(q) else q
+
   private def withNormBucket(spark: SparkSession, dir: String): DataFrame = {
+    // saturation signal (ADVICE r9): past n = LSH_OCC·2^MAX_PLANES ≈ 8.2M
+    // vectors the adaptive mask pins at MAX_PLANES and bucket occupancy —
+    // hence within-bucket pair work, quadratically — resumes growing with
+    // the corpus. Don't let that return to super-linear scaling be silent
+    // in probe runs: warn loudly (the fix at real scale is growing the
+    // plane pool constant, not a code change).
+    val n = nVecSeen.computeIfAbsent(dir, d => Long.box(embeddings(spark, d).count()))
+    if (n > (LSH_OCC << MAX_PLANES))
+      System.err.println(
+        s"[graft] WARNING: sign-LSH plane mask SATURATED for $dir — " +
+          s"n_vec=$n > ${LSH_OCC << MAX_PLANES} (LSH_OCC<<MAX_PLANES); bucket occupancy " +
+          s"now grows ~n/2^$MAX_PLANES and within-bucket pair work quadratically. " +
+          s"Grow MAX_PLANES (pool constant) for this corpus scale.")
     val e = withNorm(spark, dir)
     val m = e.agg(count(lit(1)).as("n_vec"))
       .select(pmaskCase(col("n_vec")).as("pmask"))
@@ -207,22 +246,113 @@ object Similarity {
   private val probeMasks: Seq[Int] =
     (0 until (1 << MAX_PLANES)).filter(m => Integer.bitCount(m) <= PROBE_BITS)
 
-  // Embedding-cosine near-dup, LSH-bucketed with multi-probe: candidates
-  // are pairs whose ADAPTIVE-p hyperplane sign patterns differ in ≤ 2
-  // bits; cosine is verified exactly within candidates only. This
-  // replaces round 1's all-pairs v1<v2 cartesian, and round 7's FIXED
-  // 4-plane form, which the round-9 sf1 probe measured at slope 93× for
-  // a ×10 row step: fixed planes ⇒ occupancy grows with the corpus ⇒
-  // within-bucket pairs grow quadratically. With p = f(count) pinning
-  // occupancy at ~125, candidate work is n·occ·(1+p+C(p,2)) =
-  // O(n·log²n); at the driver SFs (n ≤ 2000 → p ≤ 4) buckets and
-  // results are IDENTICAL to the fixed-plane round-7 form.
-  // Deliberate LSH semantics: a pair whose codes differ in ≥ 3 used
-  // planes is not reported even above the threshold; AnnRecallSpec
-  // measures recall vs the exact all-pairs form at tiny SF, and the
-  // oracle mirrors the mask set exactly so the result is deterministic
+  /** Per-vector probe-plane budget. The full ≤2-bit Hamming ball over all
+    * p used planes holds 1 + p + C(p,2) masks — ~p²/2, which the round-9
+    * sf10 probe measured as a 71× per-decade step (p grows ~3.3 per
+    * decade; theory for the rest of the pipeline is ~19-23×). The budget
+    * caps probing at the PROBE_PLANES used planes with the SMALLEST
+    * |dot(v, plane_j)| margin — for a true near-dup pair the differing
+    * planes are exactly those whose dots straddle 0, i.e. small-|margin|
+    * on both endpoints — so the probe count is a constant
+    * 1 + B + C(B,2) = 11 and total candidate work is O(n·occ). Candidacy
+    * is the OR over both endpoints' budgets (both sides probe; pairs are
+    * canonicalized and deduped), so a flip low-margin for either endpoint
+    * is recovered. When p ≤ B the selection degenerates to ALL used
+    * planes and the result is bit-identical to the full Hamming ball —
+    * driver SFs (p ≤ 4) are unchanged; EmbNeardupBudgetSpec pins the
+    * equality and measures recall where p > B. */
+  private val PROBE_PLANES = 4
+
+  /** Budget mask: 2^j summed over the PROBE_PLANES lowest-|margin| USED
+    * planes (unused planes sort last via a +1e300 key and are stripped by
+    * the final & pmask). sort_array on struct(mk, j) gives the same
+    * lexicographic order in Spark and DuckDB, and the dot is the shared
+    * sequential double fold, so the selected set is bit-identical
+    * cross-engine. */
+  private def budgetMaskCol(emb: Column, pmask: Column): Column = {
+    val entries = (0 until MAX_PLANES).map { j =>
+      struct(
+        when(pmask.bitwiseAND(lit(1 << j)) =!= lit(0), abs(dotF(emb, planeLit(j))))
+          .otherwise(lit(1e300)).as("mk"),
+        lit(j).as("j"))
+    }
+    val sorted = sort_array(array(entries: _*))
+    (1 to PROBE_PLANES).map(i =>
+        call_function("shiftleft", lit(1), element_at(sorted, i).getField("j")))
+      .reduce(_ + _).bitwiseAND(pmask)
+  }
+
+  /** The sorted margin-struct list (SELECT fragment over a
+    * sqlWithNormBucket row). */
+  private def sqlMarginList: String =
+    (0 until MAX_PLANES).map { j =>
+      s"""{'mk': CASE WHEN (pmask >> $j) & 1 = 1 THEN abs(${sqlDot("embedding", sqlPlane(j))}) ELSE 1e300 END, 'j': $j}"""
+    }.mkString("list_sort([", ", ", "])")
+
+  /** The budget mask from a column `sl` holding [[sqlMarginList]]. */
+  private val sqlBudgetMask: String =
+    "(" + (1 to PROBE_PLANES)
+      .map(i => s"(1 << struct_extract(sl[$i], 'j'))").mkString(" + ") +
+      ") & pmask"
+
+  // Embedding-cosine near-dup, LSH-bucketed with BUDGETED multi-probe:
+  // candidates are pairs whose adaptive-p sign patterns differ in ≤ 2
+  // bits, all within the ≤ PROBE_PLANES lowest-|margin| planes of at
+  // least one endpoint; cosine is verified exactly within candidates
+  // only. Lineage: round 1 all-pairs cartesian → round 7 fixed 4-plane
+  // buckets (sf1 slope 93: occupancy grows with the corpus) → round 9
+  // adaptive p (occupancy pinned, but the Hamming-ball probe count grew
+  // ~p²: sf10 measured 71× per decade) → round 10 constant margin
+  // budget: n·occ·11 candidate work, O(n) total at pinned occupancy.
+  // Deliberate LSH semantics: a pair is missed iff its differing planes
+  // exceed Hamming 2 or escape BOTH endpoints' margin budgets — for a
+  // true near-dup a flipped plane has its dots straddling 0 on both
+  // sides, exactly the low-|margin| planes the budget keeps.
+  // AnnRecallSpec measures recall vs the exact all-pairs form at tiny
+  // SF; EmbNeardupBudgetSpec pins budget ≡ ball where p ≤ PROBE_PLANES
+  // and measures the trade where p > PROBE_PLANES; the oracle mirrors
+  // the mask selection bit-exactly so the result is deterministic
   // cross-engine.
   def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNormBucket(spark, dir)
+    val probes = e
+      .withColumn("bm", budgetMaskCol(col("embedding"), col("pmask")))
+      .withColumn("m", explode(array(probeMasks.map(lit(_)): _*)))
+      .filter(col("m").bitwiseAND(col("bm")) === col("m"))
+      .select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nrm").as("n1"), col("bucket").bitwiseXOR(col("m")).as("pb"))
+    // both endpoints probe (OR over their budgets); pairs canonicalized
+    // to v1 < v2 and deduped — the cosine is bit-identical in either
+    // direction (per-index double products, same summation order), so
+    // the distinct is deterministic
+    probes.join(e, col("pb") === col("bucket") && col("v1") =!= col("vec_id"))
+      .select(least(col("v1"), col("vec_id")).as("va"),
+        greatest(col("v1"), col("vec_id")).as("vb"),
+        cosine(col("e1"), col("n1"), col("embedding"), col("nrm")).as("cosine"))
+      .filter(col("cosine") >= NEARDUP_T)
+      .select(col("va").as("v1"), col("vb").as("v2"), col("cosine"))
+      .distinct()
+      .orderBy("v1", "v2")
+  }
+
+  val embeddingNeardupSql: String =
+    s"""WITH n AS ($sqlWithNormBucket),
+       |d AS (SELECT vec_id, embedding, nrm, pmask, bucket, $sqlMarginList AS sl FROM n),
+       |g AS (SELECT vec_id, embedding, nrm, bucket, $sqlBudgetMask AS bm FROM d),
+       |p AS (SELECT vec_id AS v1, embedding AS e1, nrm AS n1, xor(bucket, m) AS pb
+       |      FROM g, (SELECT unnest([${probeMasks.mkString(",")}]) AS m) masks
+       |      WHERE (m & bm) = m)
+       |SELECT DISTINCT least(p.v1, b.vec_id) AS v1, greatest(p.v1, b.vec_id) AS v2,
+       |       ${sqlCosine("e1", "n1", "b.embedding", "b.nrm")} AS cosine
+       |FROM p JOIN n b ON p.pb = b.bucket AND p.v1 != b.vec_id
+       |WHERE ${sqlCosine("e1", "n1", "b.embedding", "b.nrm")} >= $NEARDUP_T
+       |ORDER BY v1, v2""".stripMargin
+
+  /** The pre-budget full-Hamming-ball one-sided form — kept
+    * (unregistered) as the recall reference for EmbNeardupBudgetSpec:
+    * identical to [[embeddingNeardup]] wherever p ≤ PROBE_PLANES, the
+    * superset it trades against where p > PROBE_PLANES. */
+  def embeddingNeardupBall(spark: SparkSession, dir: String): DataFrame = {
     val e = withNormBucket(spark, dir)
     val probes = e
       .withColumn("m", explode(array(probeMasks.map(lit(_)): _*)))
@@ -235,17 +365,6 @@ object Similarity {
       .filter(col("cosine") >= NEARDUP_T)
       .orderBy("v1", "v2")
   }
-
-  val embeddingNeardupSql: String =
-    s"""WITH n AS ($sqlWithNormBucket),
-       |p AS (SELECT vec_id AS v1, embedding AS e1, nrm AS n1, xor(bucket, m) AS pb
-       |      FROM n, (SELECT unnest([${probeMasks.mkString(",")}]) AS m) masks
-       |      WHERE (m & pmask) = m)
-       |SELECT v1, b.vec_id AS v2,
-       |       ${sqlCosine("e1", "n1", "b.embedding", "b.nrm")} AS cosine
-       |FROM p JOIN n b ON p.pb = b.bucket AND p.v1 < b.vec_id
-       |WHERE ${sqlCosine("e1", "n1", "b.embedding", "b.nrm")} >= $NEARDUP_T
-       |ORDER BY v1, v2""".stripMargin
 
   // ------------------------------------------------------------ IVF ANN
   /** IVF coarse-quantizer params: every KMODth vector is a centroid
@@ -364,7 +483,7 @@ object Similarity {
     val probes = ivfProbeCells(spark, dir, nprobe)
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(probes)
+    maybeBroadcastQ(spark, dir, probes)
       .join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -757,7 +876,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     val wVote = Window.partitionBy(col("query_id"))
       .orderBy(col("votes").desc, col("label").asc)
-    broadcast(q).join(pool, Seq("cell"))
+    maybeBroadcastQ(spark, dir, q).join(pool, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("true_label"), col("label"),
         col("vec_id").as("neighbor_id"),
@@ -876,7 +995,7 @@ object Similarity {
         col("label").as("anchor_label")), Seq("query_id"))
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(q).join(pool, Seq("cell"))
+    maybeBroadcastQ(spark, dir, q).join(pool, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id") &&
         col("label") =!= col("anchor_label"))
       .select(col("query_id").as("anchor_id"), col("anchor_label"),
@@ -1732,7 +1851,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     val gainMu = floor(log(lit(2.0)) / log(lit(1.0) + col("rnk")) *
       1000000.0 + lit(0.5)).cast("long")
-    val ranked = broadcast(q).join(pool, Seq("cell"))
+    val ranked = maybeBroadcastQ(spark, dir, q).join(pool, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("qlabel"),
         col("vec_id").as("neighbor_id"), col("label"),

@@ -684,8 +684,13 @@ object TextOps {
         .as("n_agree"))
     val rows = cells.groupBy(col("claimed").as("k")).agg(sum(col("n")).as("r"))
     val cols = cells.groupBy(col("predicted").as("k")).agg(sum(col("n")).as("c"))
-    val s = rows.join(cols, "k").agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("s"))
+    // r·c is a product of per-label doc counts — int64 overflows once a
+    // label holds > ~3·10⁹ docs (r9 overflow-class sweep: DuckDB would
+    // silently HUGEINT-widen, Spark ANSI-errors); DECIMAL(38,0) in both
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val s = rows.join(cols, "k")
+      .agg(coalesce(sum(col("r").cast(dec38) * col("c").cast(dec38)),
+        lit(0L).cast(dec38)).as("s"))
     val nDec = col("n_docs").cast(dec38)
     val sDec = col("s").cast(dec38)
     val agreeDec = col("n_agree").cast(dec38)
@@ -729,7 +734,7 @@ object TextOps {
        |        FROM cells),
        |r AS (SELECT claimed AS k, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY 1),
        |c AS (SELECT predicted AS k, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY 1),
-       |s AS (SELECT CAST(coalesce(sum(r.r * c.c), 0) AS BIGINT) AS s
+       |s AS (SELECT CAST(coalesce(sum(CAST(r.r AS HUGEINT) * c.c), 0) AS HUGEINT) AS s
        |      FROM r JOIN c ON r.k = c.k)
        |SELECT n_docs, n_agree,
        |  CAST(floor(CAST(n_agree AS DOUBLE) * 1000000.0 / CAST(n_docs AS DOUBLE)) AS BIGINT) AS po_ppm,

@@ -443,18 +443,30 @@ class PipelineOpsSpec extends AnyFunSuite {
         "substring(text, 1, 48) AS pfx", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
         r.getString(4))).toSeq
-    // candidate gate (round 9): a pair must share ≥1 sub-cap shingle —
-    // recomputed independently via the plain-Scala hash twin
+    // candidate gate (round 10): a pair must share ≥1 sub-cap shingle OR
+    // ≥1 same-index sub-cap prefix segment (the pigeonhole secondary) —
+    // both recomputed independently via the plain-Scala hash twin
     import graft.functions.TextHashImpl
     val shingles: Map[Long, Set[Long]] = docs.map(d =>
       d._1 -> TextHashImpl.shingleHashes(TextHashImpl.tokenHashes(d._5)).toSet).toMap
     val df = shingles.values.toSeq.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
     val kept: Map[Long, Set[Long]] =
       shingles.map { case (id, ss) => id -> ss.filter(df(_) <= 20) }
+    val segsOf: Map[Long, Set[(Int, String)]] = docs.map { d =>
+      d._1 -> (0 until 13).map { i =>
+        val s = math.min(i * 48 / 13, d._4.length)
+        val e = math.min((i + 1) * 48 / 13, d._4.length)
+        (i, d._4.substring(s, e))
+      }.toSet
+    }.toMap
+    val segDf = segsOf.values.toSeq.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val keptSegs: Map[Long, Set[(Int, String)]] =
+      segsOf.map { case (id, ss) => id -> ss.filter(segDf(_) <= 20) }
     val expected = docs.groupBy(d => (d._2, d._3)).toSeq.flatMap { case (_, g) =>
       for {
         a <- g; b <- g if a._1 < b._1
-        if kept(a._1).exists(kept(b._1).contains)
+        if kept(a._1).exists(kept(b._1).contains) ||
+          keptSegs(a._1).exists(keptSegs(b._1).contains)
         d = lev(a._4, b._4) if d <= 12
       } yield (a._1, b._1, a._2, d)
     }.sortBy(p => (p._1, p._2))

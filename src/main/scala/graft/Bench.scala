@@ -61,6 +61,15 @@ object Bench {
   // CPU-bound queries untouched (r8 self-labeled 1.06 while the IO tail
   // ran ~1.2x), so a pure-CPU probe set under-reports contamination
   private val NOISE_PROBES = Seq("q1_pricing_summary", "q_ann_pq", "q_containment")
+  // Forcing-action version (ADVICE r10): envelope times are only
+  // comparable to runs measured under the SAME forcing action — the r9→r10
+  // switch from df.count() to queryExecution.toRdd.count() made the old
+  // quiet times fire 16 spurious retries and mislabel honest costs as
+  // noise. Every emitted JSON carries "forcing"; the envelope is IGNORED
+  // (no retries, noise_ratio/envelope_inflation = -1) unless its stamp
+  // matches, and a prior bench_full.json under a different stamp is
+  // treated as stale rather than defended by the quieter-record guard.
+  private val FORCING = "toRdd.count/v2"
 
   /** 1-min system loadavg, or -1 if unreadable — recorded at start and
     * end so a run contaminated by ambient machine load is self-diagnosing
@@ -122,8 +131,11 @@ object Bench {
     var quiet = false
     var cores = ambientCores()
     if (cores < 0) return (0.0, false) // /proc unreadable: don't stall
-    while (!quiet && (System.nanoTime() - t0) / 1e9 < RETRY_WAIT_MAX_SEC) {
-      if (cores <= AMBIENT_QUIET_CORES) quiet = true
+    var unreadable = false
+    while (!quiet && !unreadable && (System.nanoTime() - t0) / 1e9 < RETRY_WAIT_MAX_SEC) {
+      if (cores < 0) unreadable = true // sporadic /proc failure mid-wait:
+        // -1 must not read as "quiet" (ADVICE r10) — stop, report loud
+      else if (cores <= AMBIENT_QUIET_CORES) quiet = true
       else {
         System.err.println(f"[bench]   ambient ${cores}%.1f cores busy, waiting...")
         cores = ambientCores()
@@ -156,6 +168,13 @@ object Bench {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("bench_envelope.json")), "UTF-8")
       val sfOk = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
+      val forcingOk = """"forcing":"([^"]+)"""".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == FORCING)
+      if (!forcingOk) {
+        System.err.println(s"[bench] envelope ignored: forcing stamp missing or != $FORCING" +
+          " — re-record bench_envelope.json under the current forcing action")
+        return Map.empty
+      }
       // parse ONLY the "queries":{...} map — a bench_full.json also
       // carries a "retried":{...} object keyed by the SAME query names
       // but holding slow first-attempt times; scanning the whole file
@@ -334,7 +353,7 @@ object Bench {
     // bench_full.json next to the repo for the judge.
     val fullMap = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$fullMap,"failed":$failedJson,$env,"retried":$retriedJson,"retry_errored":$retryErroredJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$fullMap,"failed":$failedJson,$env,"retried":$retriedJson,"retry_errored":$retryErroredJson,"forcing":"$FORCING","sf":"$sfDir"}"""
     // every run gets a uniquely-named copy — nothing is ever lost
     try {
       val dir = java.nio.file.Paths.get("bench_runs")
@@ -358,8 +377,15 @@ object Bench {
       val priorN = field(""""n":(\d+)""").map(_.toInt).getOrElse(0)
       val priorNoise = field(""""noise_ratio":(-?\d+(?:\.\d+)?)""").getOrElse(-1.0)
       val priorTotal = field(""""value":(-?\d+(?:\.\d+)?)""").getOrElse(-1.0)
+      // a record measured under a DIFFERENT forcing action is stale — its
+      // times aren't comparable, so it must not be defended by the
+      // quieter-record guard (only by query-count, so a subset run still
+      // can't clobber a stale-but-full record)
+      val priorForcingOk = """"forcing":"([^"]+)"""".r.findFirstMatchIn(prior)
+        .exists(_.group(1) == FORCING)
       // unlabeled noise (-1: no envelope) never beats a labeled record
-      val quieterOrEqual = priorNoise < 0 || (noiseRatio >= 0 && noiseRatio <= priorNoise)
+      val quieterOrEqual = !priorForcingOk || priorNoise < 0 ||
+        (noiseRatio >= 0 && noiseRatio <= priorNoise)
       if (results.size > priorN || (results.size == priorN && quieterOrEqual)) {
         java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
         System.err.println(s"[bench] full per-query map -> ${p.toAbsolutePath}" +
@@ -388,7 +414,7 @@ object Bench {
     val omitted = ordered.drop(keep.size)
     val omittedSec = omitted.map(_._2).filter(_ >= 0).sum
     val qs = keep.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$qs,"queries_omitted":${omitted.size},"omitted_sec":${f2(omittedSec)},"failed":$failedJson,"n_retried":${retriedFirst.size},"retried_firsts":$retriedCompact,$env,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$qs,"queries_omitted":${omitted.size},"omitted_sec":${f2(omittedSec)},"failed":$failedJson,"n_retried":${retriedFirst.size},"retried_firsts":$retriedCompact,$env,"forcing":"$FORCING","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -169,9 +169,12 @@ object CorpusOps {
     * the Zipf-law audit (slope ≈ -1 for natural text; the synthetic
     * corpus's near-uniform head fits much flatter, itself a useful
     * distribution-shift signal). ln values are micro-unit-rounded first;
-    * all regression moments are then exact BIGINT sums/products
-    * (|Σxy| < 2^53 at R=100), so the slope/intercept doubles are
-    * bit-identical cross-engine. */
+    * all regression moments are then exact integer sums/products,
+    * accumulated in DECIMAL(38,0) (oracle: HUGEINT) — at R=100 the
+    * ·1e6-scaled ln moments keep n·Σxy within ~5× of 2⁶³ for a
+    * 10¹⁸-token corpus, too thin a margin to ship on int64 (the
+    * r10 q_revenue_trend overflow class) — so the slope/intercept
+    * doubles are bit-identical cross-engine at any corpus size. */
   def zipfFit(spark: SparkSession, dir: String): DataFrame = {
     val head = documents(spark, dir)
       .select(explode(split(trim(col("text")), WS_CLASS)).as("tok"))
@@ -181,23 +184,32 @@ object CorpusOps {
       .limit(ZIPF_TOPR)
     val ranked = head.withColumn("rank",
       row_number().over(Window.orderBy(col("freq").desc, col("tok").asc)))
-    val moments = ranked
-      .select(
-        floor(log(col("rank").cast("double")) * 1000000.0 + lit(0.5)).as("xm"),
-        floor(log(col("freq").cast("double")) * 1000000.0 + lit(0.5)).as("ym"))
+    zipfFromLogMoments(ranked.select(
+      floor(log(col("rank").cast("double")) * 1000000.0 + lit(0.5)).as("xm"),
+      floor(log(col("freq").cast("double")) * 1000000.0 + lit(0.5)).as("ym")))
+  }
+
+  /** Least-squares fit over a prebuilt (xm, ym) micro-ln relation —
+    * split out so the overflow sweep can drive it with worst-case
+    * 10¹⁸-corpus-scale moments. */
+  private[graft] def zipfFromLogMoments(lm: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val moments = lm
       .agg(count(lit(1)).as("n_terms"),
-        sum(col("xm")).as("sx"), sum(col("ym")).as("sy"),
-        sum(col("xm") * col("ym")).as("sxy"),
-        sum(col("xm") * col("xm")).as("sxx"))
-    val slope = (col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
-      (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double")
+        sum(col("xm").cast(dec38)).as("sx"), sum(col("ym").cast(dec38)).as("sy"),
+        sum(col("xm").cast(dec38) * col("ym").cast(dec38)).as("sxy"),
+        sum(col("xm").cast(dec38) * col("xm").cast(dec38)).as("sxx"))
+    val slope =
+      (col("n_terms").cast(dec38) * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n_terms").cast(dec38) * col("sxx") - col("sx") * col("sx")).cast("double")
     moments.select(col("n_terms"), slope.as("slope"),
       ((col("sy").cast("double") - slope * col("sx").cast("double")) /
         col("n_terms").cast("double") / 1000000.0).as("intercept"))
   }
 
   val zipfFitSql: String = {
-    val slope = "(CAST(n_terms * sxy - sx * sy AS DOUBLE) / CAST(n_terms * sxx - sx * sx AS DOUBLE))"
+    val slope = "(CAST(CAST(n_terms AS HUGEINT) * sxy - sx * sy AS DOUBLE)" +
+      " / CAST(CAST(n_terms AS HUGEINT) * sxx - sx * sx AS DOUBLE))"
     s"""WITH head AS (
        |  SELECT tok, count(*) AS freq FROM (
        |    SELECT unnest(string_split_regex(trim(text), '$WS_CLASS')) AS tok FROM documents)
@@ -207,9 +219,10 @@ object CorpusOps {
        |lm AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS xm,
        |              CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS ym
        |       FROM r),
-       |mo AS (SELECT count(*) AS n_terms, CAST(sum(xm) AS BIGINT) AS sx,
-       |              CAST(sum(ym) AS BIGINT) AS sy, CAST(sum(xm * ym) AS BIGINT) AS sxy,
-       |              CAST(sum(xm * xm) AS BIGINT) AS sxx
+       |mo AS (SELECT count(*) AS n_terms, CAST(sum(CAST(xm AS HUGEINT)) AS HUGEINT) AS sx,
+       |              CAST(sum(CAST(ym AS HUGEINT)) AS HUGEINT) AS sy,
+       |              CAST(sum(CAST(xm AS HUGEINT) * ym) AS HUGEINT) AS sxy,
+       |              CAST(sum(CAST(xm AS HUGEINT) * xm) AS HUGEINT) AS sxx
        |       FROM lm)
        |SELECT n_terms, $slope AS slope,
        |       (CAST(sy AS DOUBLE) - $slope * CAST(sx AS DOUBLE)) / CAST(n_terms AS DOUBLE)
@@ -755,22 +768,32 @@ object CorpusOps {
     * integer — ln(p/m) = lnMu(2·c·n) − lnMu(c·n + ct·ns) — so both
     * engines take ln of identical ints, round to micro-units, multiply
     * by one fixed-chain double share, round again, and the per-source
-    * sum is exact longs. (Products stay < 2^63 through sf0.1 ×1000;
-    * the extreme-scale variant rescales counts or goes DECIMAL.) */
-  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    * sum is exact longs. The log-argument products c·n / ct·ns run in
+    * DECIMAL(38,0) (oracle: HUGEINT): at a 10¹³-token corpus a hot
+    * token's c·n nears 10²⁵ ≫ 2⁶³ (the r10 overflow class; pinned by
+    * OverflowSweepSpec driving [[jsdFromCounts]] at those counts). */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame =
+    jsdFromCounts(documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c")))
+
+  /** JSD over a prebuilt (source, tok, c) count relation — split out so
+    * the overflow sweep can drive it with corpus-scale counts no test
+    * fixture could reach by rows. */
+  private[graft] def jsdFromCounts(sc: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     def lnMu(c: Column): Column =
       floor(log(c.cast("double")) * 1000000.0 + lit(0.5)).cast("long")
-    val sc = documents(spark, dir)
-      .select(col("source"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
     val ctab = sc.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
     val nsrc = sc.groupBy(col("source")).agg(sum(col("c")).as("ns"))
     val ntot = sc.agg(sum(col("c")).as("n"))
-    val pm = col("c") * col("n") + col("ct") * col("ns")
+    val cn = col("c").cast(dec38) * col("n").cast(dec38)
+    val ctns = col("ct").cast(dec38) * col("ns").cast(dec38)
+    val pm = cn + ctns
     val pMu = floor((col("c").cast("double") / col("ns").cast("double")) *
-      (lnMu(lit(2L) * col("c") * col("n")) - lnMu(pm)).cast("double") + lit(0.5)).cast("long")
+      (lnMu(cn * lit(2)) - lnMu(pm)).cast("double") + lit(0.5)).cast("long")
     val qMu = floor((col("ct").cast("double") / col("n").cast("double")) *
-      (lnMu(lit(2L) * col("ct") * col("ns")) - lnMu(pm)).cast("double") + lit(0.5)).cast("long")
+      (lnMu(ctns * lit(2)) - lnMu(pm)).cast("double") + lit(0.5)).cast("long")
     val LN2_MU = 693147L // floor(ln(2)·1e6 + 0.5), identical in both engines
     sc.join(ctab, "tok").join(broadcast(nsrc), "source").crossJoin(broadcast(ntot))
       .select(col("source"), col("ns"), col("n"), col("ct"), pMu.as("p_mu"), qMu.as("q_mu"))
@@ -799,10 +822,10 @@ object CorpusOps {
        |terms AS (
        |  SELECT source, ns, n, ct,
        |    CAST(floor((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
-       |      * CAST(${lnMu("2 * c * n")} - ${lnMu("c * n + ct * ns")} AS DOUBLE)
+       |      * CAST(${lnMu("CAST(c AS HUGEINT) * n * 2")} - ${lnMu("CAST(c AS HUGEINT) * n + CAST(ct AS HUGEINT) * ns")} AS DOUBLE)
        |      + 0.5) AS BIGINT) AS p_mu,
        |    CAST(floor((CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
-       |      * CAST(${lnMu("2 * ct * ns")} - ${lnMu("c * n + ct * ns")} AS DOUBLE)
+       |      * CAST(${lnMu("CAST(ct AS HUGEINT) * ns * 2")} - ${lnMu("CAST(c AS HUGEINT) * n + CAST(ct AS HUGEINT) * ns")} AS DOUBLE)
        |      + 0.5) AS BIGINT) AS q_mu
        |  FROM sc JOIN ctab USING (tok) JOIN nsrc USING (source), ntot),
        |per AS (

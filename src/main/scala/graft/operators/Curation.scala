@@ -346,6 +346,9 @@ object Curation {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        // overflow-safe by construction: moments are PER-DOCUMENT, so
+        // Σ c·lnMu(c) ≤ doc_len·lnMu(doc_len) ≈ 10⁷·1.7·10⁷ ≪ 2⁶³
+        // regardless of corpus size (OverflowSweepSpec)
         sum(col("c") * lnMu(col("c"))).as("slc"))
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
         ((col("n_tokens") * lnMu(col("n_tokens")) - col("slc")).cast("double") /

@@ -36,9 +36,9 @@ import graft.Tables._
   * are materialized so lineage stays flat (a real cluster would
   * checkpoint the same way). Nothing is ever collected to the driver.
   * Dangling mass (nodes with no out-edges) is dropped, the common
-  * web-graph simplification. Overflow headroom: contributions stay
-  * < 2^63 while r_mu·w < ~1e17; at web scale you'd rescale the init
-  * mass per node (1e6/N) which tightens the same bound.
+  * web-graph simplification. Overflow: the DAMP·r_mu·w product runs in
+  * DECIMAL(38,0)/HUGEINT (see [[prContrib]]) — no headroom ceiling; the
+  * post-DIV terms and their sums stay long-bounded by mass conservation.
   */
 object GraphOps {
 
@@ -61,6 +61,15 @@ object GraphOps {
       .agg(count(lit(1)).as("w"))
   }
 
+  /** One edge's damped rank contribution, DAMP·r·w DIV (100·wtot).
+    * The product runs in DECIMAL(38,0) (oracle: HUGEINT): at
+    * 10¹²-transition scale a hot edge's 85·r_mu·w passes 2⁶³ (the r10
+    * overflow class; pinned by OverflowSweepSpec); DIV brings each term
+    * back to a long whose per-node sum is bounded by the conserved
+    * rank mass. */
+  private[graft] def prContrib(rMuExpr: String): Column =
+    expr(s"($DAMP_PCT * CAST($rMuExpr AS DECIMAL(38,0)) * w) DIV (100 * wtot)")
+
   /** (page, r_mu, rank) after PR_ITERS damped power-iteration rounds. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     // edge list materialized once: referenced by the out-degree join and
@@ -77,8 +86,7 @@ object GraphOps {
     // over the edge list — no rank join and no materialized r0
     var ranks = Materializer.materialize(Materializer.tagFor("pr1", dir),
       nodes.join(
-        ann.select(col("dst"),
-          expr(s"($DAMP_PCT * $INIT_MU * w) DIV (100 * wtot)").as("c"))
+        ann.select(col("dst"), prContrib(INIT_MU.toString).as("c"))
           .groupBy(col("dst").as("node")).agg(sum(col("c")).as("cin")),
         Seq("node"), "left")
         .select(col("node"),
@@ -86,7 +94,7 @@ object GraphOps {
     for (i <- 2 to PR_ITERS) {
       val contrib = ann.join(ranks, ann("src") === ranks("node"))
         .select(col("dst"),
-          expr(s"($DAMP_PCT * r_mu * w) DIV (100 * wtot)").as("c"))
+          prContrib("r_mu").as("c"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("cin"))
       ranks = Materializer.materialize(Materializer.tagFor(s"pr$i", dir),
@@ -103,7 +111,7 @@ object GraphOps {
   val pageRankSql: String = {
     def round(i: Int): String =
       s"""r$i AS (SELECT n.node,
-         |  CAST($JUMP_MU + coalesce(sum(($DAMP_PCT * r.r_mu * a.w) // (100 * a.wtot)), 0)
+         |  CAST($JUMP_MU + coalesce(sum(($DAMP_PCT * CAST(r.r_mu AS HUGEINT) * a.w) // (100 * a.wtot)), 0)
          |       AS BIGINT) AS r_mu
          |  FROM nodes n
          |  LEFT JOIN ann a ON a.dst = n.node
@@ -289,19 +297,25 @@ object GraphOps {
     * One (src,dst) count shuffle (the shared `predges` materialization)
     * + one src rollup — linear in |E| at any scale. Determinism:
     * H = ln W − (Σ w·ln w)/W over integer counts, so every ln argument
-    * is an integer: Σ w·lnMu(w) is an exact long (w·lnMu(w) < 2^44 at
-    * sf0.1×1000), the division is one fixed IEEE chain, and the final
-    * H_mu is an exact long per page. */
-  def transitionEntropy(spark: SparkSession, dir: String): DataFrame = {
+    * is an integer: Σ w·lnMu(w) is exact, accumulated in DECIMAL(38,0)
+    * (oracle: HUGEINT) since a 10¹¹-count hot edge puts w·lnMu(w) past
+    * 2⁶³ (r10 overflow class); the division is one fixed IEEE chain,
+    * and the final H_mu is an exact long per page. */
+  def transitionEntropy(spark: SparkSession, dir: String): DataFrame =
+    entropyFromEdges(Materializer.materialize(
+      Materializer.tagFor("predges", dir), transitionEdges(spark, dir)))
+
+  /** Entropy rollup over a prebuilt (src, dst, w) edge relation — split
+    * out so the overflow sweep can drive it with 10¹¹-count hot edges. */
+  private[graft] def entropyFromEdges(edges: DataFrame): DataFrame = {
     def lnMu(c: Column): Column =
       floor(log(c.cast("double")) * 1000000.0 + lit(0.5)).cast("long")
-    val edges = Materializer.materialize(Materializer.tagFor("predges", dir),
-      transitionEdges(spark, dir))
     val hMu = lnMu(col("wtot")) -
       floor(col("swl").cast("double") / col("wtot").cast("double") + lit(0.5)).cast("long")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     edges.groupBy(col("src").as("page"))
       .agg(count(lit(1)).as("out_degree"), sum(col("w")).as("wtot"),
-        sum(col("w") * lnMu(col("w"))).as("swl"))
+        sum(col("w").cast(dec38) * lnMu(col("w")).cast(dec38)).as("swl"))
       .select(col("page"), col("out_degree"), col("wtot").as("n_transitions"),
         hMu.as("h_mu"),
         when(col("out_degree") > 1,
@@ -324,7 +338,7 @@ object GraphOps {
        |per AS (
        |  SELECT src AS page, CAST(count(*) AS BIGINT) AS out_degree,
        |         CAST(sum(w) AS BIGINT) AS wtot,
-       |         CAST(sum(w * ${lnMu("w")}) AS BIGINT) AS swl
+       |         CAST(sum(CAST(w AS HUGEINT) * ${lnMu("w")}) AS HUGEINT) AS swl
        |  FROM edges GROUP BY 1),
        |h AS (
        |  SELECT page, out_degree, wtot,

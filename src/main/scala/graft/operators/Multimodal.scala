@@ -199,6 +199,8 @@ object Multimodal {
         count(lit(1)).as("n_unique"),
         (lit(1.0) - count(lit(1)).cast("double") / sum(col("copies")))
           .as("dup_frac"),
+        // overflow-safe by construction: Σ(copies−1)·nbytes < Σ payload
+        // bytes = corpus size (~10¹⁴ at 100 TB) ≪ 2⁶³ (OverflowSweepSpec)
         sum((col("copies") - 1) * col("nbytes")).as("reclaimable_bytes"))
       .orderBy("kind")
 

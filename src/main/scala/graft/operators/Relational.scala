@@ -646,9 +646,13 @@ object Relational {
     * The ingest-drop / bot-spike alarm a production feed runs on.
     *
     * Determinism: counts are integers, so mean and variance derive from
-    * exact long moments (n, Σc, Σc²); z is a fixed IEEE chain over
+    * exact integer moments (n, Σc, Σc²); z is a fixed IEEE chain over
     * those exact ints — identical cross-engine, no rounding needed.
     * Population variance via the integer identity n·Σc² − (Σc)².
+    * Σc² and the variance numerator run in DECIMAL(38,0) (oracle:
+    * HUGEINT) — a 100 TB feed puts ~10¹⁰ events on a hot day, so cnt²
+    * alone passes 2⁶³ (the r9/r10 overflow class; see
+    * OverflowSweepSpec which drives this site at 10¹⁰-count moments).
     *
     * Scale shape: one (type, day) count shuffle, a per-type moments
     * aggregate over the tiny daily relation, one broadcast join back —
@@ -657,10 +661,19 @@ object Relational {
     val daily = events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))
+    anomalyFromDaily(daily)
+  }
+
+  /** Moment rollup + z-scoring over a prebuilt (event_type, day, cnt)
+    * relation — split out so the overflow sweep can drive it with
+    * worst-case synthetic counts no parquet fixture could reach. */
+  private[graft] def anomalyFromDaily(daily: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val moments = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
-        sum(col("cnt") * col("cnt")).as("sq"))
-    val num = col("n") * col("sq") - col("s") * col("s")
+        sum(col("cnt").cast(dec38) * col("cnt").cast(dec38)).as("sq"))
+    val num = col("n").cast(dec38) * col("sq") -
+      col("s").cast(dec38) * col("s").cast(dec38)
     val z = when(num > 0,
       (col("cnt").cast("double") - col("s").cast("double") / col("n")) /
         sqrt(num.cast("double") / (col("n") * col("n")).cast("double")))
@@ -681,15 +694,15 @@ object Relational {
        |           FROM events GROUP BY 1, 2),
        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        |             CAST(sum(cnt) AS BIGINT) AS s,
-       |             CAST(sum(cnt * cnt) AS BIGINT) AS sq FROM d GROUP BY 1)
+       |             CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS sq FROM d GROUP BY 1)
        |SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day, d.cnt,
-       |       CASE WHEN m.n * m.sq - m.s * m.s > 0 THEN
+       |       CASE WHEN m.n * m.sq - CAST(m.s AS HUGEINT) * m.s > 0 THEN
        |         (CAST(d.cnt AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
-       |         / sqrt(CAST(m.n * m.sq - m.s * m.s AS DOUBLE) / CAST(m.n * m.n AS DOUBLE))
+       |         / sqrt(CAST(m.n * m.sq - CAST(m.s AS HUGEINT) * m.s AS DOUBLE) / CAST(m.n * m.n AS DOUBLE))
        |       ELSE CAST(0.0 AS DOUBLE) END AS z,
-       |       CAST(abs(CASE WHEN m.n * m.sq - m.s * m.s > 0 THEN
+       |       CAST(abs(CASE WHEN m.n * m.sq - CAST(m.s AS HUGEINT) * m.s > 0 THEN
        |         (CAST(d.cnt AS DOUBLE) - CAST(m.s AS DOUBLE) / m.n)
-       |         / sqrt(CAST(m.n * m.sq - m.s * m.s AS DOUBLE) / CAST(m.n * m.n AS DOUBLE))
+       |         / sqrt(CAST(m.n * m.sq - CAST(m.s AS HUGEINT) * m.s AS DOUBLE) / CAST(m.n * m.n AS DOUBLE))
        |       ELSE CAST(0.0 AS DOUBLE) END) >= CAST($ANOM_Z AS DOUBLE) AS INT) AS is_anomaly
        |FROM d JOIN m USING (event_type) ORDER BY 1, 2""".stripMargin
 
@@ -698,8 +711,14 @@ object Relational {
     * primitive (slope in revenue/day) behind growth dashboards.
     * Revenue is summed in exact integer CENTS (o_totalprice has two
     * decimals, so ·100 is exact), day is the epoch-day integer, and all
-    * regression moments are exact longs — the zipf-fit pattern — so the
-    * least-squares slope is one IEEE division of exact integers.
+    * regression moments are exact integers — the zipf-fit pattern — so
+    * the least-squares slope is one IEEE division of exact integers.
+    * The cross moments accumulate in DECIMAL(38,0) (oracle: HUGEINT):
+    * Σ(xd·cents) alone passes 2⁶³ once per-(segment,day) revenue nears
+    * 10⁹ cents — which sf0.1 already does, and the r10 bench caught as
+    * an ANSI long overflow at Relational's n·sxy−sx·sy multiply. Exact
+    * int128-class arithmetic end-to-end; one cast to double at the
+    * slope division (both engines round nearest — determinism holds).
     * Shape: one (segment, day) revenue shuffle + a per-segment moments
     * rollup; linear, no windows. */
   def revenueTrend(spark: SparkSession, dir: String): DataFrame = {
@@ -708,21 +727,33 @@ object Relational {
       .groupBy(col("c_mktsegment"),
         datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))).as("xd"))
       .agg(sum(floor(col("o_totalprice") * 100.0 + lit(0.5)).cast("long")).as("cents"))
+    revenueTrendFromDaily(daily)
+  }
+
+  /** Regression-moment rollup + slope over a prebuilt
+    * (c_mktsegment, xd, cents) daily relation — split out so the
+    * overflow sweep can drive it with 10¹⁴-cent worst-case days. */
+  private[graft] def revenueTrendFromDaily(daily: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val mo = daily.groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_days"),
-        sum(col("xd").cast("long")).as("sx"), sum(col("cents")).as("sy"),
-        sum(col("xd").cast("long") * col("cents")).as("sxy"),
-        sum(col("xd").cast("long") * col("xd").cast("long")).as("sxx"))
-    val slope = (mo("n_days") * mo("sxy") - mo("sx") * mo("sy")).cast("double") /
-      (mo("n_days") * mo("sxx") - mo("sx") * mo("sx")).cast("double")
+        sum(col("xd").cast(dec38)).as("sx"),
+        sum(col("cents").cast(dec38)).as("sy"),
+        sum(col("xd").cast(dec38) * col("cents").cast(dec38)).as("sxy"),
+        sum(col("xd").cast(dec38) * col("xd").cast(dec38)).as("sxx"))
+    val slope =
+      (mo("n_days").cast(dec38) * mo("sxy") - mo("sx") * mo("sy")).cast("double") /
+      (mo("n_days").cast(dec38) * mo("sxx") - mo("sx") * mo("sx")).cast("double")
     mo.select(col("c_mktsegment"), col("n_days"),
-      (col("sy").cast("double") / col("n_days") / 100.0).as("avg_daily_revenue"),
+      (col("sy").cast("double") / col("n_days").cast("double") / 100.0)
+        .as("avg_daily_revenue"),
       (slope / 100.0).as("trend_per_day"))
       .orderBy("c_mktsegment")
   }
 
   val revenueTrendSql: String = {
-    val slope = "(CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * sxx - sx * sx AS DOUBLE))"
+    val slope = "(CAST(CAST(n_days AS HUGEINT) * sxy - sx * sy AS DOUBLE)" +
+      " / CAST(CAST(n_days AS HUGEINT) * sxx - sx * sx AS DOUBLE))"
     s"""WITH daily AS (
        |  SELECT c_mktsegment,
        |         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS xd,
@@ -730,9 +761,10 @@ object Relational {
        |  FROM orders JOIN customer ON o_custkey = c_custkey
        |  GROUP BY 1, 2),
        |mo AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_days,
-       |              CAST(sum(xd) AS BIGINT) AS sx, CAST(sum(cents) AS BIGINT) AS sy,
-       |              CAST(sum(xd * cents) AS BIGINT) AS sxy,
-       |              CAST(sum(xd * xd) AS BIGINT) AS sxx
+       |              CAST(sum(CAST(xd AS HUGEINT)) AS HUGEINT) AS sx,
+       |              CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS sy,
+       |              CAST(sum(CAST(xd AS HUGEINT) * cents) AS HUGEINT) AS sxy,
+       |              CAST(sum(CAST(xd AS HUGEINT) * xd) AS HUGEINT) AS sxx
        |       FROM daily GROUP BY 1)
        |SELECT c_mktsegment, n_days,
        |       CAST(sy AS DOUBLE) / n_days / 100.0 AS avg_daily_revenue,

@@ -152,7 +152,13 @@ object Similarity {
   /** Per-dir corpus counts, cached per JVM — a parquet footer count, run
     * once at first LSH/IVF-family build against a dir: makes mask
     * saturation LOUD and sizes the query-side broadcast decision (the
-    * in-plan count stays the pmask source). */
+    * in-plan count stays the pmask source). Known staleness (ADVICE
+    * r10, accepted): a dir whose parquet is REGENERATED within one JVM
+    * (ScaleProbe re-writing target/sf*_synth) keeps its first count, so
+    * the broadcast-vs-shuffle choice and saturation warning may use the
+    * old size — advisory-only paths; correctness never reads this cache.
+    * Probe workflows regenerate dirs across JVM runs in practice; if one
+    * ever regenerates in-process, key this on (dir, footer row-count). */
   private val nVecSeen = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def nVecOf(spark: SparkSession, dir: String): Long =

@@ -513,6 +513,8 @@ object TextOps {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("take")).as("n_sampled"),
+        // overflow-safe by construction: take ∈ {0,1} ⇒ Σ take·n_tokens
+        // ≤ corpus token count (~10¹³ at 100 TB) ≪ 2⁶³ (OverflowSweepSpec)
         sum(col("take") * col("n_tokens")).as("sampled_tokens"))
       .orderBy("lang")
   }

@@ -189,9 +189,107 @@ object ScalePatterns {
   private val RANGE_W = 100.0
   private val CELL_W = 200.0
 
+  /** Coarse prefix-sum bucket: 10⁴ cent cells per bucket ⇒ the fixed
+    * acctbal domain ([-999.99, 9999.99] ± RANGE_W) yields ~130 buckets —
+    * corpus-independent. */
+  private val PFX_BUCKET = 10000L
+
   /** Point-in-interval range join with NO equi-key (each customer
     * matched to every supplier whose balance band ±RANGE_W contains the
-    * customer's balance), bucketed-cell formulation:
+    * customer's balance) — registered as the AGGREGATE readout
+    * (per-supplier match count + matched-balance sum), computed by a
+    * distributed PREFIX SUM over the balance domain instead of
+    * materializing pairs.
+    *
+    * Why not the interval-bucketing pair join ([[rangeJoinPairs]], kept
+    * for when the pairs themselves are the output): with a FIXED value
+    * domain, per-cell occupancy grows linearly with the corpus on both
+    * sides, so the matched-pair volume is quadratic in rows — the
+    * round-11 sf10 probe measured it at slope 89.5 (1211 s), and no
+    * pair-materializing plan can beat its own output size. The
+    * aggregate readout doesn't need the pairs: per supplier the answer
+    * is F(hi) − F(lo⁻) where F is the cumulative (count, balance-sum)
+    * of customers by balance. So:
+    *
+    *  - ONE corpus-sized pass: customers aggregated to exact-cent cells
+    *    (bounded by the VALUE DOMAIN — ~1.1M cells — not by rows);
+    *  - a dense cent grid spanning both sides' bounds (sequence off a
+    *    1-row min/max aggregate, zero-filled by left join);
+    *  - two-level distributed prefix sum: a within-bucket cumulative
+    *    window PARTITIONED by the 10⁴-cent bucket, plus a cumulative
+    *    window over the ~130-row bucket-total aggregate (domain-bounded,
+    *    the declared constant-band exemption class) joined back;
+    *  - each supplier equi-joins its two grid lookups: exact integer
+    *    cents, so interval boundaries are decimal-exact (the double
+    *    formulation agrees: exact-decimal gaps are multiples of 0.01,
+    *    double noise is ~1e-12).
+    *
+    * Count differences are exact longs; balance differences are exact
+    * DECIMAL(28,2) partials, cast to double once — bit-identical to
+    * dsum over the materialized pairs, which RangeJoinSpec pins by
+    * equating this form with [[rangeJoinPairs]] row-for-row. Cost at
+    * any corpus size: one scan + one domain-bounded shuffle + constant
+    * domain work — the sf10 slope drops from 89.5 to scan-linear. */
+  def rangeJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(18, 2)
+    val cents = floor(col("c_acctbal") * 100.0 + lit(0.5)).cast("long")
+    val perCent = customer(spark, dir)
+      .groupBy(cents.as("cents"))
+      .agg(count(lit(1)).as("cnt"), sum(col("c_acctbal").cast(dec)).as("bal"))
+    val supp = supplier(spark, dir).select(
+      col("s_suppkey"),
+      (floor(col("s_acctbal") * 100.0 + lit(0.5)).cast("long") -
+        (RANGE_W * 100).toLong).as("lo_c"),
+      (floor(col("s_acctbal") * 100.0 + lit(0.5)).cast("long") +
+        (RANGE_W * 100).toLong).as("hi_c"))
+    // dense grid bounds: cover every lookup point on both sides
+    val bounds = perCent.agg(min(col("cents")).as("cmin"), max(col("cents")).as("cmax"))
+      .crossJoin(supp.agg(min(col("lo_c") - 1).as("smin"), max(col("hi_c")).as("smax")))
+      .select(least(col("cmin"), col("smin")).as("gmin"),
+        greatest(col("cmax"), col("smax")).as("gmax"))
+    val grid = bounds
+      .select(explode(sequence(col("gmin"), col("gmax"))).as("cents"))
+      .join(perCent, Seq("cents"), "left")
+      .select(col("cents"), (col("cents") / PFX_BUCKET).cast("long").as("bkt"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("bal"), lit(0).cast(dec)).as("bal"))
+    val within = Window.partitionBy(col("bkt")).orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fine = grid
+      .withColumn("w_cnt", sum(col("cnt")).over(within))
+      .withColumn("w_bal", sum(col("bal")).over(within))
+    // cumulative bucket totals over the ~130-row domain-bounded bucket
+    // aggregate (constant-band class, see PlanGuardSpec exemption)
+    val overBkts = Window.orderBy(col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bktCum = grid.groupBy(col("bkt"))
+      .agg(sum(col("cnt")).as("t_cnt"), sum(col("bal")).as("t_bal"))
+      .withColumn("c_cnt", sum(col("t_cnt")).over(overBkts))
+      .withColumn("c_bal", sum(col("t_bal")).over(overBkts))
+      .select(col("bkt"), (col("c_cnt") - col("t_cnt")).as("p_cnt"),
+        (col("c_bal") - col("t_bal")).as("p_bal"))
+    // no broadcast() hint: the ~130-row bucket relation is far under the
+    // auto-broadcast threshold, and the hint checker can't see through
+    // the Window-over-Aggregate shape to prove it bounded
+    val f = fine.join(bktCum, "bkt")
+      .select(col("cents"),
+        (col("w_cnt") + col("p_cnt")).as("f_cnt"),
+        (col("w_bal") + col("p_bal")).as("f_bal"))
+    val fHi = f.select(col("cents").as("hi_c"),
+      col("f_cnt").as("hi_cnt"), col("f_bal").as("hi_bal"))
+    val fLo = f.select((col("cents") + 1).as("lo_c"),
+      col("f_cnt").as("lo_cnt"), col("f_bal").as("lo_bal"))
+    supp.join(fHi, "hi_c").join(fLo, "lo_c")
+      .select(col("s_suppkey"),
+        (col("hi_cnt") - col("lo_cnt")).as("n_matches"),
+        (col("hi_bal") - col("lo_bal")).cast(DoubleType).as("matched_bal"))
+      .filter(col("n_matches") > 0)
+      .orderBy("s_suppkey")
+  }
+
+  /** The general interval-bucketing PAIR join — the form to reach for
+    * when the matched pairs themselves are the output (the aggregate
+    * readout above sidesteps them):
     *
     *  - each point lands in exactly one fixed-width cell
     *    (floor(x / CELL_W));
@@ -205,8 +303,11 @@ object ScalePatterns {
     * bucketing pattern); Spark's own alternative is a
     * BroadcastNestedLoopJoin, which PlanGuardSpec forbids for unbounded
     * sides. At 100 TB the cell id is also the natural storage partition
-    * key for repeated range probes. */
-  def rangeJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    * key for repeated range probes. Note the OUTPUT is inherently
+    * quadratic when the value domain is fixed (per-cell occupancy grows
+    * with rows on both sides) — that is the result's size, not plan
+    * waste. */
+  private[graft] def rangeJoinPairs(spark: SparkSession, dir: String): DataFrame = {
     val cust = customer(spark, dir).select(
       col("c_custkey"), col("c_acctbal"),
       floor(col("c_acctbal") / CELL_W).cast("long").as("cell"))

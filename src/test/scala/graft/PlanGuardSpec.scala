@@ -128,6 +128,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_lang_kappa",
     // q_ab_test: two 1-row arm aggregates joined for the z readout
     "q_ab_test",
+    // q_range_join: the dense-grid bounds row is a cross of TWO 1-row
+    // min/max aggregates (customer cents × supplier lookup bounds) —
+    // ScalePatterns.rangeJoinBucketed
+    "q_range_join",
     // q_kmv_overlap: the |types|²-row pair table (distinct-aggregate
     // bounded) OR-joins the hash set — broadcast of a tiny build side
     "q_kmv_overlap",
@@ -319,7 +323,13 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_zipf_fit",
     // q_hybrid_rrf: both rank windows run over orderBy().limit(RRF_POOL)
     // inputs — constant ≤ 20 rows by construction (Similarity.hybridRrf)
-    "q_hybrid_rrf")
+    "q_hybrid_rrf",
+    // q_range_join: the cumulative window runs over the coarse-bucket
+    // aggregate of the FIXED acctbal cent domain (~130 rows =
+    // domain / 10⁴ — corpus-INDEPENDENT by construction; the fine
+    // per-cent prefix window is bucket-partitioned). See
+    // ScalePatterns.rangeJoinBucketed
+    "q_range_join")
 
   test("no partition-less window outside the declared constant-size cases") {
     for ((name, plan) <- plans if !globalWindowAllowed(name)) {

@@ -545,6 +545,61 @@ object Relational {
       |       CAST(1 AS BIGINT) AS hll_within_5pct
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Domain-sample modulus of the production-shaped audit twin: the
+    * exact half keeps only users with user_id % 8 == 3. Sampling the
+    * KEY DOMAIN (not rows) is the classic distinct-count sample —
+    * distinct(sample)·8 is an unbiased estimate of distinct(full)
+    * because a uniform hash over user ids keeps each DISTINCT user
+    * with probability 1/8 regardless of its event multiplicity. */
+  private val ADIST_SAMPLE_MOD = 8L
+  private val ADIST_SAMPLE_RES = 3L
+
+  /** Production-shaped scale twin of [[approxDistinct]] (the IVF-twin
+    * pattern — SURVEY §7.3): q_approx_distinct is the CALIBRATION
+    * AUDIT, deliberately computing the full exact distinct next to the
+    * sketch; its (event_type, user_id) distinct shuffle is the
+    * expensive half the sketch exists to replace (measured sf10 slope
+    * 54, adjudicated by contract). THIS query is what production runs
+    * at 100 TB: the HLL column serves the estimate (linear, constant
+    * sketch state per group, partial-aggregated map-side), and the
+    * audit's exact half runs on the 1/8 user-DOMAIN sample — the
+    * distinct shuffle shrinks ×8 (at production fan-out, ×1000+), so
+    * the memory wall behind the audit's sf10 slope never forms.
+    *
+    * Oracle-matchable readout, same device as the audit: the raw HLL
+    * estimate is engine-private, so the query emits the exact-matchable
+    * columns (sampled distinct, total events) plus a boolean attesting
+    * the full-corpus HLL landed within 25% of the scaled sample
+    * estimate (tolerance = 1% HLL rsd + domain-sampling noise at the
+    * small driver SFs; measured ratios 1.067/1.013/1.003 at
+    * sf0.001/0.01/0.1). Deterministic: HLL++ has no RNG and the sample
+    * is a fixed residue class, so the flag is bit-stable across runs,
+    * core counts, and partitionings — DuckDB reproduces the row as the
+    * sampled exact + literal 1. */
+  def approxDistinctProd(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(when(pmod(col("user_id"), lit(ADIST_SAMPLE_MOD))
+          === ADIST_SAMPLE_RES, col("user_id"))).as("sample_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("sample_users"), col("n_events"),
+        (abs(col("approx_users") - col("sample_users") * ADIST_SAMPLE_MOD)
+          .cast("double") <=
+          (col("sample_users") * ADIST_SAMPLE_MOD).cast("double") * 0.25)
+          .cast("long").as("hll_vs_sample_ok"))
+      .orderBy("event_type")
+
+  val approxDistinctProdSql: String =
+    s"""SELECT event_type,
+       |       CAST(count(DISTINCT CASE WHEN ((user_id % $ADIST_SAMPLE_MOD)
+       |              + $ADIST_SAMPLE_MOD) % $ADIST_SAMPLE_MOD = $ADIST_SAMPLE_RES
+       |            THEN user_id END) AS BIGINT) AS sample_users,
+       |       CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(1 AS BIGINT) AS hll_vs_sample_ok
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // Count-Min Sketch heavy hitters via the custom TypedImperativeAggregate
   // (functions/SketchAgg.scala): ONE fixed-size sketch per map partition
   // through the shuffle (vs an |input|×D row fan-out relationally), then
@@ -2198,6 +2253,7 @@ object Relational {
     "q_quantiles_disc"          -> quantilesDisc _,
     "q_quantiles_cont"          -> quantilesCont _,
     "q_approx_distinct"         -> approxDistinct _,
+    "q_approx_distinct_prod"    -> approxDistinctProd _,
     "q_cms_heavy_hitters"       -> cmsHeavyHitters _,
     "q1_pricing_summary"        -> q1PricingSummary _,
     "q_revenue_by_segment"      -> revenueBySegment _,
@@ -2249,6 +2305,7 @@ object Relational {
     "q_quantiles_disc"          -> quantilesDiscSql,
     "q_quantiles_cont"          -> quantilesContSql,
     "q_approx_distinct"         -> approxDistinctSql,
+    "q_approx_distinct_prod"    -> approxDistinctProdSql,
     "q_cms_heavy_hitters"       -> cmsHeavyHittersSql,
     "q1_pricing_summary"        -> q1PricingSummarySql,
     "q_revenue_by_segment"      -> revenueBySegmentSql,

@@ -184,10 +184,23 @@ object ScalePatterns {
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ------------------------------------------------------- range join
-  /** Interval half-width and bucket cell width. CELL_W = 2·RANGE_W so an
-    * interval overlaps at most 2 cells (replication factor ≤ 2). */
-  private val RANGE_W = 100.0
-  private val CELL_W = 200.0
+  /** Interval half-width (±100.00 = 10⁴ cents) and bucket cell width.
+    * CELL_W_CENTS = 2·RANGE_W_CENTS so an interval overlaps at most 2
+    * cells (replication factor ≤ 2).
+    *
+    * ALL membership decisions are made in EXACT INTEGER CENTS
+    * (floor(acctbal·100 + 0.5), exact over the whole [-999.99, 9999.99]
+    * domain): a pair whose decimal gap is exactly 100.00 sits ON the
+    * boundary, where the raw-double comparison `c >= s - 100.0` is an
+    * equality whose outcome depends on the relative rounding error of
+    * the two acctbals — verified divergent for ~2% of boundary cent
+    * values (e.g. c=-611.84, s=-511.84: double says out, decimal says
+    * in). Expected boundary hits grow with scale (~0.6 pairs at sf0.1,
+    * thousands at sf10), so the Spark forms AND the DuckDB oracle all
+    * join on cents — one domain, no data-dependent divergence
+    * (RangeJoinSpec's boundary fixture pins the adversarial cases). */
+  private[graft] val RANGE_W_CENTS = 10000L
+  private val CELL_W_CENTS = 20000L
 
   /** Coarse prefix-sum bucket: 10⁴ cent cells per bucket ⇒ the fixed
     * acctbal domain ([-999.99, 9999.99] ± RANGE_W) yields ~130 buckets —
@@ -220,9 +233,10 @@ object ScalePatterns {
     *    window over the ~130-row bucket-total aggregate (domain-bounded,
     *    the declared constant-band exemption class) joined back;
     *  - each supplier equi-joins its two grid lookups: exact integer
-    *    cents, so interval boundaries are decimal-exact (the double
-    *    formulation agrees: exact-decimal gaps are multiples of 0.01,
-    *    double noise is ~1e-12).
+    *    cents, so interval boundaries are decimal-exact. (A raw-double
+    *    formulation would NOT agree at the boundary — see the
+    *    RANGE_W_CENTS note above; pairs form and oracle use the same
+    *    cents domain.)
     *
     * Count differences are exact longs; balance differences are exact
     * DECIMAL(28,2) partials, cast to double once — bit-identical to
@@ -239,9 +253,9 @@ object ScalePatterns {
     val supp = supplier(spark, dir).select(
       col("s_suppkey"),
       (floor(col("s_acctbal") * 100.0 + lit(0.5)).cast("long") -
-        (RANGE_W * 100).toLong).as("lo_c"),
+        RANGE_W_CENTS).as("lo_c"),
       (floor(col("s_acctbal") * 100.0 + lit(0.5)).cast("long") +
-        (RANGE_W * 100).toLong).as("hi_c"))
+        RANGE_W_CENTS).as("hi_c"))
     // dense grid bounds: cover every lookup point on both sides
     val bounds = perCent.agg(min(col("cents")).as("cmin"), max(col("cents")).as("cmax"))
       .crossJoin(supp.agg(min(col("lo_c") - 1).as("smin"), max(col("hi_c")).as("smax")))
@@ -309,17 +323,20 @@ object ScalePatterns {
     * waste. */
   private[graft] def rangeJoinPairs(spark: SparkSession, dir: String): DataFrame = {
     val cust = customer(spark, dir).select(
-      col("c_custkey"), col("c_acctbal"),
-      floor(col("c_acctbal") / CELL_W).cast("long").as("cell"))
+        col("c_custkey"), col("c_acctbal"),
+        floor(col("c_acctbal") * 100.0 + lit(0.5)).cast("long").as("c_cents"))
+      .withColumn("cell", floor(col("c_cents").cast(DoubleType) / CELL_W_CENTS).cast("long"))
     val supp = supplier(spark, dir).select(
         col("s_suppkey"),
-        (col("s_acctbal") - RANGE_W).as("lo"),
-        (col("s_acctbal") + RANGE_W).as("hi"))
+        floor(col("s_acctbal") * 100.0 + lit(0.5)).cast("long").as("s_cents"))
+      .select(col("s_suppkey"),
+        (col("s_cents") - RANGE_W_CENTS).as("lo"),
+        (col("s_cents") + RANGE_W_CENTS).as("hi"))
       .withColumn("cell", explode(sequence(
-        floor(col("lo") / CELL_W).cast("long"),
-        floor(col("hi") / CELL_W).cast("long"))))
+        floor(col("lo").cast(DoubleType) / CELL_W_CENTS).cast("long"),
+        floor(col("hi").cast(DoubleType) / CELL_W_CENTS).cast("long"))))
     cust.join(supp, Seq("cell"))
-      .filter(col("c_acctbal") >= col("lo") && col("c_acctbal") <= col("hi"))
+      .filter(col("c_cents") >= col("lo") && col("c_cents") <= col("hi"))
       .groupBy(col("s_suppkey"))
       .agg(count(lit(1)).as("n_matches"), dsum(col("c_acctbal")).as("matched_bal"))
       .orderBy("s_suppkey")
@@ -328,9 +345,14 @@ object ScalePatterns {
   val rangeJoinBucketedSql: String =
     s"""SELECT s_suppkey, count(*) AS n_matches,
        |       ${sqlDsum("c_acctbal")} AS matched_bal
-       |FROM supplier s JOIN customer c
-       |  ON c.c_acctbal >= s.s_acctbal - CAST($RANGE_W AS DOUBLE)
-       | AND c.c_acctbal <= s.s_acctbal + CAST($RANGE_W AS DOUBLE)
+       |FROM (SELECT s_suppkey,
+       |             CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS s_cents
+       |      FROM supplier) s
+       |JOIN (SELECT c_acctbal,
+       |             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS c_cents
+       |      FROM customer) c
+       |  ON c.c_cents BETWEEN s.s_cents - $RANGE_W_CENTS
+       |                   AND s.s_cents + $RANGE_W_CENTS
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ------------------------------------------------ join-key skew report

@@ -1128,11 +1128,52 @@ object Similarity {
   private[graft] val PQ_M = 16
   private[graft] val PQ_SUB = 4
 
-  /** PQ codebook rule: every PQ_KMOD-th vector's sub-vectors (denser
+  /** PQ codebook rule: every pqKmod-th vector's sub-vectors (denser
     * than the IVF coarse-quantizer KMOD — a PQ codebook quantizes
-    * residual detail, not cells). */
-  private[graft] val PQ_KMOD = 20
+    * residual detail, not cells).
+    *
+    * The stride is CORPUS-ADAPTIVE (round-11 sf10 probe): a fixed
+    * PQ_KMOD=20 makes K = n/20 codewords, so the encode argmin
+    * ([[graft.functions.PqEncodeImpl]]) is O(n·K) = n²/20 — measured
+    * slope 101.8/decade at sf10 (216.81 s), the same class as the r9
+    * IVF-stride bug. Unlike IVF (K ≈ √n, the probe/assignment balance
+    * point), the production-PQ contract is a FIXED per-subspace
+    * codebook (faiss IndexPQ trains K=256 codewords per subspace
+    * regardless of corpus): [[pqKmodFor]] doubles the stride every ×2
+    * of the corpus, pinning K = n/kmod inside ({PQ_BASE_N/2/PQ_KMOD},
+    * {PQ_BASE_N/PQ_KMOD}] = (50, 100] forever, so encode cost is
+    * ≈ 100·n — row-linear at any scale. Identity PQ_KMOD=20 holds for
+    * n ≤ PQ_BASE_N = 2000, which covers every driver SF (sf0.001/0.01
+    * verify AND the sf0.1 bench corpus, exactly 2000 vectors), so all
+    * hash-verified results are unchanged. Scala side computes the
+    * stride from a driver-side count (the codebook is collected anyway
+    * — a model artifact); the DuckDB oracle computes the SAME integer
+    * CASE chain over count(*), both generated from one (base, stride)
+    * constant pair so they cannot drift. */
+  private[graft] val PQ_KMOD = 20L
+  private[graft] val PQ_BASE_N = 2000L
+  private[graft] val PQ_MAX_KSTEP = 40
   private[graft] val PQ_RESIDUE = 7
+
+  /** kmod = PQ_KMOD·2^j, j = min{k ≤ PQ_MAX_KSTEP : n ≤ PQ_BASE_N·2^k}
+    * — integer comparisons only, so Scala and DuckDB agree at every n. */
+  private[graft] def pqKmodFor(n: Long): Long = {
+    var k = 0
+    while (k < PQ_MAX_KSTEP && n > (PQ_BASE_N << k)) k += 1
+    PQ_KMOD << k
+  }
+
+  private val sqlPqKmod: String =
+    (0 to PQ_MAX_KSTEP).map(k => s"WHEN n_vec <= ${PQ_BASE_N << k} THEN ${PQ_KMOD << k}")
+      .mkString("CASE ", " ", s" ELSE ${PQ_KMOD << PQ_MAX_KSTEP} END")
+
+  /** The shared codebook CTE prefix for the PQ oracles: normalized
+    * corpus `d`, then centroids filtered on the adaptive stride. */
+  private def sqlPqCodebook: String =
+    s"""nv AS (SELECT count(*) AS n_vec FROM d),
+       |km AS (SELECT $sqlPqKmod AS kmod FROM nv),
+       |c AS (SELECT vec_id AS cent_id, embedding AS ce FROM d, km
+       |      WHERE vec_id % kmod = $PQ_RESIDUE)""".stripMargin
 
   private def sqlSub(a: String, m: String): String =
     s"list_slice($a, ($m)*$PQ_SUB + 1, ($m)*$PQ_SUB + $PQ_SUB)"
@@ -1213,7 +1254,8 @@ object Similarity {
         .select(col("vec_id"),
           transform(col("embedding"),
             x => (x.cast("double") / col("len")).cast("float")).as("embedding")))
-    val centRows = d.filter(col("vec_id") % PQ_KMOD === PQ_RESIDUE)
+    val kmod = pqKmodFor(d.count())
+    val centRows = d.filter(col("vec_id") % kmod === PQ_RESIDUE)
       .select(col("vec_id"), col("embedding")).collect().sortBy(_.getLong(0))
     (d, centRows.map(_.getLong(0)).toSeq, centRows.map(_.getSeq[Float](1)).toSeq)
   }
@@ -1285,8 +1327,7 @@ object Similarity {
        |             list_transform(embedding, x ->
        |               CAST(CAST(x AS DOUBLE) / sqrt(${sqlDot("embedding", "embedding")}) AS FLOAT)) AS embedding
        |           FROM embeddings),
-       |c AS (SELECT vec_id AS cent_id, embedding AS ce FROM d
-       |      WHERE vec_id % $PQ_KMOD = $PQ_RESIDUE),
+       |$sqlPqCodebook,
        |pm AS (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m),
        |enc AS (SELECT d.vec_id, pm.m, c.cent_id,
        |               ${sqlSubDist("d.embedding", "c.ce", "pm.m")} AS dist
@@ -1337,8 +1378,7 @@ object Similarity {
        |             list_transform(embedding, x ->
        |               CAST(CAST(x AS DOUBLE) / sqrt(${sqlDot("embedding", "embedding")}) AS FLOAT)) AS embedding
        |           FROM embeddings),
-       |c AS (SELECT vec_id AS cent_id, embedding AS ce FROM d
-       |      WHERE vec_id % $PQ_KMOD = $PQ_RESIDUE),
+       |$sqlPqCodebook,
        |pm AS (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m),
        |enc AS (SELECT d.vec_id, pm.m, c.cent_id,
        |               ${sqlSubDist("d.embedding", "c.ce", "pm.m")} AS dist

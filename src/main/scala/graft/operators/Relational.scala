@@ -575,21 +575,46 @@ object Relational {
     * sf0.001/0.01/0.1). Deterministic: HLL++ has no RNG and the sample
     * is a fixed residue class, so the flag is bit-stable across runs,
     * core counts, and partitionings — DuckDB reproduces the row as the
-    * sampled exact + literal 1. */
-  def approxDistinctProd(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+    * sampled exact + literal 1.
+    *
+    * PLAN SHAPE (the round-12 scale lesson, measured at sf100): the
+    * obvious one-pass form — both aggregates fused in a single `agg` —
+    * plans as Spark's one-distinct aggregate, whose FIRST partial
+    * HashAggregate groups by (event_type, sampled-user-key) and carries
+    * the non-distinct buffers PER SUCH GROUP: a ~20 KB HLL++ sketch
+    * (rsd 0.01 ⇒ 2¹⁴ registers) per distinct user in the sample, not
+    * per event_type. At sf100 (~1 G events) that is GBs of agg-buffer
+    * state → spill → measured 24.9×/decade (9.43 s at sf10 →
+    * 234.62 s at sf100, 4 cores). The legs are therefore SPLIT: the
+    * HLL leg is a plain hash aggregate (one constant-size sketch per
+    * event_type per task, map-side partial, truly linear) and the
+    * exact leg filters to the 1/8 user-domain residue BEFORE its
+    * distinct shuffle, so only sampled pairs ever move. The two
+    * aggregates join on event_type (a few rows — AQE broadcasts);
+    * the second parquet scan reads the same two columns and is cheap
+    * next to the buffer blowup it replaces. Left join + coalesce keeps
+    * the fused form's semantics for an event_type with no sampled
+    * users (sample_users = 0). */
+  def approxDistinctProd(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val hll = ev
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        countDistinct(when(pmod(col("user_id"), lit(ADIST_SAMPLE_MOD))
-          === ADIST_SAMPLE_RES, col("user_id"))).as("sample_users"),
         count(lit(1)).as("n_events"))
-      .select(col("event_type"), col("sample_users"), col("n_events"),
-        (abs(col("approx_users") - col("sample_users") * ADIST_SAMPLE_MOD)
+    val samp = ev
+      .filter(pmod(col("user_id"), lit(ADIST_SAMPLE_MOD)) === ADIST_SAMPLE_RES)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("sample_users"))
+    val su = coalesce(col("sample_users"), lit(0L))
+    hll.join(samp, Seq("event_type"), "left")
+      .select(col("event_type"), su.as("sample_users"), col("n_events"),
+        (abs(col("approx_users") - su * ADIST_SAMPLE_MOD)
           .cast("double") <=
-          (col("sample_users") * ADIST_SAMPLE_MOD).cast("double") * 0.25)
+          (su * ADIST_SAMPLE_MOD).cast("double") * 0.25)
           .cast("long").as("hll_vs_sample_ok"))
       .orderBy("event_type")
+  }
 
   val approxDistinctProdSql: String =
     s"""SELECT event_type,

@@ -200,6 +200,37 @@ class RelationalSpec extends AnyFunSuite {
       s"${r.getString(0)}: hll_within_5pct flag is 0"))
   }
 
+  test("approx-distinct prod twin: split plan shape + fused-form bit-equality") {
+    val v2 = Relational.approxDistinctProd(spark, sf)
+    // (a) plan shape: the two legs must be SEPARATE aggregates joined on
+    // event_type. The fused one-pass form has NO join — and plans as the
+    // one-distinct aggregate whose first partial stage carries a ~20 KB
+    // HLL++ buffer per (event_type, sampled-user) group: measured
+    // 24.9×/decade at sf100 (BASELINE.md round 12). A regression that
+    // re-fuses the legs reintroduces that blowup and fails here.
+    val hasJoin = v2.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.nonEmpty
+    assert(hasJoin, "q_approx_distinct_prod must keep its HLL and exact-sample " +
+      "legs as separate aggregations joined on event_type")
+    // (b) semantics: bit-equal to the fused one-pass form on the same data
+    val mod = 8L; val res = 3L
+    val fused = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(when(pmod(col("user_id"), lit(mod)) === res,
+          col("user_id"))).as("sample_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("sample_users"), col("n_events"),
+        (abs(col("approx_users") - col("sample_users") * mod).cast("double") <=
+          (col("sample_users") * mod).cast("double") * 0.25)
+          .cast("long").as("hll_vs_sample_ok"))
+      .orderBy("event_type")
+    assert(v2.collect().toSeq == fused.collect().toSeq,
+      "split-plan twin diverged from the fused reference form")
+  }
+
   test("revenue trend matches a plain-Scala regression recount") {
     val seg = Tables.customer(spark, sf).selectExpr("c_custkey", "c_mktsegment")
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap

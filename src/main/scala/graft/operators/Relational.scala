@@ -525,18 +525,37 @@ object Relational {
   // 100 TB the exact countDistinct here is the expensive half — the
   // production fast path reads ONLY the HLL column; this query is the
   // calibration audit you run on a sample to certify that fast path.
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+  //
+  // PLAN SHAPE (round 12, the same lesson as [[approxDistinctProd]]):
+  // fusing the sketch and the exact distinct in one `agg` makes the
+  // one-distinct aggregate's first partial stage group by
+  // (event_type, user_id) and carry a ~20 KB HLL++ buffer PER USER —
+  // at sf10 that is ~10⁶ × 20 KB of agg-buffer state, the real driver
+  // behind the query's measured 320.98 s / slope-54 "memory wall"
+  // (r11, previously adjudicated as the exact-audit contract cost).
+  // Split, the exact leg's distinct shuffle carries only the
+  // (event_type, user_id) pairs themselves and the HLL leg is a plain
+  // linear hash aggregate; the CONTRACTUAL cost (a full exact
+  // distinct) remains, the incidental buffer blowup does not. Both
+  // legs group the same rows, so every event_type appears in each —
+  // the join is inner and exactly total.
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val hll = ev
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+    val exact = ev
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    hll.join(exact, Seq("event_type"), "inner")
       .select(col("event_type"), col("exact_users"), col("n_events"),
         (abs(col("approx_users") - col("exact_users")).cast("double") <=
           col("exact_users").cast("double") * 0.05).cast("long")
           .as("hll_within_5pct"))
       .orderBy("event_type")
+  }
 
   val approxDistinctSql: String =
     """SELECT event_type,
@@ -583,8 +602,9 @@ object Relational {
     * HashAggregate groups by (event_type, sampled-user-key) and carries
     * the non-distinct buffers PER SUCH GROUP: a ~20 KB HLL++ sketch
     * (rsd 0.01 ⇒ 2¹⁴ registers) per distinct user in the sample, not
-    * per event_type. At sf100 (~1 G events) that is GBs of agg-buffer
-    * state → spill → measured 24.9×/decade (9.43 s at sf10 →
+    * per event_type. At sf100 (100 M events, 1.5 M users ⇒ ~190 K
+    * sampled distinct-key groups × event types ≈ 19 GB of agg-buffer
+    * state) → spill → measured 24.9×/decade (9.43 s at sf10 →
     * 234.62 s at sf100, 4 cores). The legs are therefore SPLIT: the
     * HLL leg is a plain hash aggregate (one constant-size sketch per
     * event_type per task, map-side partial, truly linear) and the

@@ -495,24 +495,32 @@ object ScalePatterns {
     * ride along, making this the calibration the sketch swap-in is
     * judged by. */
   def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
-    // ONE aggregate pass: the k-mins come from the mergeable
-    // KmvMinsAgg sketch (KB partial state per partition, set semantics
-    // built in — no pre-distinct, no ranking window; the shuffle
-    // carries ≤ k longs per partition instead of every distinct hash).
-    // The exact side keeps its countDistinct exchange because the query
-    // REPORTS the sketch's error against truth; at 100 TB only the
-    // sketch column remains. "k smallest distinct values" is
-    // partition-order-independent, so this is bit-equal to the ranking-
-    // window formulation the DuckDB oracle still uses (SketchAggSpec
+    // TWO aggregate legs joined on event_type (round 12 — the same
+    // split-plan contract as q_approx_distinct/_prod): fusing the
+    // sketch with the countDistinct in one `agg` makes Spark's
+    // one-distinct plan group its first partial stage by
+    // (event_type, h) and carry the KmvMinsAgg buffer (≤ k longs,
+    // ~0.5 KB) PER DISTINCT HASH — the "KB per partition" claim only
+    // holds when the sketch leg aggregates alone. Split, the sketch
+    // leg shuffles ≤ k longs per partition (no pre-distinct, no
+    // ranking window) and the exact leg's distinct exchange carries
+    // only the (event_type, h) pairs; the exact side exists because
+    // the query REPORTS the sketch's error against truth — at 100 TB
+    // only the sketch leg remains. "k smallest distinct values" is
+    // partition-order-independent, so this stays bit-equal to the
+    // ranking-window formulation the DuckDB oracle uses (SketchAggSpec
     // pins the equality).
-    val ev = events(spark, dir)
-    val agg = ev
+    val hashed = events(spark, dir)
       .select(col("event_type"),
         (pmod(col("user_id"), lit(KMV_P)) * KMV_C % KMV_P).as("h"))
+    val sketch = hashed
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"),
-        countDistinct(col("h")).as("exact_distinct"),
         graft.functions.SketchAgg.kmvMins(col("h"), KMV_K).as("mins"))
+    val exact = hashed
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("h")).as("exact_distinct"))
+    val agg = sketch.join(exact, Seq("event_type"), "inner")
       .withColumn("k_used", size(col("mins")).cast("long"))
       .withColumn("kth", element_at(col("mins"), size(col("mins"))))
     val est = when(col("k_used") < KMV_K, col("exact_distinct").cast("double"))

@@ -233,7 +233,15 @@ class PlanGuardSpec extends AnyFunSuite {
       "q_repetition_stats", "q_seasonal_profile", "q_skew_report",
       "q_target_encode", "q_top_supplier", "q_vocab_coverage",
       "q_winsorize", "q_cms_heavy_hitters", "q_dq_constraints",
-      "q_label_centroids")
+      "q_label_centroids") ++
+    declared("distinct-split contract (round 12): a sketch/count leg and " +
+      "an exact-distinct leg aggregate the fact separately and join on " +
+      "the low-cardinality group key — FUSED in one agg, Spark's " +
+      "one-distinct plan carries the sketch buffer per distinct key " +
+      "through the partial aggregate (measured 24.9x/decade at sf100; " +
+      "q_approx_distinct sf10 320.98 -> 6.81 s split). Each leg prunes " +
+      "to the 2 columns it aggregates; the agg-to-agg join is a few rows")(
+      "q_approx_distinct", "q_approx_distinct_prod", "q_kmv_distinct")
   ).toMap
 
   test("single-fact-scan audit: no registered query scans a fact table twice undeclared") {

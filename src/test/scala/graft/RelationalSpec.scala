@@ -194,10 +194,18 @@ class RelationalSpec extends AnyFunSuite {
       assert(e <= 0.05, s"${r.getString(0)}: HLL relative error $e exceeds 5%")
     }
     // and the registered query's flag is TRUE on every row
-    val flags = Relational.approxDistinct(spark, sf).collect()
+    val audit = Relational.approxDistinct(spark, sf)
+    val flags = audit.collect()
     assert(flags.nonEmpty)
     flags.foreach(r => assert(r.getAs[Long]("hll_within_5pct") == 1L,
       s"${r.getString(0)}: hll_within_5pct flag is 0"))
+    // the audit must keep its HLL and exact legs as separate
+    // aggregations (same split-plan contract as the prod twin — the
+    // fused one-distinct form carries an HLL buffer per user through
+    // the partial aggregate; see approxDistinct's plan-shape note)
+    assert(audit.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.nonEmpty, "q_approx_distinct must keep split HLL/exact legs")
   }
 
   test("approx-distinct prod twin: split plan shape + fused-form bit-equality") {

@@ -81,5 +81,12 @@ class SketchQuantileSpec extends AnyFunSuite {
     ref.values.foreach { m =>
       assert(m == m.distinct.sorted, "k-mins not a sorted distinct set")
     }
+    // split-plan contract (round 12): the registered query must keep the
+    // sketch leg and the exact-distinct leg as separate aggregations
+    // joined on event_type — fused, the one-distinct plan carries the
+    // KMV array buffer per distinct hash through the partial aggregate
+    assert(ScalePatterns.kmvDistinct(spark, sf).queryExecution.optimizedPlan
+      .collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      .nonEmpty, "q_kmv_distinct must keep split sketch/exact legs")
   }
 }

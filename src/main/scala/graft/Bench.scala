@@ -144,6 +144,41 @@ object Bench {
     ((System.nanoTime() - t0) / 1e9, quiet)
   }
 
+  /** Abbreviated git HEAD of the repo this bench ran in, read from
+    * .git directly (no exec; git may be absent in a probe container).
+    * Stamped into every run JSON: a bench_full.json record taken at a
+    * DIFFERENT commit measured different code, so — like a forcing
+    * mismatch — it must not be defended by the quieter-record rule
+    * (round-12 incident: a 196.50 s record whose stored noise label was
+    * floored at 1.16 by a then-stale envelope was displaced by a
+    * 216.14 s run self-labeled 1.08 against the refreshed envelope —
+    * the labels had different provenances and the guard compared them
+    * anyway; scoping the label rule to same-HEAD records closes that
+    * hole, and a post-commit run legitimately resets the record).
+    * Coarse by design: a dirty working tree shares its HEAD — the
+    * committed-record workflow (record at round close, at HEAD) is what
+    * the stamp protects. */
+  private def gitHead: String =
+    try {
+      val fs = java.nio.file.FileSystems.getDefault
+      def read(p: java.nio.file.Path) =
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      val head = read(fs.getPath(".git", "HEAD"))
+      if (!head.startsWith("ref: ")) head.take(12)
+      else {
+        val ref = head.drop(5)
+        val refPath = fs.getPath(".git", ref.split("/"): _*)
+        if (java.nio.file.Files.exists(refPath)) read(refPath).take(12)
+        else { // packed ref: "<sha> <refname>" lines
+          val packed = fs.getPath(".git", "packed-refs")
+          if (!java.nio.file.Files.exists(packed)) "unknown"
+          else read(packed).linesIterator
+            .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
+            .map(_.split(" ")(0).take(12)).getOrElse("unknown")
+        }
+      }
+    } catch { case _: Throwable => "unknown" }
+
   private def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
@@ -353,7 +388,8 @@ object Bench {
     // bench_full.json next to the repo for the judge.
     val fullMap = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$fullMap,"failed":$failedJson,$env,"retried":$retriedJson,"retry_errored":$retryErroredJson,"forcing":"$FORCING","sf":"$sfDir"}"""
+    val head = gitHead
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$fullMap,"failed":$failedJson,$env,"retried":$retriedJson,"retry_errored":$retryErroredJson,"forcing":"$FORCING","head":"$head","sf":"$sfDir"}"""
     // every run gets a uniquely-named copy — nothing is ever lost
     try {
       val dir = java.nio.file.Paths.get("bench_runs")
@@ -377,14 +413,20 @@ object Bench {
       val priorN = field(""""n":(\d+)""").map(_.toInt).getOrElse(0)
       val priorNoise = field(""""noise_ratio":(-?\d+(?:\.\d+)?)""").getOrElse(-1.0)
       val priorTotal = field(""""value":(-?\d+(?:\.\d+)?)""").getOrElse(-1.0)
-      // a record measured under a DIFFERENT forcing action is stale — its
-      // times aren't comparable, so it must not be defended by the
-      // quieter-record guard (only by query-count, so a subset run still
-      // can't clobber a stale-but-full record)
+      // a record measured under a DIFFERENT forcing action or a DIFFERENT
+      // git HEAD is stale — its times measured other code or another
+      // regime, so it must not be defended by the quieter-record guard
+      // (only by query-count, so a subset run still can't clobber a
+      // stale-but-full record). A missing head stamp (pre-round-12
+      // record) counts as stale for the same reason. Within the same
+      // (forcing, head), noise labels share provenance and the
+      // quieter-or-equal rule is sound.
       val priorForcingOk = """"forcing":"([^"]+)"""".r.findFirstMatchIn(prior)
         .exists(_.group(1) == FORCING)
+      val priorHeadOk = """"head":"([^"]+)"""".r.findFirstMatchIn(prior)
+        .exists(m => m.group(1) == head && head != "unknown")
       // unlabeled noise (-1: no envelope) never beats a labeled record
-      val quieterOrEqual = !priorForcingOk || priorNoise < 0 ||
+      val quieterOrEqual = !priorForcingOk || !priorHeadOk || priorNoise < 0 ||
         (noiseRatio >= 0 && noiseRatio <= priorNoise)
       if (results.size > priorN || (results.size == priorN && quieterOrEqual)) {
         java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
@@ -414,7 +456,7 @@ object Bench {
     val omitted = ordered.drop(keep.size)
     val omittedSec = omitted.map(_._2).filter(_ >= 0).sum
     val qs = keep.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$qs,"queries_omitted":${omitted.size},"omitted_sec":${f2(omittedSec)},"failed":$failedJson,"n_retried":${retriedFirst.size},"retried_firsts":$retriedCompact,$env,"forcing":"$FORCING","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$qs,"queries_omitted":${omitted.size},"omitted_sec":${f2(omittedSec)},"failed":$failedJson,"n_retried":${retriedFirst.size},"retried_firsts":$retriedCompact,$env,"forcing":"$FORCING","head":"$head","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

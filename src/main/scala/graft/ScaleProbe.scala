@@ -158,9 +158,17 @@ object ScaleProbe {
     }
 
     def write(df: DataFrame, name: String): Unit = {
-      // output partition count scales with the replication so sf10
-      // doesn't land in 4 giant row groups
-      df.drop("rep").coalesce(4 * math.max(1, reps / 10)).write.mode("overwrite")
+      // output partition count scales with the replication so a probe
+      // corpus has the multi-split layout a real table at that scale
+      // would have. This must be repartition, not coalesce: the
+      // replication plan is one small scan × a broadcast NLJ — ONE
+      // partition — and coalesce can only reduce, so every probe table
+      // through round 12 landed as a single parquet file and every
+      // scan-stage kernel measured against it ran on 1-2 cores (the
+      // round-12 sf100 audit: q_ivf_balance 1301 s at loadavg ~1.5 on
+      // 32 CPUs). Round-robin repartition changes only row placement,
+      // never values; all registered queries are order-insensitive.
+      df.drop("rep").repartition(4 * math.max(1, reps / 10)).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       System.err.println(s"[scaleprobe] wrote $name")
     }

@@ -86,6 +86,29 @@ object Similarity {
     embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), normSq(col("embedding")).as("nrm"))
 
+  /** Explicit-N exchange below a corpus-scale scan-stage kernel — the
+    * [[graft.operators.Dedup]] `docsParallel` pattern (BASELINE.md perf
+    * notes), applied to the embedding family. The testdata/probe corpus
+    * is one or two small parquet splits, so any heavy per-row kernel
+    * pipelined into the scan — IVF assignment's K cosines/row, the
+    * sign-LSH bucket's MAX_PLANES plane dots, a brute-force/eval scan's
+    * Q cosines/row, SQ8's per-element decode — otherwise runs on 1-2 of
+    * the session's cores (the round-12 sf100 audit measured
+    * q_ivf_balance at 1301 s with loadavg ~1.5 on 32 CPUs: the whole
+    * n·K assignment serialized into two scan tasks). An explicit-N
+    * keyed repartition spreads the kernel; AQE never coalesces an
+    * explicit-N exchange. At real scale the scan already yields many
+    * splits and this exchange is a cheap no-op (2M rows × 260 B ≈
+    * 0.5 GB shuffle vs minutes of kernel) relative to the work above
+    * it. Keyed on vec_id: deterministic routing, and every downstream
+    * reduction in this file is partition-order-proof (integer
+    * micro-unit sums, struct-argmax, count/min/max, distinct), so
+    * results are bit-unchanged — the registry stays hash-verified. */
+  private def kernelParallel(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.repartition(n, col("vec_id"))
+  }
+
   private val sqlWithNorm: String =
     s"SELECT vec_id, embedding, ${sqlDot("embedding", "embedding")} AS nrm FROM embeddings"
 
@@ -108,7 +131,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+    broadcast(q).join(kernelParallel(e), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
       .withColumn("rnk", row_number().over(w))
@@ -198,7 +221,9 @@ object Similarity {
     val e = withNorm(spark, dir)
     val m = e.agg(count(lit(1)).as("n_vec"))
       .select(pmaskCase(col("n_vec")).as("pmask"))
-    e.crossJoin(broadcast(m))
+    // the bucket projection (MAX_PLANES dots/row, plus the neardup
+    // budget's margin sort downstream) is the family's scan-stage kernel
+    kernelParallel(e).crossJoin(broadcast(m))
       .withColumn("bucket", bucketCol(col("embedding")).bitwiseAND(col("pmask")))
   }
 
@@ -442,7 +467,7 @@ object Similarity {
     * asc) tiebreak exactly; embedding/nrm are per-vector constants
     * within the group, so first() is value-deterministic. */
   private def rankCells(src: DataFrame, cents: DataFrame, maxRank: Int): DataFrame = {
-    val scored = src.crossJoin(broadcast(cents))
+    val scored = kernelParallel(src).crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
         cosine(col("embedding"), col("nrm"), col("ce"), col("cn")).as("cos_c"))
     if (maxRank == 1)
@@ -822,7 +847,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     val wVote = Window.partitionBy(col("query_id"))
       .orderBy(col("votes").desc, col("label").asc)
-    broadcast(q).join(pool, col("query_id") =!= col("vec_id"))
+    broadcast(q).join(kernelParallel(pool), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("true_label"), col("label"),
         col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
@@ -950,7 +975,7 @@ object Similarity {
         col("nrm").as("qn"), col("label").as("anchor_label"))
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(q).join(e,
+    broadcast(q).join(kernelParallel(e),
         col("anchor_id") =!= col("vec_id") && col("label") =!= col("anchor_label"))
       .select(col("anchor_id"), col("anchor_label"),
         col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
@@ -1059,7 +1084,7 @@ object Similarity {
     * (vec, norm) table is materialized once; at scale it is the
     * scan-time view of the stored code table. */
   def annSq8(spark: SparkSession, dir: String): DataFrame = {
-    val d = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val d = kernelParallel(embeddings(spark, dir).select(col("vec_id"), col("embedding")))
     val stats = d.select(posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("pos"))
       .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
@@ -1248,7 +1273,7 @@ object Similarity {
     * this just keeps plans reproducible). */
   private def pqSetup(spark: SparkSession, dir: String): (DataFrame, Seq[Long], Seq[Seq[Float]]) = {
     val d = Materializer.materialize(Materializer.tagFor("pqnorm", dir),
-      embeddings(spark, dir)
+      kernelParallel(embeddings(spark, dir))
         .select(col("vec_id"), col("embedding"),
           sqrt(normSq(col("embedding"))).as("len"))
         .select(col("vec_id"),
@@ -1448,7 +1473,7 @@ object Similarity {
     * centroid relation — the pair space is |labels|², a constant, never
     * corpus-sized. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val cd = embeddings(spark, dir)
+    val cd = kernelParallel(embeddings(spark, dir))
       .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy(col("label"), col("d"))
       .agg(sum(floor(col("x") * 1000000.0 + lit(0.5))).as("sm"),
@@ -1515,7 +1540,9 @@ object Similarity {
     * integer sums; the pair space is the |queries|² subset only, never
     * the corpus. */
   def jlProjection(spark: SparkSession, dir: String): DataFrame = {
-    val q = embeddings(spark, dir).filter(col("vec_id") % QUERY_MOD === 0)
+    // repartition the filtered subset: the JL_K-dot projection AND the
+    // |queries|² pair kernel below both run over `a`'s partitioning
+    val q = kernelParallel(embeddings(spark, dir).filter(col("vec_id") % QUERY_MOD === 0))
       .select(col("vec_id"), col("embedding"),
         array((0 until JL_K).map(j =>
           dotF(col("embedding"), jlPlaneLit(j)).cast("float")): _*).as("proj"))
@@ -1581,7 +1608,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cid").asc)
     val cand = Materializer.materialize(Materializer.tagFor("mmrcand", dir),
-      broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      broadcast(q).join(kernelParallel(e), col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id").as("cid"),
           cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
         .withColumn("rnk", row_number().over(w))
@@ -1695,7 +1722,7 @@ object Similarity {
   def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
     val mu = floor(col("x").cast("double") * 1000000.0 + lit(0.5)).cast("long")
     val dec = "decimal(38,0)"
-    embeddings(spark, dir)
+    kernelParallel(embeddings(spark, dir))
       .select(posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("d"), mu.as("m"))
       .groupBy(col("d"))
@@ -1806,7 +1833,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     val gainMu = floor(log(lit(2.0)) / log(lit(1.0) + col("rnk")) *
       1000000.0 + lit(0.5)).cast("long")
-    val ranked = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+    val ranked = broadcast(q).join(kernelParallel(e), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("qlabel"),
         col("vec_id").as("neighbor_id"), col("label"),
         cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))

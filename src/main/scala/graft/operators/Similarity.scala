@@ -454,19 +454,51 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
   }
 
-  /** Rank every vector of `src` against the broadcast centroid set and
-    * keep its `maxRank` nearest cells — the shared core of assignment
+  /** Rank every vector of `src` against the centroid set and keep its
+    * `maxRank` nearest cells — the shared core of assignment
     * (maxRank=1) and probing (maxRank=NPROBE).
     *
-    * The maxRank=1 (assignment) path is an ARGMAX, not a window: the
-    * window form shuffles all |src|·K ranked rows to rank them
-    * (measured as the second half of the sf10 925.97 s q_ann_ivf — a
-    * 400M-row exchange), while max(struct(cos, −cent_id)) partial-
-    * aggregates map-side and shuffles |src| rows total. The struct max
-    * is lexicographic, so it reproduces the window's (cos desc, cent_id
-    * asc) tiebreak exactly; embedding/nrm are per-vector constants
-    * within the group, so first() is value-deterministic. */
+    * Round-12 kernel form: the centroid set is COLLECTED (K ≈ √n rows —
+    * a model artifact, the same driver-side copy a broadcast would
+    * hold; the [[pqSetup]] codebook precedent) and the per-vector
+    * ranking runs as ONE codegen'd loop — [[graft.functions.CellRank]]
+    * — inside the scan projection. The relational fan-out it replaces
+    * ([[rankCellsRelational]], kept as the spec's equality twin)
+    * materialized n·K scored rows through a broadcast NLJ plus an
+    * argmax aggregate exchange of the corpus; at sf100 (2M×625, 32
+    * cores) that row machinery measured 369.50 s for q_ann_ivf where
+    * the same flops in the kernel are seconds. Assignment is now a
+    * scan-local projection — also the 100 TB shape: cell id computed
+    * at write time, zero shuffles before the cell-keyed join.
+    * CellRankSpec pins kernel ≡ relational bit-exactly (including
+    * double-tie order) at driver SFs; the DuckDB oracle keeps the
+    * relational window formulation. */
   private def rankCells(src: DataFrame, cents: DataFrame, maxRank: Int): DataFrame = {
+    val rows = cents.select(col("cent_id"), col("ce"), col("cn"))
+      .collect().sortBy(_.getLong(0))
+    val ids = rows.map(_.getLong(0)).toSeq
+    val vecs = rows.map(_.getSeq[Float](1)).toSeq
+    val nrms = rows.map(_.getDouble(2)).toSeq
+    val ranked = graft.functions.CellRank.cellRank(
+      col("embedding"), col("nrm"), ids, vecs, nrms, maxRank)
+    if (maxRank == 1)
+      kernelParallel(src).select(col("vec_id"), col("embedding"), col("nrm"),
+        element_at(ranked, 1).as("cell"))
+    else
+      kernelParallel(src)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          explode(ranked).as("cell"))
+  }
+
+  /** The pre-kernel relational ranking — broadcast NLJ fan-out +
+    * struct-argmax (maxRank=1) / rank window (else). Kept unregistered
+    * as CellRankSpec's equality reference; the argmax-vs-window split
+    * and its measured history live in the round-9..12 scaladoc trail:
+    * the window form shuffles all |src|·K ranked rows (the sf10
+    * 925.97 s q_ann_ivf), the struct max partial-aggregates map-side,
+    * and the kernel form above removes the fan-out rows entirely. */
+  private[graft] def rankCellsRelational(src: DataFrame, cents: DataFrame,
+                                         maxRank: Int): DataFrame = {
     val scored = kernelParallel(src).crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id"),
         cosine(col("embedding"), col("nrm"), col("ce"), col("cn")).as("cos_c"))
@@ -493,6 +525,15 @@ object Similarity {
     * proof). */
   def ivfAssign(spark: SparkSession, dir: String): DataFrame =
     rankCells(withNorm(spark, dir), ivfCentroids(spark, dir), 1)
+
+  /** Relational-form twins for CellRankSpec's kernel-equality pins. */
+  private[graft] def ivfAssignRelational(spark: SparkSession, dir: String): DataFrame =
+    rankCellsRelational(withNorm(spark, dir), ivfCentroids(spark, dir), 1)
+  private[graft] def ivfProbeCellsRelational(spark: SparkSession, dir: String): DataFrame =
+    rankCellsRelational(withNorm(spark, dir).filter(col("vec_id") % QUERY_MOD === 0),
+        ivfCentroids(spark, dir), NPROBE)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cell"))
 
   /** Probe-side cell ranking for one query subset: (query_id, qe, qn,
     * cell) for the `nprobe` nearest cells of each query. */

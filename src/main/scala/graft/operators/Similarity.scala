@@ -118,6 +118,64 @@ object Similarity {
   private def sqlCosine(qe: String, qn: String, ne: String, nn: String): String =
     s"${sqlDot(qe, ne)} / (sqrt($qn) * sqrt($nn))"
 
+  /** Per-query top-k tail over a scored candidate relation
+    * (query_id, neighbor_id, `scoreName`) — the mergeable-aggregate
+    * replacement for `row_number() OVER (... ORDER BY score DESC,
+    * neighbor_id ASC) <= k` (see [[graft.functions.TopKByScoreAgg]]:
+    * the window form exchanges and locally sorts EVERY candidate row —
+    * 384 M at the round-12 sf100 probe — where the aggregate folds
+    * map-side and shuffles ≤k entries per group per partition).
+    * Output (query_id, rnk, neighbor_id, score) and its ORDER are
+    * bit-identical to the window form — same strict total order,
+    * same doubles — pinned per converted query by TopKTailSpec; the
+    * DuckDB oracle keeps the window formulation. */
+  private def topkTail(scored: DataFrame, topk: Int,
+                       scoreName: String = "cosine"): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topKByScore(
+        col("neighbor_id"), col(scoreName), topk).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("p", "s")))
+      .select(col("query_id"), (col("p") + 1).cast("int").as("rnk"),
+        col("s.id").as("neighbor_id"), col("s.score").as(scoreName))
+
+  /** Whether the query subset is small enough to collect/broadcast —
+    * the bounded-anchor-batch contract every exact-scan operator
+    * declares (see [[QUERY_BROADCAST_MAX]]). Probe runs can set
+    * SPARK_GRAFT_FORCE_RELATIONAL=1 to exercise the relational
+    * (join-formulated) twins at any size — the A/B knob the round-12
+    * kernel-vs-join measurements use. */
+  private def queryBatchBounded(spark: SparkSession, dir: String): Boolean =
+    !sys.env.get("SPARK_GRAFT_FORCE_RELATIONAL").contains("1") &&
+      nVecOf(spark, dir) / QUERY_MOD <= QUERY_BROADCAST_MAX
+
+  /** Driver-collected bounded query batch (id, vec, nrm), sorted by id —
+    * the same driver-side copy `broadcast(q)` holds, reused as the
+    * [[graft.functions.ScoreAllTopKAgg]] kernel's reference objects. */
+  private def collectQueryBatch(q: DataFrame, embName: String)
+      : (Seq[Long], Seq[Seq[Float]], Seq[Double]) = {
+    val rows = q.select(col("vec_id"), col(embName), col("nrm"))
+      .collect().sortBy(_.getLong(0))
+    (rows.map(_.getLong(0)).toSeq, rows.map(_.getSeq[Float](1)).toSeq,
+      rows.map(_.getDouble(2)).toSeq)
+  }
+
+  /** Brute-force (query_id, rnk, neighbor_id, score) via the
+    * [[graft.functions.ScoreAllTopKAgg]] one-pass kernel — the
+    * BNLJ-free exact scan (the BroadcastNestedLoopJoin the relational
+    * form plans does not whole-stage-codegen, so its |corpus|·|Q| pair
+    * pipeline runs interpreted: measured ~3.9 µs/pair = 3082 CPU-s for
+    * 800 M pairs at the sf10 probe). Callers pass the corpus WITH the
+    * kernelParallel exchange applied. */
+  private def scoreAllTail(corpus: DataFrame, embName: String,
+                           qb: (Seq[Long], Seq[Seq[Float]], Seq[Double]),
+                           k: Int, scoreName: String): DataFrame =
+    corpus
+      .agg(graft.functions.ScoreAll.scoreAllTopK(col("vec_id"), col(embName),
+        col("nrm"), qb._1, qb._2, qb._3, k).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("p", "s")))
+      .select(col("s.query_id").as("query_id"), col("s.rnk").as("rnk"),
+        col("s.id").as("neighbor_id"), col("s.score").as(scoreName))
+
   // Exact brute-force cosine top-k for the query subset. Queries are
   // broadcast; the corpus side streams through a codegen'd projection.
   def annBruteforce(spark: SparkSession, dir: String): DataFrame =
@@ -127,17 +185,24 @@ object Similarity {
     * sweeps the IVF probe curve against. */
   def annBruteforceAt(spark: SparkSession, dir: String, topk: Int): DataFrame = {
     val e = withNorm(spark, dir)
+    if (queryBatchBounded(spark, dir)) {
+      val qb = collectQueryBatch(e.filter(col("vec_id") % QUERY_MOD === 0), "embedding")
+      scoreAllTail(kernelParallel(e), "embedding", qb, topk, "cosine")
+        .orderBy("query_id", "rnk")
+    } else annBruteforceRelationalAt(spark, dir, topk)
+  }
+
+  /** Relational exact scan — the plan above the bounded-batch contract,
+    * and AnnKernelSpec's equality reference. */
+  private[graft] def annBruteforceRelationalAt(spark: SparkSession, dir: String,
+                                               topk: Int): DataFrame = {
+    val e = withNorm(spark, dir)
     val q = e.filter(col("vec_id") % QUERY_MOD === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(q).join(kernelParallel(e), col("query_id") =!= col("vec_id"))
+    val scored = broadcast(q).join(kernelParallel(e), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topk)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
-      .orderBy("query_id", "rnk")
+    topkTail(scored, topk).orderBy("query_id", "rnk")
   }
 
   val annBruteforceSql: String =
@@ -240,15 +305,11 @@ object Similarity {
     val q = e.filter(col("vec_id") % QUERY_MOD === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("bucket").as("qb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(q).join(e, col("qb") === col("bucket") && col("query_id") =!= col("vec_id"))
+    val scored = broadcast(q)
+      .join(e, col("qb") === col("bucket") && col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TOPK)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
-      .orderBy("query_id", "rnk")
+    topkTail(scored, TOPK).orderBy("query_id", "rnk")
   }
 
   val annLshSql: String =
@@ -550,20 +611,51 @@ object Similarity {
     * 100 TB IVF design rests on (probes touch `nprobe` storage
     * partitions instead of the corpus). AnnRecallSpec measures
     * recall@k against [[annBruteforceAt]] across nprobe values. */
+  /** Driver-collected probe batch: per query (id, vec, nrm, probed
+    * cells), sorted by id — the driver-side copy the probe broadcast
+    * held, reused as the [[graft.functions.CellScoreTopKAgg]] kernel's
+    * reference objects. Bounded by the [[queryBatchBounded]] contract. */
+  private def collectProbeBatch(spark: SparkSession, dir: String, nprobe: Int)
+      : (Seq[Long], Seq[Seq[Float]], Seq[Double], Seq[Seq[Long]]) = {
+    val rows = ivfProbeCells(spark, dir, nprobe)
+      .select(col("query_id"), col("qe"), col("qn"), col("cell"))
+      .collect()
+    val byQ = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+    (byQ.map(_._1), byQ.map(_._2.head.getSeq[Float](1)),
+      byQ.map(_._2.head.getDouble(2)),
+      byQ.map(_._2.map(_.getLong(3)).toSeq.sorted))
+  }
+
+  /** IVF probe search (query_id, rnk, neighbor_id, cosine) via the
+    * [[graft.functions.CellScoreTopKAgg]] one-pass kernel over the
+    * assignment — the join-free probe (the relational broadcast-probes
+    * ⋈ assigned ON cell pushed every candidate pair through the
+    * join/aggregate row machinery: 8266 CPU-s for 384 M pairs at the
+    * sf100 probe, ~21 µs/pair vs ~25 core-seconds of arithmetic). */
+  private def cellScoreTail(assigned: DataFrame,
+                            pb: (Seq[Long], Seq[Seq[Float]], Seq[Double], Seq[Seq[Long]]),
+                            k: Int): DataFrame =
+    assigned
+      .agg(graft.functions.CellScore.cellScoreTopK(col("vec_id"), col("embedding"),
+        col("nrm"), col("cell"), pb._1, pb._2, pb._3, pb._4, k).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("p", "s")))
+      .select(col("s.query_id").as("query_id"), col("s.rnk").as("rnk"),
+        col("s.id").as("neighbor_id"), col("s.score").as("cosine"))
+
   def annIvfAt(spark: SparkSession, dir: String, nprobe: Int, topk: Int): DataFrame = {
     val assigned = ivfAssign(spark, dir)
-    val probes = ivfProbeCells(spark, dir, nprobe)
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    maybeBroadcastQ(spark, dir, probes)
-      .join(assigned, Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= topk)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cosine"))
-      .orderBy("query_id", "rnk")
+    if (queryBatchBounded(spark, dir)) {
+      cellScoreTail(assigned, collectProbeBatch(spark, dir, nprobe), topk)
+        .orderBy("query_id", "rnk")
+    } else {
+      val probes = ivfProbeCells(spark, dir, nprobe)
+      val scored = maybeBroadcastQ(spark, dir, probes)
+        .join(assigned, Seq("cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
+      topkTail(scored, topk).orderBy("query_id", "rnk")
+    }
   }
 
   /** Shared oracle prefix: norms, centroid set, and the rk=1 IVF
@@ -882,18 +974,31 @@ object Similarity {
       normSq(col("embedding")).as("nrm"), col("label"))
     val q = e.filter(col("vec_id") % QUERY_MOD === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("label").as("true_label"))
+        col("nrm").as("qn"))
     val pool = e.filter(col("vec_id") % QUERY_MOD =!= 0)
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // top-K first (labels are per-id constants, so selecting them via
+    // the Q·K-row join-back after the tail keeps the kept set and vote
+    // identical to ranking the labeled rows directly), then vote
+    val kept =
+      if (queryBatchBounded(spark, dir)) {
+        val qb = collectQueryBatch(
+          e.filter(col("vec_id") % QUERY_MOD === 0)
+            .select(col("vec_id"), col("embedding"), col("nrm")), "embedding")
+        scoreAllTail(kernelParallel(pool.select(col("vec_id"), col("embedding"),
+          col("nrm"))), "embedding", qb, KNN_K, "cosine")
+      } else topkTail(
+        broadcast(q).join(kernelParallel(pool), col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine")),
+        KNN_K)
+    val lbl = embeddings(spark, dir).select(col("vec_id"), col("label"))
     val wVote = Window.partitionBy(col("query_id"))
       .orderBy(col("votes").desc, col("label").asc)
-    broadcast(q).join(kernelParallel(pool), col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("true_label"), col("label"),
-        col("vec_id").as("neighbor_id"),
-        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= KNN_K)
+    kept
+      .join(lbl.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        Seq("query_id"))
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
       .groupBy(col("query_id"), col("true_label"), col("label"))
       .agg(count(lit(1)).as("votes"))
       .withColumn("vr", row_number().over(wVote))
@@ -940,21 +1045,23 @@ object Similarity {
     val lbl = embeddings(spark, dir).select(col("vec_id"), col("label"))
     val pool = ivfAssign(spark, dir)
       .filter(col("vec_id") % QUERY_MOD =!= 0)
-      .join(lbl, Seq("vec_id"))
-    val q = ivfProbeCells(spark, dir, NPROBE)
-      .join(lbl.select(col("vec_id").as("query_id"),
-        col("label").as("true_label")), Seq("query_id"))
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val kept =
+      if (queryBatchBounded(spark, dir))
+        cellScoreTail(pool, collectProbeBatch(spark, dir, NPROBE), KNN_K)
+      else topkTail(
+        maybeBroadcastQ(spark, dir, ivfProbeCells(spark, dir, NPROBE))
+          .join(pool, Seq("cell"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine")),
+        KNN_K)
     val wVote = Window.partitionBy(col("query_id"))
       .orderBy(col("votes").desc, col("label").asc)
-    maybeBroadcastQ(spark, dir, q).join(pool, Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("true_label"), col("label"),
-        col("vec_id").as("neighbor_id"),
-        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= KNN_K)
+    kept
+      .join(lbl.select(col("vec_id").as("query_id"), col("label").as("true_label")),
+        Seq("query_id"))
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
       .groupBy(col("query_id"), col("true_label"), col("label"))
       .agg(count(lit(1)).as("votes"))
       .withColumn("vr", row_number().over(wVote))
@@ -1014,16 +1121,36 @@ object Similarity {
     val q = e.filter(col("vec_id") % QUERY_MOD === 0)
       .select(col("vec_id").as("anchor_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("label").as("anchor_label"))
-    val w = Window.partitionBy(col("anchor_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(q).join(kernelParallel(e),
-        col("anchor_id") =!= col("vec_id") && col("label") =!= col("anchor_label"))
-      .select(col("anchor_id"), col("anchor_label"),
-        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
-        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= HARDNEG_K)
-      .select(col("anchor_id"), col("anchor_label"), col("rnk"),
+    // cross-label filter BEFORE the tail (hard negatives only rank
+    // cross-label candidates); labels re-attach over the ≤Q·K kept rows
+    val kept =
+      if (queryBatchBounded(spark, dir)) {
+        val qRows = e.filter(col("vec_id") % QUERY_MOD === 0)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("label"))
+          .collect().sortBy(_.getLong(0))
+        kernelParallel(e)
+          .agg(graft.functions.ScoreAll.scoreAllTopKExcludeLabel(
+            col("vec_id"), col("embedding"), col("label"),
+            qRows.map(_.getLong(0)).toSeq, qRows.map(_.getSeq[Float](1)).toSeq,
+            qRows.map(_.getDouble(2)).toSeq,
+            qRows.map(_.getAs[Number](3).longValue).toSeq,
+            HARDNEG_K).as("tk"))
+          .select(posexplode(col("tk")).as(Seq("p", "s")))
+          .select(col("s.query_id").as("query_id"), col("s.rnk").as("rnk"),
+            col("s.id").as("neighbor_id"), col("s.score").as("cosine"))
+      } else topkTail(
+        broadcast(q).join(kernelParallel(e),
+            col("anchor_id") =!= col("vec_id") && col("label") =!= col("anchor_label"))
+          .select(col("anchor_id").as("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine")),
+        HARDNEG_K)
+    val lbl = embeddings(spark, dir).select(col("vec_id"), col("label"))
+    kept
+      .join(lbl.select(col("vec_id").as("query_id"), col("label").as("anchor_label")),
+        Seq("query_id"))
+      .join(lbl.select(col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label")), Seq("neighbor_id"))
+      .select(col("query_id").as("anchor_id"), col("anchor_label"), col("rnk"),
         col("neighbor_id"), col("neighbor_label"), col("cosine"))
       .orderBy("anchor_id", "rnk")
   }
@@ -1062,20 +1189,36 @@ object Similarity {
   def hardNegativesIvf(spark: SparkSession, dir: String): DataFrame = {
     val lbl = embeddings(spark, dir).select(col("vec_id"), col("label"))
     val pool = ivfAssign(spark, dir).join(lbl, Seq("vec_id"))
-    val q = ivfProbeCells(spark, dir, NPROBE)
-      .join(lbl.select(col("vec_id").as("query_id"),
-        col("label").as("anchor_label")), Seq("query_id"))
-    val w = Window.partitionBy(col("anchor_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    maybeBroadcastQ(spark, dir, q).join(pool, Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id") &&
-        col("label") =!= col("anchor_label"))
-      .select(col("query_id").as("anchor_id"), col("anchor_label"),
-        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
-        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= HARDNEG_K)
-      .select(col("anchor_id"), col("anchor_label"), col("rnk"),
+    val kept =
+      if (queryBatchBounded(spark, dir)) {
+        val pb = collectProbeBatch(spark, dir, NPROBE)
+        val lblOf = lbl.filter(col("vec_id") % QUERY_MOD === 0)
+          .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+        pool
+          .agg(graft.functions.CellScore.cellScoreTopKExcludeLabel(
+            col("vec_id"), col("embedding"), col("nrm"), col("cell"), col("label"),
+            pb._1, pb._2, pb._3, pb._4, pb._1.map(lblOf), HARDNEG_K).as("tk"))
+          .select(posexplode(col("tk")).as(Seq("p", "s")))
+          .select(col("s.query_id").as("query_id"), col("s.rnk").as("rnk"),
+            col("s.id").as("neighbor_id"), col("s.score").as("cosine"))
+      } else {
+        val q = ivfProbeCells(spark, dir, NPROBE)
+          .join(lbl.select(col("vec_id").as("query_id"),
+            col("label").as("anchor_label")), Seq("query_id"))
+        topkTail(
+          maybeBroadcastQ(spark, dir, q).join(pool, Seq("cell"))
+            .filter(col("query_id") =!= col("vec_id") &&
+              col("label") =!= col("anchor_label"))
+            .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine")),
+          HARDNEG_K)
+      }
+    kept
+      .join(lbl.select(col("vec_id").as("query_id"), col("label").as("anchor_label")),
+        Seq("query_id"))
+      .join(lbl.select(col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label")), Seq("neighbor_id"))
+      .select(col("query_id").as("anchor_id"), col("anchor_label"), col("rnk"),
         col("neighbor_id"), col("neighbor_label"), col("cosine"))
       .orderBy("anchor_id", "rnk")
   }
@@ -1145,17 +1288,18 @@ object Similarity {
         }).as("dq"))
       .select(col("vec_id"), col("dq"), normSq(col("dq")).as("nrm"))
     val qz = Materializer.materialize(Materializer.tagFor("sq8dec", dir), decoded)
-    val q = qz.filter(col("vec_id") % QUERY_MOD === 0)
-      .select(col("vec_id").as("query_id"), col("dq").as("qc"), col("nrm").as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qcos").desc, col("neighbor_id").asc)
-    broadcast(q).join(qz, col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qc"), col("qn"), col("dq"), col("nrm")).as("qcos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TOPK)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("qcos"))
-      .orderBy("query_id", "rnk")
+    if (queryBatchBounded(spark, dir)) {
+      val qb = collectQueryBatch(qz.filter(col("vec_id") % QUERY_MOD === 0), "dq")
+      scoreAllTail(kernelParallel(qz), "dq", qb, TOPK, "qcos")
+        .orderBy("query_id", "rnk")
+    } else {
+      val q = qz.filter(col("vec_id") % QUERY_MOD === 0)
+        .select(col("vec_id").as("query_id"), col("dq").as("qc"), col("nrm").as("qn"))
+      val scored = broadcast(q).join(qz, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("qc"), col("qn"), col("dq"), col("nrm")).as("qcos"))
+      topkTail(scored, TOPK, "qcos").orderBy("query_id", "rnk")
+    }
   }
 
   val annSq8Sql: String =
@@ -1370,21 +1514,22 @@ object Similarity {
           (col("idx") / K).cast("int").as("m"),
           element_at(centIdLit, pmod(col("idx"), lit(K)) + 1).as("cent_id"),
           col("qdm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id").asc)
     // codes re-spread after the scan-back: the materialized copy is a
     // handful of AQE-coalesced splits, and the ADC probe below fans
     // each code row ×Q — the exchange is 2 longs/row, the fan-out isn't
-    codes.repartition(nPart, col("vec_id")).join(broadcast(qdist),
+    val scored = codes.repartition(nPart, col("vec_id")).join(broadcast(qdist),
         codes("m") === qdist("m") && codes("code") === qdist("cent_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("qdm")).as("sq"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (col("sq").cast("double") / 1000000.0).as("adist"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= TOPK)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("adist"))
+        // ASC ranking through the DESC top-k aggregate: negate — exact
+        // (IEEE sign flip), ties still break neighbor_id ASC, and the
+        // output re-negates (adist ≥ 0, so ±0.0 round-trips to +0.0)
+        (-(col("sq").cast("double") / 1000000.0)).as("neg_adist"))
+    topkTail(scored, TOPK, "neg_adist")
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (-col("neg_adist")).as("adist"))
       .orderBy("query_id", "rnk")
   }
 
@@ -1488,6 +1633,50 @@ object Similarity {
        |       CAST(n_members AS DOUBLE) / total AS share,
        |       CAST(n_members AS DOUBLE) * k_cells / total AS skew_factor
        |FROM cc, t ORDER BY cell""".stripMargin
+
+  /** IVF probe-traffic audit — the query-side sibling of
+    * [[ivfBalance]], and the measurement the round-12 skew
+    * investigation ran by hand: per cell, member count, how many
+    * (query, probed-cell) pairs target it, and the candidate-row
+    * volume their join induces (n_members · n_probes — the exact row
+    * count the probe join materializes for that cell, i.e. the task
+    * size of its shuffle partition). A cell hot on BOTH sides is the
+    * partition that decides the probe stage's wall-clock at 100 TB;
+    * Σ cand_rows is the whole stage's row budget, so this one relation
+    * answers "is probe work balanced" and "is probe work linear"
+    * together (the round-12 audit read max-skew 1.15 / excess 1.003×
+    * off the member side at sf100 — this query pins the probe side
+    * too). One assignment pass, one probe pass, two cell-count
+    * aggregates, a K-row join. Every centroid assigns to itself
+    * (cos = 1 is the max), so the member side covers all probed cells
+    * and a LEFT join with coalesce(0) is exact. */
+  def ivfProbeStats(spark: SparkSession, dir: String): DataFrame = {
+    val members = ivfAssign(spark, dir)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    val probes = ivfProbeCells(spark, dir, NPROBE)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_probes"))
+    members.join(probes, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("n_probes"), lit(0L)).as("n_probes"),
+        (col("n_members") * coalesce(col("n_probes"), lit(0L))).as("cand_rows"))
+      .orderBy("cell")
+  }
+
+  val ivfProbeStatsSql: String = {
+    val cosNC = sqlCosine("n.embedding", "n.nrm", "c.ce", "c.cn")
+    s"""WITH $sqlIvfAssignCtes,
+       |p AS (SELECT vec_id AS query_id, cent_id AS cell FROM (
+       |  SELECT n.vec_id, c.cent_id,
+       |         row_number() OVER (PARTITION BY n.vec_id ORDER BY $cosNC DESC, c.cent_id ASC) AS rk
+       |  FROM n, c WHERE n.vec_id % $QUERY_MOD = 0) WHERE rk <= $NPROBE),
+       |mc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_members FROM a GROUP BY 1),
+       |pc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_probes FROM p GROUP BY 1)
+       |SELECT mc.cell, mc.n_members,
+       |       coalesce(pc.n_probes, 0) AS n_probes,
+       |       mc.n_members * coalesce(pc.n_probes, 0) AS cand_rows
+       |FROM mc LEFT JOIN pc ON mc.cell = pc.cell
+       |ORDER BY mc.cell""".stripMargin
+  }
 
   /** Round 1's exact all-pairs form — kept (unregistered) as the recall
     * reference for AnnRecallSpec at tiny SF. Quadratic BY DESIGN; never
@@ -1646,16 +1835,20 @@ object Similarity {
     val q = e.filter(col("vec_id") % QUERY_MOD === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cid").asc)
+    val pool0 =
+      if (queryBatchBounded(spark, dir)) {
+        val qb = collectQueryBatch(
+          e.filter(col("vec_id") % QUERY_MOD === 0)
+            .select(col("vec_id"), col("embedding"), col("nrm")), "embedding")
+        scoreAllTail(kernelParallel(e), "embedding", qb, MMR_POOL, "cosine")
+      } else topkTail(
+        broadcast(q).join(kernelParallel(e), col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine")),
+        MMR_POOL)
     val cand = Materializer.materialize(Materializer.tagFor("mmrcand", dir),
-      broadcast(q).join(kernelParallel(e), col("query_id") =!= col("vec_id"))
-        .select(col("query_id"), col("vec_id").as("cid"),
-          cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= MMR_POOL)
-        .select(col("query_id"), col("cid"),
-          floor(col("cosine") * 1000000.0 + lit(0.5)).cast("long").as("rel_mu")))
+      pool0.select(col("query_id"), col("neighbor_id").as("cid"),
+        floor(col("cosine") * 1000000.0 + lit(0.5)).cast("long").as("rel_mu")))
     val sims = Materializer.materialize(Materializer.tagFor("mmrsims", dir),
       cand.select(col("query_id"), col("cid").as("c1"))
         .join(cand.select(col("query_id"), col("cid").as("c2")), "query_id")
@@ -1868,18 +2061,28 @@ object Similarity {
       normSq(col("embedding")).as("nrm"), col("label"))
     val q = e.filter(col("vec_id") % QUERY_MOD === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("qn"), col("label").as("qlabel"))
+        col("nrm").as("qn"))
     val labelCnt = e.groupBy(col("label")).agg(count(lit(1)).as("lblN"))
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
     val gainMu = floor(log(lit(2.0)) / log(lit(1.0) + col("rnk")) *
       1000000.0 + lit(0.5)).cast("long")
-    val ranked = broadcast(q).join(kernelParallel(e), col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("qlabel"),
-        col("vec_id").as("neighbor_id"), col("label"),
-        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= EVAL_K)
+    val lbl = embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val kept =
+      if (queryBatchBounded(spark, dir)) {
+        val qb = collectQueryBatch(
+          e.filter(col("vec_id") % QUERY_MOD === 0)
+            .select(col("vec_id"), col("embedding"), col("nrm")), "embedding")
+        scoreAllTail(kernelParallel(e.select(col("vec_id"), col("embedding"),
+          col("nrm"))), "embedding", qb, EVAL_K, "cosine")
+      } else topkTail(
+        broadcast(q).join(kernelParallel(e), col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine")),
+        EVAL_K)
+    val ranked = kept
+      .join(lbl.select(col("vec_id").as("query_id"), col("label").as("qlabel")),
+        Seq("query_id"))
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
       .withColumn("rel", (col("label") === col("qlabel")).cast("long"))
     val perQ = ranked
       .groupBy(col("query_id"), col("qlabel"))
@@ -1957,21 +2160,24 @@ object Similarity {
   def retrievalEvalIvf(spark: SparkSession, dir: String): DataFrame = {
     val lbl = embeddings(spark, dir).select(col("vec_id"), col("label"))
     val labelCnt = lbl.groupBy(col("label")).agg(count(lit(1)).as("lblN"))
-    val pool = ivfAssign(spark, dir).join(lbl, Seq("vec_id"))
-    val q = ivfProbeCells(spark, dir, NPROBE)
-      .join(lbl.select(col("vec_id").as("query_id"),
-        col("label").as("qlabel")), Seq("query_id"))
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val pool = ivfAssign(spark, dir)
     val gainMu = floor(log(lit(2.0)) / log(lit(1.0) + col("rnk")) *
       1000000.0 + lit(0.5)).cast("long")
-    val ranked = maybeBroadcastQ(spark, dir, q).join(pool, Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("qlabel"),
-        col("vec_id").as("neighbor_id"), col("label"),
-        cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine"))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= EVAL_K)
+    val kept =
+      if (queryBatchBounded(spark, dir))
+        cellScoreTail(pool, collectProbeBatch(spark, dir, NPROBE), EVAL_K)
+      else topkTail(
+        maybeBroadcastQ(spark, dir, ivfProbeCells(spark, dir, NPROBE))
+          .join(pool, Seq("cell"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            cosine(col("qe"), col("qn"), col("embedding"), col("nrm")).as("cosine")),
+        EVAL_K)
+    val ranked = kept
+      .join(lbl.select(col("vec_id").as("query_id"), col("label").as("qlabel")),
+        Seq("query_id"))
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
       .withColumn("rel", (col("label") === col("qlabel")).cast("long"))
     val perQ = ranked
       .groupBy(col("query_id"), col("qlabel"))
@@ -2054,6 +2260,7 @@ object Similarity {
     "q_ann_pq"            -> annPq _,
     "q_pq_distortion"     -> pqDistortion _,
     "q_ivf_balance"       -> ivfBalance _,
+    "q_ivf_probe_stats"   -> ivfProbeStats _,
     "q_retrieval_eval"    -> retrievalEval _,
     "q_retrieval_ivf"     -> retrievalEvalIvf _,
     "q_label_centroids"   -> labelCentroids _,
@@ -2079,6 +2286,7 @@ object Similarity {
     "q_ann_pq"            -> annPqSql,
     "q_pq_distortion"     -> pqDistortionSql,
     "q_ivf_balance"       -> ivfBalanceSql,
+    "q_ivf_probe_stats"   -> ivfProbeStatsSql,
     "q_retrieval_eval"    -> retrievalEvalSql,
     "q_retrieval_ivf"     -> retrievalEvalIvfSql,
     "q_label_centroids"   -> labelCentroidsSql,

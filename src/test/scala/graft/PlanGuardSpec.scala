@@ -203,11 +203,12 @@ class PlanGuardSpec extends AnyFunSuite {
     declared("bounded batch side: the extra scan is the declared-bounded " +
       "query/eval subset (selective pushed filter) probing the corpus — " +
       "the ANN/decontamination operator contract; the corpus itself scans once")(
-      // (r12: q_ivf_refine/q_ivf_refine2 left this list — the CellRank
-      // kernel made assignment scan-local, so their plans scan the
-      // corpus exactly once now)
-      "q_ann_bruteforce", "q_ann_ivf", "q_ann_lsh", "q_ivf_balance",
-      "q_jl_projection", "q_knn_classify",
+      // (r12: q_ivf_refine/q_ivf_refine2, then q_ann_bruteforce/
+      // q_ann_ivf, left this list — the CellRank/ScoreAll/CellScore
+      // kernels made assignment and probe search scan-local, so their
+      // plans scan the corpus exactly once now)
+      "q_ann_lsh", "q_ivf_balance",
+      "q_ivf_probe_stats", "q_jl_projection", "q_knn_classify",
       "q_knn_ivf", "q_hardneg_ivf", "q_retrieval_ivf",
       "q_hard_negatives", "q_negative_pairs", "q_retrieval_eval",
       "q_hybrid_rrf", "q_decontaminate") ++

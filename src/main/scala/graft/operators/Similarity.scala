@@ -1484,6 +1484,34 @@ object Similarity {
   }
 
   def annPq(spark: SparkSession, dir: String): DataFrame = {
+    if (queryBatchBounded(spark, dir)) return annPqKernel(spark, dir)
+    annPqRelational(spark, dir)
+  }
+
+  /** ADC search via [[graft.functions.PqAdcTopKAgg]] — one pass over
+    * per-vector code arrays with a per-executor ADC table built from
+    * the collected (normalized) query batch + codebook; the relational
+    * form's Q·N·M joined rows (615 s at the sf10 probe) never exist. */
+  private def annPqKernel(spark: SparkSession, dir: String): DataFrame = {
+    val (d, centIds, centVecs) = pqSetup(spark, dir)
+    val codesRel = kernelParallel(d).select(col("vec_id"),
+      transform(pqEncode(col("embedding"), centIds, centVecs, PQ_M, PQ_SUB, PQ_PACK),
+        p => p.mod(lit(PQ_PACK))).as("codes"))
+    val qRows = d.filter(col("vec_id") % QUERY_MOD === 0)
+      .select(col("vec_id"), col("embedding")).collect().sortBy(_.getLong(0))
+    codesRel
+      .agg(graft.functions.PqAdc.pqAdcTopK(col("vec_id"), col("codes"),
+        qRows.map(_.getLong(0)).toSeq, qRows.map(_.getSeq[Float](1)).toSeq,
+        centIds, centVecs, PQ_M, PQ_SUB, TOPK).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("p", "s")))
+      .select(col("s.query_id").as("query_id"), col("s.rnk").as("rnk"),
+        col("s.id").as("neighbor_id"), (-col("s.score")).as("adist"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The join-formulated ADC search — above the bounded-batch contract,
+    * and PqKernelSpec's equality reference. */
+  private[graft] def annPqRelational(spark: SparkSession, dir: String): DataFrame = {
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // Encode via the [[graft.functions.PqEncodeExpr]] kernel: the
     // K-centroid packed-long argmin runs as one tight generated loop

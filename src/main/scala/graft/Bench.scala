@@ -163,18 +163,41 @@ object Bench {
       val fs = java.nio.file.FileSystems.getDefault
       def read(p: java.nio.file.Path) =
         new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-      val head = read(fs.getPath(".git", "HEAD"))
-      if (!head.startsWith("ref: ")) head.take(12)
+      // `.git` may be a FILE ("gitdir: <path>") in a worktree/submodule
+      // layout (ADVICE r12): resolve to the real git dir first, else a
+      // constant junk prefix would be stamped and shared across every
+      // commit in the worktree — silently re-enabling the cross-commit
+      // quieter-record defense the stamp exists to close. One level of
+      // indirection matches git's own layout (the gitdir target is a
+      // real directory; worktree gitdirs contain their own HEAD).
+      val dotGit = fs.getPath(".git")
+      val gitDir =
+        if (java.nio.file.Files.isRegularFile(dotGit)) {
+          val content = read(dotGit)
+          if (!content.startsWith("gitdir: ")) return "unknown"
+          fs.getPath(content.drop(8).trim)
+        } else dotGit
+      val head = read(gitDir.resolve("HEAD"))
+      if (head.startsWith("gitdir: ")) "unknown" // malformed; never stamp junk
+      else if (!head.startsWith("ref: ")) head.take(12)
       else {
         val ref = head.drop(5)
-        val refPath = fs.getPath(".git", ref.split("/"): _*)
-        if (java.nio.file.Files.exists(refPath)) read(refPath).take(12)
-        else { // packed ref: "<sha> <refname>" lines
-          val packed = fs.getPath(".git", "packed-refs")
-          if (!java.nio.file.Files.exists(packed)) "unknown"
-          else read(packed).linesIterator
-            .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
-            .map(_.split(" ")(0).take(12)).getOrElse("unknown")
+        val refPath = gitDir.resolve(fs.getPath(ref.split("/").head, ref.split("/").tail: _*))
+        // a worktree gitdir's refs live in its parent repo dir (commondir)
+        val common = gitDir.resolve("commondir")
+        val commonDir =
+          if (java.nio.file.Files.exists(common)) gitDir.resolve(read(common)).normalize
+          else gitDir
+        val candidates = Seq(refPath,
+          commonDir.resolve(fs.getPath(ref.split("/").head, ref.split("/").tail: _*)))
+        candidates.find(java.nio.file.Files.exists(_)) match {
+          case Some(p) => read(p).take(12)
+          case None => // packed ref: "<sha> <refname>" lines
+            val packed = commonDir.resolve("packed-refs")
+            if (!java.nio.file.Files.exists(packed)) "unknown"
+            else read(packed).linesIterator
+              .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
+              .map(_.split(" ")(0).take(12)).getOrElse("unknown")
         }
       }
     } catch { case _: Throwable => "unknown" }
@@ -423,10 +446,17 @@ object Bench {
       // quieter-or-equal rule is sound.
       val priorForcingOk = """"forcing":"([^"]+)"""".r.findFirstMatchIn(prior)
         .exists(_.group(1) == FORCING)
-      val priorHeadOk = """"head":"([^"]+)"""".r.findFirstMatchIn(prior)
-        .exists(m => m.group(1) == head && head != "unknown")
+      val priorHead = """"head":"([^"]+)"""".r.findFirstMatchIn(prior).map(_.group(1))
+      // prior is STALE (noise guard waived, count guard still holds) only
+      // when its provenance is VERIFIABLY different: forcing mismatch,
+      // stamp absent, or both heads known and unequal. When the CURRENT
+      // run can't resolve HEAD ("unknown"), provenance is unverifiable,
+      // not mismatched — keep the noise guard, else a noisy no-git run
+      // could clobber a quiet labeled record at equal n (ADVICE r12).
+      val priorStale = !priorForcingOk || !priorHead.exists(_ != "unknown") ||
+        (head != "unknown" && priorHead.get != head)
       // unlabeled noise (-1: no envelope) never beats a labeled record
-      val quieterOrEqual = !priorForcingOk || !priorHeadOk || priorNoise < 0 ||
+      val quieterOrEqual = priorStale || priorNoise < 0 ||
         (noiseRatio >= 0 && noiseRatio <= priorNoise)
       if (results.size > priorN || (results.size == priorN && quieterOrEqual)) {
         java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))

@@ -68,8 +68,9 @@ object CellRankImpl {
       val id = centIds(c)
       // insertion position: after every entry that beats (cos, id)
       var pos = filled
-      while (pos > 0 && (cos > bestCos(pos - 1) ||
-          (cos == bestCos(pos - 1) && id < bestId(pos - 1)))) pos -= 1
+      // NaN-aware (TopKAgg.gtScore): NaN cos sorts first like the window
+      while (pos > 0 && (TopKAgg.gtScore(cos, bestCos(pos - 1)) ||
+          (TopKAgg.eqScore(cos, bestCos(pos - 1)) && id < bestId(pos - 1)))) pos -= 1
       if (pos < nKeep) {
         val last = math.min(filled, nKeep - 1)
         var j = last

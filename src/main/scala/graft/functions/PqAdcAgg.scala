@@ -40,7 +40,7 @@ import org.apache.spark.sql.types._
   * NEGATED adist; callers re-negate). */
 case class PqAdcTopKAgg(
     left: Expression,   // corpus id BIGINT
-    right: Expression,  // codes ARRAY<BIGINT>, length m, values = codebook POSITION
+    right: Expression,  // codes ARRAY<BIGINT>, length m, values = codebook cent_ids (mapped to table positions via idToPos)
     qIds: Array[Long],
     qVecsFlat: Array[Float],
     qVecOff: Array[Int],

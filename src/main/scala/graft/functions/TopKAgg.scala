@@ -42,6 +42,19 @@ import org.apache.spark.sql.types._
   * then n (score, id) pairs.
   */
 object TopKAgg {
+  /** NaN-aware "a beats b" under score DESC: NaN sorts FIRST, matching
+    * both Spark's and DuckDB's double total order (NaN greater than
+    * everything) — a zero-norm embedding makes cosine NaN (0/0), and
+    * the window/relational twins this kernel must reproduce bit-exactly
+    * rank such rows first, so plain `>` (under which NaN never places)
+    * would silently diverge (ADVICE r12). ±0.0 compare equal under
+    * `>`/`==`, same as both engines' comparisons. */
+  @inline def gtScore(a: Double, b: Double): Boolean =
+    if (java.lang.Double.isNaN(a)) !java.lang.Double.isNaN(b) else a > b
+  /** NaN-aware score equality for the id tie-break (NaN == NaN). */
+  @inline def eqScore(a: Double, b: Double): Boolean =
+    a == b || (java.lang.Double.isNaN(a) && java.lang.Double.isNaN(b))
+
   /** Insertion-sorted fixed-capacity selection; same comparator as
     * [[CellRankImpl.topCells]]. */
   final class Buf(val k: Int) {
@@ -52,11 +65,11 @@ object TopKAgg {
       // fast reject: full buffer and worse-or-equal than the kth
       if (n == k) {
         val ls = score(k - 1)
-        if (s < ls || (s == ls && i > id(k - 1))) return
+        if (gtScore(ls, s) || (eqScore(s, ls) && i > id(k - 1))) return
       }
       var pos = n
-      while (pos > 0 && (s > score(pos - 1) ||
-          (s == score(pos - 1) && i < id(pos - 1)))) pos -= 1
+      while (pos > 0 && (gtScore(s, score(pos - 1)) ||
+          (eqScore(s, score(pos - 1)) && i < id(pos - 1)))) pos -= 1
       if (pos < k) {
         var j = math.min(n, k - 1)
         while (j > pos) { score(j) = score(j - 1); id(j) = id(j - 1); j -= 1 }

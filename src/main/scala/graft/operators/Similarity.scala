@@ -144,9 +144,21 @@ object Similarity {
     * SPARK_GRAFT_FORCE_RELATIONAL=1 to exercise the relational
     * (join-formulated) twins at any size — the A/B knob the round-12
     * kernel-vs-join measurements use. */
+  /** Test-only branch override (env vars can't be set in-process):
+    * Some(true) forces the relational twins, Some(false) the kernels,
+    * None defers to the env knob + bound. KernelBranchABSpec uses it to
+    * A/B the WHOLE registry functions — not just the *At helpers — on a
+    * corpus above the driver SFs, so the relational fallback can't rot
+    * untested (VERDICT r12 #4). */
+  private[graft] var forceRelationalForTest: Option[Boolean] = None
+
   private def queryBatchBounded(spark: SparkSession, dir: String): Boolean =
-    !sys.env.get("SPARK_GRAFT_FORCE_RELATIONAL").contains("1") &&
-      nVecOf(spark, dir) / QUERY_MOD <= QUERY_BROADCAST_MAX
+    forceRelationalForTest match {
+      case Some(forceRel) => !forceRel
+      case None =>
+        !sys.env.get("SPARK_GRAFT_FORCE_RELATIONAL").contains("1") &&
+          nVecOf(spark, dir) / QUERY_MOD <= QUERY_BROADCAST_MAX
+    }
 
   /** Driver-collected bounded query batch (id, vec, nrm), sorted by id —
     * the same driver-side copy `broadcast(q)` holds, reused as the

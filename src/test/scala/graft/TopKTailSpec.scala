@@ -57,6 +57,32 @@ class TopKTailSpec extends AnyFunSuite {
     assert(got == Seq(7L, 3L, 10L), s"order wrong: $got")
   }
 
+  test("NaN scores rank FIRST under DESC, matching the window order (ADVICE r12)") {
+    import spark.implicits._
+    // zero-norm embeddings make cosine NaN (0/0); Spark and DuckDB both
+    // sort NaN as the LARGEST double, so under score DESC the window
+    // form ranks NaN rows first (ties by id ASC). The kernel must agree.
+    val rows = Seq(
+      (1L, 5L, Double.NaN), (1L, 2L, 0.9), (1L, 9L, Double.NaN),
+      (1L, 1L, 0.3), (2L, 4L, 0.7), (2L, 8L, Double.NaN), (2L, 6L, 0.7))
+    for (parts <- Seq(1, 3); k <- Seq(1, 2, 4)) {
+      val df = rows.toDF("g", "id", "s").repartition(parts)
+      val wf = windowForm(df, k)
+      val af = aggForm(df, k)
+      assert(af.exceptAll(wf).isEmpty && wf.exceptAll(af).isEmpty,
+        s"agg != window with NaN at parts=$parts k=$k")
+    }
+    // buffer-level: NaN beats everything, NaN ties break by id ASC,
+    // and a full buffer's NaN kth still fast-rejects correctly
+    val buf = new graft.functions.TopKAgg.Buf(2)
+    buf.insert(0.9, 1); buf.insert(Double.NaN, 7); buf.insert(Double.NaN, 3)
+    assert(buf.id.toSeq == Seq(3L, 7L) && buf.score.forall(_.isNaN))
+    buf.insert(1.0, 99) // finite never displaces NaN
+    assert(buf.id.toSeq == Seq(3L, 7L))
+    buf.insert(Double.NaN, 1) // smaller id displaces the NaN tail
+    assert(buf.id.toSeq == Seq(1L, 3L))
+  }
+
   test("serialize/deserialize round-trips the partial state") {
     val buf = new graft.functions.TopKAgg.Buf(3)
     buf.insert(0.5, 10); buf.insert(0.9, 7); buf.insert(0.5, 3); buf.insert(0.1, 99)

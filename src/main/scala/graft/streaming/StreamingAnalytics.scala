@@ -275,6 +275,63 @@ object StreamingAnalytics {
     (q, () => acc.get())
   }
 
+  /** Streaming per-group top-k — the ranking face of the bounded-state
+    * accumulation family ([[runCmsAccumulation]] /
+    * [[runKmvAccumulation]]): each micro-batch folds its rows into
+    * ≤k-entry selections via the mergeable
+    * [[graft.functions.TopKByScoreAgg]] kernel (the distributed agg
+    * runs on the cluster; only ≤k (id, score) entries per group reach
+    * the driver), merged into the running selection by the SAME
+    * comparator the batch kernel uses. A multiset's top-k under a
+    * strict total order ((score DESC, id ASC); NaN first, like both
+    * engines' sort) is unique, so the merge is exact-associative and
+    * the streamed selection is BIT-IDENTICAL to the batch top-k over
+    * the same rows under any batch boundaries — the mergeability claim
+    * the batch kernel's shuffle shape rests on, proven end-to-end in a
+    * micro-batch loop by StreamingSpec.
+    *
+    * Driver-side state is bounded both ways, like the KMV demo:
+    * ≤k entries per group, and ≤ `maxKeys` distinct groups per batch —
+    * ENFORCED loudly, never truncated. High-cardinality groups belong
+    * on the stateful `transformWithState` path. */
+  def runTopKAccumulation(ev: DataFrame, group: String, idCol: String,
+                          scoreCol: String, k: Int, checkpointDir: String,
+                          maxKeys: Int = 1000)
+      : (StreamingQuery, () => Map[String, Seq[(Long, Double)]]) = {
+    val acc = new java.util.concurrent.atomic.AtomicReference(
+      Map.empty[String, Seq[(Long, Double)]])
+    val q = ev.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch
+          .groupBy(col(group).cast("string").as("g"))
+          .agg(graft.functions.TopK.topKByScore(
+            col(idCol).cast("long"), col(scoreCol).cast("double"), k).as("tk"))
+          .orderBy(col("g"))
+          .limit(maxKeys + 1)
+          .collect()
+          .map(r => r.getString(0) ->
+            r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getLong(0), e.getDouble(1))))
+        require(rows.length <= maxKeys,
+          s"top-k accumulation saw > $maxKeys groups in one batch — " +
+            "use the stateful path for high-cardinality groups")
+        acc.updateAndGet { prev =>
+          rows.foldLeft(prev) { case (m, (g, entries)) =>
+            // merge through a fresh kernel buffer (never mutate the
+            // published map): same comparator, same kept set
+            val buf = new graft.functions.TopKAgg.Buf(k)
+            m.getOrElse(g, Seq.empty).foreach { case (i, s) => buf.insert(s, i) }
+            entries.foreach { case (i, s) => buf.insert(s, i) }
+            m.updated(g, (0 until buf.n).map(j => (buf.id(j), buf.score(j))))
+          }
+        }
+        ()
+      }
+      .start()
+    (q, () => acc.get())
+  }
+
   // ------------------------------------------------------------ runners
 
   /** Correct stateful mode: watermark + windowed agg, append to parquet.

@@ -597,6 +597,39 @@ class StreamingSpec extends AnyFunSuite {
       "sketch did not saturate — test data too small for chosen k")
   }
 
+  test("streaming top-k merge is bit-identical to the batch kernel") {
+    import org.apache.spark.sql.functions._
+    val k = 3 // small k so groups saturate and the merge path prunes
+    val base = mkEvents(150)
+    def run(batches: Seq[Seq[Ev]]): Map[String, Seq[(Long, Double)]] = {
+      val stream = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
+      val ckpt = Files.createTempDirectory("graft_topk_ckpt").toString
+      val (q, topk) = streaming.StreamingAnalytics.runTopKAccumulation(
+        stream.toDF(), "event_type", "event_id", "value", k, ckpt)
+      try {
+        batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+        topk()
+      } finally q.stop()
+    }
+    // uneven boundaries vs one batch — the merge must be boundary-invariant
+    val streamed = run(Seq(base.take(40), base.slice(40, 90), base.drop(90)))
+    val oneShot = run(Seq(base))
+    assert(streamed == oneShot, "top-k depends on batch boundaries")
+    // and both must equal the batch kernel over the same rows — entries
+    // AND order (rank), the full selection contract
+    val batchTopk = base.toDF()
+      .groupBy(col("event_type").cast("string").as("g"))
+      .agg(graft.functions.TopK.topKByScore(
+        col("event_id").cast("long"), col("value").cast("double"), k).as("tk"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getLong(0), e.getDouble(1))))
+      .toMap
+    assert(streamed == batchTopk, "streamed top-k differs from the batch kernel")
+    assert(streamed.nonEmpty && streamed.values.exists(_.size == k),
+      "no group saturated — test data too small for chosen k")
+  }
+
   test("stream-stream interval join equals the batch attribution join") {
     val clicks = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
     val buys = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)

@@ -1281,23 +1281,25 @@ object Similarity {
     * scan-time view of the stored code table. */
   def annSq8(spark: SparkSession, dir: String): DataFrame = {
     val d = kernelParallel(embeddings(spark, dir).select(col("vec_id"), col("embedding")))
-    val stats = d.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+    // per-dim corpus range: a 1-row aggregate (2×dim doubles) collected
+    // driver-side like a broadcast copy — bounded at ANY corpus size,
+    // so the decode kernel needs no relational fallback. The decode
+    // itself is [[graft.functions.Sq8DecodeExpr]]: the former
+    // transform()+element_at() column form was a higher-order function
+    // Spark never codegens, so the whole projection ran interpreted
+    // (round-12 sf10: 19.6-27.1 s where the same corpus brute-force
+    // scored in 8.61); the kernel is one generated static call per row
+    // with the identical IEEE op chain (annSq8Sql unchanged — cosines
+    // still hash-verify against DuckDB).
+    val statRows = d.select(posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("pos"))
       .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
-      .agg(
-        transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
-          s => s.getField("mn")).as("mins"),
-        transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
-          s => s.getField("mx")).as("maxs"))
-    val decoded = d.crossJoin(broadcast(stats))
+      .collect().sortBy(_.getInt(0))
+    val mins = statRows.map(_.getDouble(1)).toSeq
+    val maxs = statRows.map(_.getDouble(2)).toSeq
+    val decoded = d
       .select(col("vec_id"),
-        transform(col("embedding"), (v, i) => {
-          val mn = element_at(col("mins"), i + 1)
-          val mx = element_at(col("maxs"), i + 1)
-          val code = least(floor((v.cast("double") - mn) * lit(255.0) / (mx - mn)), lit(255L))
-          when(mx > mn, mn + code.cast("double") * (mx - mn) / lit(255.0))
-            .otherwise(mn).cast("float")
-        }).as("dq"))
+        graft.functions.Sq8Decode.sq8RoundTrip(col("embedding"), mins, maxs).as("dq"))
       .select(col("vec_id"), col("dq"), normSq(col("dq")).as("nrm"))
     val qz = Materializer.materialize(Materializer.tagFor("sq8dec", dir), decoded)
     if (queryBatchBounded(spark, dir)) {

@@ -869,13 +869,15 @@ object Dedup {
     * DECISION (keeper = min doc per norm group, is_dup flag), plus how
     * many DISTINCT raw byte-forms the doc's group folds together
     * (n_exact_variants > 1 ⇒ normalization did real work — the column
-    * that separates this from exactDedup). Regex patterns confined to
-    * the Java-regex ∩ RE2 subset (the q_pii_scan rule); lower() on
-    * this corpus is ASCII, where both engines agree. */
+    * that separates this from exactDedup). lower() on this corpus is
+    * ASCII, where both engines agree. The normalization runs as the
+    * single-pass byte kernel [[graft.functions.NormalizeAsciiExpr]] —
+    * the regex chain it replaces (same transform, pinned bit-exact by
+    * NormalizeSpec; the DuckDB oracle keeps the regex form) profiled
+    * at ~75 µs/doc, 30/33 executor threads inside java.util.regex
+    * (round-13 sf10: 63.8 s → kernel re-measured below). */
   def normDedup(spark: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 \t\n\f\r]", ""),
-      "[ \t\n\f\r]+", " "))
+    val norm = graft.functions.TextNorm.normalizeAscii(col("text"))
     val n = documents(spark, dir)
       .select(col("doc_id"), md5(col("text")).as("exact_hash"),
         md5(norm).as("norm_hash"))

@@ -127,7 +127,10 @@ object TextOps {
   private[graft] def qualityScoreOf(text: Column): Column = {
     val nc = length(text)
     val stopR = stopCountFast(text, stopWordsAll).cast("double") / tokenCountFast(text)
-    val punctR = (nc - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+    // ascii_keep_count ≡ length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    // for any input (NormalizeSpec) — the regex form ran java.util.regex
+    // per row and dominated the quality-family scans (round-13 profile)
+    val punctR = (nc - graft.functions.TextNorm.asciiKeepCount(text))
       .cast("double") / nc
     least(tokenCountFast(text).cast("double") / 100.0, lit(1.0)) * 0.3 +
       stopR * 0.4 + (lit(1.0) - punctR) * 0.3
@@ -152,7 +155,7 @@ object TextOps {
         tokenCountFast(col("text")).as("n_tokens"),
         (stopCountFast(col("text"), stopWordsAll).cast("double") /
           tokenCountFast(col("text"))).as("stopword_ratio"),
-        ((col("nc") - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+        ((col("nc") - graft.functions.TextNorm.asciiKeepCount(col("text")))
           .cast("double") / col("nc")).as("punct_ratio"))
       .withColumn("quality_score",
         least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.3 +
@@ -210,7 +213,7 @@ object TextOps {
     val best = bestLang(col("text"))
     val stopR = stopCountFast(col("text"), stopWordsAll).cast("double") /
       tokenCountFast(col("text"))
-    val punctR = (col("nc") - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")))
+    val punctR = (col("nc") - graft.functions.TextNorm.asciiKeepCount(col("text")))
       .cast("double") / col("nc")
     base.select(
         col("doc_id"), col("lang"), col("content_hash"),

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract of the single-pass text kernels (functions/TextNorm.scala):
+  * each must equal the regex chain it replaced, character-exact,
+  * because the DuckDB oracles keep the regex formulation (q_norm_dedup
+  * hashes md5(norm); the quality family hashes punct_ratio doubles).
+  * The kernels exist because java.util.regex ran per row inside the
+  * codegen'd projection and dominated the scans (round-13 sf10
+  * profile: 30/33 executor threads in Pattern/Matcher frames,
+  * q_norm_dedup at ~75 µs/doc for ~300-char docs). */
+class NormalizeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val normRegex = trim(regexp_replace(
+    regexp_replace(lower(col("text")), "[^a-z0-9 \t\n\f\r]", ""),
+    "[ \t\n\f\r]+", " "))
+  private val keepRegex = length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))
+
+  /** Adversarial ASCII fixtures: whitespace runs of every class member,
+    * punct between/inside tokens, leading/trailing ws, case folding,
+    * empty and all-dropped strings, control chars outside the ws set. */
+  private val edges = Seq(
+    "", " ", "\t\n\f\r", "...", "a", "A.b", "a . b", "a.b",
+    "  Leading and trailing  ", "MiXeD CaSe 123", "x.\t.y",
+    "tabs\tand\nnewlines\fand\rreturns", "ab", "1-2=3!",
+    "double  space", "punct-only-....!!!", "Zz9 ")
+
+  test("normalize_ascii ≡ the regex chain (corpus + adversarial edges)") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id").cast("string").as("id"), col("text"))
+    val edgeDf = edges.zipWithIndex
+      .map { case (t, i) => (s"e$i", t) }.toDF("id", "text")
+    for (df <- Seq(corpus, edgeDf)) {
+      val mismatch = df.select(col("id"),
+          graft.functions.TextNorm.normalizeAscii(col("text")).as("k"),
+          normRegex.as("r"))
+        .filter(col("k") =!= col("r") || col("k").isNull =!= col("r").isNull)
+      val bad = mismatch.limit(5).collect()
+      assert(bad.isEmpty, s"normalize_ascii diverged: ${bad.mkString("; ")}")
+    }
+  }
+
+  test("ascii_keep_count ≡ length(regexp_replace) (corpus + edges)") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id").cast("string").as("id"), col("text"))
+    val edgeDf = edges.zipWithIndex
+      .map { case (t, i) => (s"e$i", t) }.toDF("id", "text")
+    for (df <- Seq(corpus, edgeDf)) {
+      val mismatch = df.select(col("id"),
+          graft.functions.TextNorm.asciiKeepCount(col("text")).as("k"),
+          keepRegex.as("r"))
+        .filter(col("k") =!= col("r"))
+      val bad = mismatch.limit(5).collect()
+      assert(bad.isEmpty, s"ascii_keep_count diverged: ${bad.mkString("; ")}")
+    }
+  }
+}

@@ -46,6 +46,8 @@ object TextHash {
     Bridge.column(KgramHashesExpr(Bridge.expression(s), k))
   def stopCountFast(s: Column, words: Seq[String]): Column =
     Bridge.column(StopCountExpr(Bridge.expression(s), words))
+  def tokenStatsFast(s: Column): Column =
+    Bridge.column(TokenStatsExpr(Bridge.expression(s)))
 
   /** 1..n as an array, empty when n < 1 (matches generate_series). */
   private def idx(n: Column): Column =

@@ -136,6 +136,68 @@ object TextHashImpl {
     if (sb.length > 0 && words.contains(sb.toString)) cnt += 1
     cnt
   }
+
+  /** Fused per-doc token statistics in ONE pass:
+    * [n_tokens, n_distinct_tokens, token_len_sum, n_bpe_tokens].
+    *
+    * Replaces four per-row machinery layers the q_token_stats
+    * projection paid per document (round-13 sf100 profile: regex +
+    * interpreted-HOF frames dominating 30+ of 33 executor threads):
+    * the regex `split` inside tokens(), the O(n²) interpreted
+    * `array_distinct`, the interpreted `aggregate` length-sum lambda
+    * (one boxed Long per token), and `regexp_count` over the BPE
+    * pre-tokenizer pattern.
+    *
+    * Parity contracts (each mirrors the column form exactly):
+    *  - tokens = maximal runs of non-[ \t\n\f\r] code points (the
+    *    WS_CLASS split with empties filtered); distinct = exact string
+    *    equality (a HashSet of the run substrings — linear, not the
+    *    O(n²) array_distinct scan); token length in CODE POINTS
+    *    (Spark's length()).
+    *  - n_bpe_tokens = matches of [A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]:
+    *    a letter run counts 1, a digit run counts 1, every other code
+    *    point EXCEPT space/tab/newline counts 1 (note \f\r are marks
+    *    here — the BPE ws set is narrower than WS_CLASS, faithfully). */
+  def tokenStats(s: String): Array[Long] = {
+    var nTok = 0L
+    var lenSum = 0L
+    var nBpe = 0L
+    val distinct = new java.util.HashSet[String]
+    var tokStart = -1
+    var run = 0 // BPE run state: 0 none, 1 letter run, 2 digit run
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (isWs(cp)) {
+        if (tokStart >= 0) {
+          nTok += 1
+          distinct.add(s.substring(tokStart, i))
+          tokStart = -1
+        }
+      } else {
+        if (tokStart < 0) tokStart = i
+        lenSum += 1
+      }
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) {
+        if (run != 1) { nBpe += 1; run = 1 }
+      } else if (cp >= '0' && cp <= '9') {
+        if (run != 2) { nBpe += 1; run = 2 }
+      } else {
+        run = 0
+        if (cp != ' ' && cp != '\t' && cp != '\n') nBpe += 1
+      }
+      i += Character.charCount(cp)
+    }
+    if (tokStart >= 0) { nTok += 1; distinct.add(s.substring(tokStart)) }
+    Array(nTok, distinct.size.toLong, lenSum, nBpe)
+  }
+
+  /** [[tokenStats]] boxed as an InternalRow for the struct expression. */
+  def tokenStatsRow(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val a = tokenStats(s.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](a(0), a(1), a(2), a(3)))
+  }
 }
 
 /** charHash as a native expression: string → BIGINT. */
@@ -265,5 +327,30 @@ case class ShingleHashesExpr(child: Expression) extends UnaryExpression {
       "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         "graft.functions.TextHashImpl.shingleHashes(" +
         s"graft.functions.TextHashImpl.tokenHashes($c.toString())))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Fused token statistics as a native expression: string →
+  * STRUCT<n_tokens BIGINT, n_distinct_tokens BIGINT,
+  * token_len_sum BIGINT, n_bpe_tokens BIGINT> (see
+  * [[TextHashImpl.tokenStats]] for the parity contracts). */
+case class TokenStatsExpr(child: Expression) extends UnaryExpression {
+  // analysis-time input check (ExpectsInputTypes is private[sql] in Spark 4):
+  // a non-string child must fail resolution, not ClassCastException at exec
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("token_len_sum", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_bpe_tokens", LongType, nullable = false)))
+  override def prettyName: String = "token_stats"
+  override def nullSafeEval(v: Any): Any =
+    TextHashImpl.tokenStatsRow(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashImpl.tokenStatsRow($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }

@@ -50,19 +50,26 @@ object TextOps {
   private val BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
 
   // Token statistics: whitespace + BPE-ish regex counts, exact-ratio
-  // average token length.
+  // average token length. All five stats come from ONE fused
+  // single-pass kernel ([[graft.functions.TokenStatsExpr]]): the
+  // column form paid four per-row machinery layers — regex split,
+  // O(n²) interpreted array_distinct, an interpreted aggregate lambda
+  // (a boxed Long per token), and regexp_count — which the round-13
+  // sf100 profile showed dominating the scan (NormalizeSpec pins the
+  // kernel ≡ column-form equality; the DuckDB oracle keeps the
+  // regex/list formulation and still hash-verifies).
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"),
+      .select(col("doc_id"), tokenStatsFast(col("text")).as("ts"),
         length(col("text")).as("n_chars"))
       .select(
         col("doc_id"),
         col("n_chars").cast("long").as("n_chars"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
-        regexp_count(col("text"), lit(BPE_PATTERN)).cast("long").as("n_bpe_tokens"),
-        (aggregate(col("toks"), lit(0L), (s, t) => s + length(t)).cast("double") /
-          size(col("toks"))).as("avg_token_len"))
+        col("ts.n_tokens").as("n_tokens"),
+        col("ts.n_distinct_tokens").as("n_distinct_tokens"),
+        col("ts.n_bpe_tokens").as("n_bpe_tokens"),
+        (col("ts.token_len_sum").cast("double") /
+          col("ts.n_tokens")).as("avg_token_len"))
       .orderBy("doc_id")
 
   val tokenStatsSql: String =

@@ -44,6 +44,48 @@ class NormalizeSpec extends AnyFunSuite {
     }
   }
 
+  test("token_stats kernel ≡ the regex/HOF column formulation (corpus + edges)") {
+    import spark.implicits._
+    import graft.functions.TextHash
+    val bpe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n]"
+    // the avg division is computed AFTER a n_tokens > 0 filter: ANSI
+    // division by zero throws in BOTH forms, so 0-token edge strings
+    // pin the counts only (exactly like the production query, which
+    // never sees an empty doc — the oracle corpus has none)
+    def columnForm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), TextHash.tokens(col("text")).as("toks"), col("text"))
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        regexp_count(col("text"), lit(bpe)).cast("long").as("n_bpe_tokens"),
+        aggregate(col("toks"), lit(0L), (s, t) => s + length(t)).as("len_sum"))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0,
+          col("len_sum").cast("double") / col("n_tokens")))
+      .drop("len_sum")
+    def kernelForm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), TextHash.tokenStatsFast(col("text")).as("ts"))
+      .select(col("id"),
+        col("ts.n_tokens").as("n_tokens"),
+        col("ts.n_distinct_tokens").as("n_distinct_tokens"),
+        col("ts.n_bpe_tokens").as("n_bpe_tokens"),
+        when(col("ts.n_tokens") > 0,
+          col("ts.token_len_sum").cast("double") /
+            col("ts.n_tokens")).as("avg_token_len"))
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id").cast("string").as("id"), col("text"))
+    // BPE edges: run breaks, \f\r-as-marks, digits/letters adjacency,
+    // non-ASCII marks, repeated tokens for the distinct count
+    val edgeDf = (edges ++ Seq("ab12cd", "a\f\rb", "x x x y", "3.14e10"))
+      .zipWithIndex.map { case (t, i) => (s"e$i", t) }.toDF("id", "text")
+    for (df <- Seq(corpus, edgeDf)) {
+      val k = kernelForm(df)
+      val c = columnForm(df)
+      assert(k.exceptAll(c).isEmpty && c.exceptAll(k).isEmpty,
+        "token_stats kernel diverged from the column form")
+    }
+  }
+
   test("ascii_keep_count ≡ length(regexp_replace) (corpus + edges)") {
     import spark.implicits._
     val corpus = Tables.documents(spark, "/root/testdata/sf0.01")

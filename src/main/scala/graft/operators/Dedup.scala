@@ -223,6 +223,34 @@ object Dedup {
     * shingle pipeline re-inlined into every lambda by project-collapse,
     * which measured ~100× slower at sf0.1. */
   private def lshCandidates(spark: SparkSession, dir: String): DataFrame = {
+    // band signatures are SCAN-LOCAL since round 13
+    // ([[graft.functions.BandSigsExpr]]): the signature depends only on
+    // the document's own shingles, so the former index-groupBy
+    // formulation (16 min-aggs over the exploded distinct-shingle
+    // index) shuffled 500 M (doc_id, sh) rows at the sf100 probe to
+    // compute a per-doc projection. Minima over the positional shingle
+    // multiset ≡ minima over the distinct index; MinhashKernelSpec pins
+    // the bands relation and the full query bit-exact against the
+    // retained relational twin. The only shuffled relation is the
+    // (doc_id, band, sig) table — the 100 TB write-time shape.
+    val bands = Materializer.materialize(Materializer.tagFor("bands", dir),
+      docsParallel(spark, dir)
+        .select(col("doc_id"),
+          graft.functions.MinhashSig.bandSigs(
+            col("text"), A, B, POW31, BANDS, ROWS_PER_BAND).as("sigs"))
+        .filter(size(col("sigs")) > 0)
+        .select(col("doc_id"), posexplode(col("sigs")).as(Seq("band", "sig"))))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** The superseded index-groupBy formulation — retained as
+    * MinhashKernelSpec's equality reference (separate materializer tag
+    * so the A/B never aliases the kernel's cache). */
+  private[graft] def lshCandidatesRelational(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleIndex(spark, dir)
     val mhAggs = A.indices.map(i =>
       min((col("sh") * A(i) + B(i)) % P).as(s"mh$i"))
@@ -234,8 +262,7 @@ object Dedup {
         .map(r => col(s"mh${b * ROWS_PER_BAND + r}") * POW31(r))
         .reduce(_ + _) % P
     }
-    // materialized: both sides of the bucket self-join reference it
-    val bands = Materializer.materialize(Materializer.tagFor("bands", dir),
+    val bands = Materializer.materialize(Materializer.tagFor("bandsrel", dir),
       mh.select(col("doc_id"),
         posexplode(array(sigCols: _*)).as(Seq("band", "sig"))))
     bands.as("x").join(bands.as("y"),
@@ -245,10 +272,39 @@ object Dedup {
       .distinct()
   }
 
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    jaccardOf(lshCandidates(spark, dir), shingleIndex(spark, dir))
+  /** Full production query over the relational candidate twin (spec
+    * reference for [[minhashLsh]]). */
+  private[graft] def minhashLshRelational(spark: SparkSession, dir: String): DataFrame =
+    jaccardOf(lshCandidatesRelational(spark, dir), shingleIndex(spark, dir))
       .filter(col("jaccard") >= JACCARD_T)
       .orderBy("d1", "d2")
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // Verification index restricted to CANDIDATE docs (round 13): the
+    // round-13 sf100 profile showed the full-corpus shingle index —
+    // explode 500 M (doc_id, sh) rows → hash-distinct → spill — was the
+    // query's real cost (the signature kernel above removed the OTHER
+    // index consumer), yet exact-jaccard verification only ever reads
+    // the shingle sets of docs that appear in a candidate pair (~9 % of
+    // the sf100 corpus; LSH banding is the filter doing its job). The
+    // left-semi join keeps the index build proportional to CANDIDATE
+    // volume — row-linear by the banding+distinct construction — not
+    // corpus volume. Output is bit-identical (jaccardOf only joins on
+    // candidate doc ids; MinhashKernelSpec pins equality vs the
+    // full-index relational twin).
+    val cands = Materializer.materialize(Materializer.tagFor("lshcands", dir),
+      lshCandidates(spark, dir))
+    val candDocs = cands.select(col("d1").as("doc_id"))
+      .unionByName(cands.select(col("d2").as("doc_id"))).distinct()
+    val vIdx = Materializer.materialize(Materializer.tagFor("candshingles", dir),
+      docsParallel(spark, dir)
+        .join(candDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), explode(shingleHashesFast(col("text"))).as("sh"))
+        .distinct())
+    jaccardOf(cands, vIdx)
+      .filter(col("jaccard") >= JACCARD_T)
+      .orderBy("d1", "d2")
+  }
 
   /** Shared CTE chain producing the raw LSH candidate pair set `cand`
     * — used by both the verified-pair query and the recall audit. */

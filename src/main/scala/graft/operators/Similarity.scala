@@ -138,12 +138,6 @@ object Similarity {
       .select(col("query_id"), (col("p") + 1).cast("int").as("rnk"),
         col("s.id").as("neighbor_id"), col("s.score").as(scoreName))
 
-  /** Whether the query subset is small enough to collect/broadcast —
-    * the bounded-anchor-batch contract every exact-scan operator
-    * declares (see [[QUERY_BROADCAST_MAX]]). Probe runs can set
-    * SPARK_GRAFT_FORCE_RELATIONAL=1 to exercise the relational
-    * (join-formulated) twins at any size — the A/B knob the round-12
-    * kernel-vs-join measurements use. */
   /** Test-only branch override (env vars can't be set in-process):
     * Some(true) forces the relational twins, Some(false) the kernels,
     * None defers to the env knob + bound. KernelBranchABSpec uses it to
@@ -152,6 +146,12 @@ object Similarity {
     * untested (VERDICT r12 #4). */
   private[graft] var forceRelationalForTest: Option[Boolean] = None
 
+  /** Whether the query subset is small enough to collect/broadcast —
+    * the bounded-anchor-batch contract every exact-scan operator
+    * declares (see [[QUERY_BROADCAST_MAX]]). Probe runs can set
+    * SPARK_GRAFT_FORCE_RELATIONAL=1 to exercise the relational
+    * (join-formulated) twins at any size — the A/B knob the round-12
+    * kernel-vs-join measurements use. */
   private def queryBatchBounded(spark: SparkSession, dir: String): Boolean =
     forceRelationalForTest match {
       case Some(forceRel) => !forceRel

@@ -146,18 +146,13 @@ object Bench {
 
   /** Abbreviated git HEAD of the repo this bench ran in, read from
     * .git directly (no exec; git may be absent in a probe container).
-    * Stamped into every run JSON: a bench_full.json record taken at a
-    * DIFFERENT commit measured different code, so — like a forcing
-    * mismatch — it must not be defended by the quieter-record rule
-    * (round-12 incident: a 196.50 s record whose stored noise label was
-    * floored at 1.16 by a then-stale envelope was displaced by a
-    * 216.14 s run self-labeled 1.08 against the refreshed envelope —
-    * the labels had different provenances and the guard compared them
-    * anyway; scoping the label rule to same-HEAD records closes that
-    * hole, and a post-commit run legitimately resets the record).
-    * Coarse by design: a dirty working tree shares its HEAD — the
-    * committed-record workflow (record at round close, at HEAD) is what
-    * the stamp protects. */
+    * Since round 14 this is DISPLAY PROVENANCE ONLY — the record
+    * staleness rule keys on [[sourceStamp]] instead, because the commit
+    * hash proved both too coarse (a dirty tree shares its HEAD) and too
+    * fine (three round-13 DOC-ONLY commits stale-ified the quiet record
+    * and let a noisy run displace it over byte-identical measured
+    * code). The head stamp remains in the JSON so a record can still be
+    * located in history. */
   private def gitHead: String =
     try {
       val fs = java.nio.file.FileSystems.getDefault
@@ -175,7 +170,12 @@ object Bench {
         if (java.nio.file.Files.isRegularFile(dotGit)) {
           val content = read(dotGit)
           if (!content.startsWith("gitdir: ")) return "unknown"
-          fs.getPath(content.drop(8).trim)
+          // a RELATIVE gitdir target is relative to the directory holding
+          // the .git file, not the process CWD (ADVICE r13) — resolve
+          // against the file's parent so the stamp is CWD-independent
+          val target = fs.getPath(content.drop(8).trim)
+          if (target.isAbsolute) target
+          else dotGit.toAbsolutePath.getParent.resolve(target).normalize
         } else dotGit
       val head = read(gitDir.resolve("HEAD"))
       if (head.startsWith("gitdir: ")) "unknown" // malformed; never stamp junk
@@ -200,6 +200,43 @@ object Bench {
               .map(_.split(" ")(0).take(12)).getOrElse("unknown")
         }
       }
+    } catch { case _: Throwable => "unknown" }
+
+  /** Content stamp of the MEASURED sources: SHA-256 (12 hex chars) over
+    * every regular file under `src/main` plus `build.sbt`, fed as
+    * (sorted unix-style relative path, NUL, bytes, NUL). This — not the
+    * commit hash — keys the bench-record staleness rule (VERDICT r13 #1):
+    * the commit-granular `"head"` stamp let three DOC-ONLY commits
+    * stale-ify the quiet round-13 record and promote a noisy run over
+    * byte-identical measured code. A doc/test/artifact edit leaves this
+    * stamp unchanged; any `src/main` or `build.sbt` edit changes it.
+    * Hashing the WORKING TREE (not HEAD's tree) is deliberate: sbt
+    * compiles the working tree, so this stamps what actually ran even
+    * when the tree is dirty — strictly finer than the head stamp, and
+    * needs no pack/zlib archaeology. `gitHead` stays in the JSON as
+    * display provenance only. */
+  private[graft] def sourceStamp(root: java.nio.file.Path): String =
+    try {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      def feed(p: java.nio.file.Path, rel: String): Unit = {
+        md.update(rel.getBytes("UTF-8")); md.update(0.toByte)
+        md.update(java.nio.file.Files.readAllBytes(p)); md.update(0.toByte)
+      }
+      val srcMain = root.resolve("src").resolve("main")
+      if (java.nio.file.Files.isDirectory(srcMain)) {
+        val walk = java.nio.file.Files.walk(srcMain)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(p => p -> root.relativize(p).iterator().asScala.mkString("/"))
+            .toSeq.sortBy(_._2)
+            .foreach { case (p, rel) => feed(p, rel) }
+        } finally walk.close()
+      } else return "unknown" // no sources: never stamp a defendable value
+      val bs = root.resolve("build.sbt")
+      if (java.nio.file.Files.isRegularFile(bs)) feed(bs, "build.sbt")
+      md.digest().take(6).map(b => f"$b%02x").mkString
     } catch { case _: Throwable => "unknown" }
 
   private def gcMillis: Long = {
@@ -412,7 +449,8 @@ object Bench {
     val fullMap = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val head = gitHead
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$fullMap,"failed":$failedJson,$env,"retried":$retriedJson,"retry_errored":$retryErroredJson,"forcing":"$FORCING","head":"$head","sf":"$sfDir"}"""
+    val src = sourceStamp(java.nio.file.Paths.get("."))
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$fullMap,"failed":$failedJson,$env,"retried":$retriedJson,"retry_errored":$retryErroredJson,"forcing":"$FORCING","head":"$head","src":"$src","sf":"$sfDir"}"""
     // every run gets a uniquely-named copy — nothing is ever lost
     try {
       val dir = java.nio.file.Paths.get("bench_runs")
@@ -436,25 +474,29 @@ object Bench {
       val priorN = field(""""n":(\d+)""").map(_.toInt).getOrElse(0)
       val priorNoise = field(""""noise_ratio":(-?\d+(?:\.\d+)?)""").getOrElse(-1.0)
       val priorTotal = field(""""value":(-?\d+(?:\.\d+)?)""").getOrElse(-1.0)
-      // a record measured under a DIFFERENT forcing action or a DIFFERENT
-      // git HEAD is stale — its times measured other code or another
-      // regime, so it must not be defended by the quieter-record guard
-      // (only by query-count, so a subset run still can't clobber a
-      // stale-but-full record). A missing head stamp (pre-round-12
-      // record) counts as stale for the same reason. Within the same
-      // (forcing, head), noise labels share provenance and the
-      // quieter-or-equal rule is sound.
+      // a record measured under a DIFFERENT forcing action or DIFFERENT
+      // SOURCE CONTENT is stale — its times measured other code or
+      // another regime, so it must not be defended by the quieter-record
+      // guard (only by query-count, so a subset run still can't clobber
+      // a stale-but-full record). The staleness key is the SOURCE
+      // CONTENT stamp, not the commit hash (VERDICT r13 #1): doc-only
+      // commits moved HEAD past the round-13 quiet record three times
+      // and let noisier runs displace it over byte-identical code. A
+      // missing src stamp (pre-round-14 record) counts as stale for the
+      // same reason. Within the same (forcing, src), noise labels share
+      // provenance and the quieter-or-equal rule is sound.
       val priorForcingOk = """"forcing":"([^"]+)"""".r.findFirstMatchIn(prior)
         .exists(_.group(1) == FORCING)
-      val priorHead = """"head":"([^"]+)"""".r.findFirstMatchIn(prior).map(_.group(1))
+      val priorSrc = """"src":"([^"]+)"""".r.findFirstMatchIn(prior).map(_.group(1))
       // prior is STALE (noise guard waived, count guard still holds) only
       // when its provenance is VERIFIABLY different: forcing mismatch,
-      // stamp absent, or both heads known and unequal. When the CURRENT
-      // run can't resolve HEAD ("unknown"), provenance is unverifiable,
-      // not mismatched — keep the noise guard, else a noisy no-git run
-      // could clobber a quiet labeled record at equal n (ADVICE r12).
-      val priorStale = !priorForcingOk || !priorHead.exists(_ != "unknown") ||
-        (head != "unknown" && priorHead.get != head)
+      // stamp absent, or both stamps known and unequal. When the CURRENT
+      // run can't stamp its sources ("unknown"), provenance is
+      // unverifiable, not mismatched — keep the noise guard, else a
+      // noisy stamp-less run could clobber a quiet labeled record at
+      // equal n (the ADVICE r12 posture, carried over from the head rule).
+      val priorStale = !priorForcingOk || !priorSrc.exists(_ != "unknown") ||
+        (src != "unknown" && priorSrc.get != src)
       // unlabeled noise (-1: no envelope) never beats a labeled record
       val quieterOrEqual = priorStale || priorNoise < 0 ||
         (noiseRatio >= 0 && noiseRatio <= priorNoise)
@@ -486,7 +528,7 @@ object Bench {
     val omitted = ordered.drop(keep.size)
     val omittedSec = omitted.map(_._2).filter(_ >= 0).sum
     val qs = keep.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$qs,"queries_omitted":${omitted.size},"omitted_sec":${f2(omittedSec)},"failed":$failedJson,"n_retried":${retriedFirst.size},"retried_firsts":$retriedCompact,$env,"forcing":"$FORCING","head":"$head","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$qs,"queries_omitted":${omitted.size},"omitted_sec":${f2(omittedSec)},"failed":$failedJson,"n_retried":${retriedFirst.size},"retried_firsts":$retriedCompact,$env,"forcing":"$FORCING","head":"$head","src":"$src","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -32,23 +32,61 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
   * cosines over decoded vectors hash-verify, not just the ids.
   */
 object Sq8DecodeImpl {
-  def decode(vec: ArrayData, mins: Array[Double], maxs: Array[Double]): Array[Float] = {
+  private def decodeAt(vec: ArrayData, i: Int, mins: Array[Double],
+                       maxs: Array[Double]): Float = {
+    val mn = mins(i)
+    val mx = maxs(i)
+    if (mx > mn) {
+      val v = vec.getFloat(i).toDouble
+      // Spark's Floor(double) is (long) Math.floor(x); least() is min
+      val code = math.min(Math.floor((v - mn) * 255.0 / (mx - mn)).toLong, 255L)
+      (mn + code.toDouble * (mx - mn) / 255.0).toFloat
+    } else mn.toFloat
+  }
+
+  def decode(vec: ArrayData, mins: Array[Double], maxs: Array[Double]): ArrayData = {
     val n = vec.numElements()
     val out = new Array[Float](n)
     var i = 0
     while (i < n) {
-      val mn = mins(i)
-      val mx = maxs(i)
-      out(i) =
-        if (mx > mn) {
-          val v = vec.getFloat(i).toDouble
-          // Spark's Floor(double) is (long) Math.floor(x); least() is min
-          val code = math.min(Math.floor((v - mn) * 255.0 / (mx - mn)).toLong, 255L)
-          (mn + code.toDouble * (mx - mn) / 255.0).toFloat
-        } else mn.toFloat
+      // embeddings are non-null by corpus contract, but the input type
+      // admits containsNull=true (parquet default) — a null slot must
+      // decode exactly like the superseded column form did (least()
+      // skips nulls → code 255), never read as uninitialized-slot
+      // garbage/NPE (ADVICE r13). The bitset check is one branch on
+      // the hot path; the cold path only ever runs on a null slot.
+      if (vec.isNullAt(i)) return decodeWithNulls(vec, mins, maxs)
+      out(i) = decodeAt(vec, i, mins, maxs)
       i += 1
     }
-    out
+    new GenericArrayData(out)
+  }
+
+  /** Cold path: at least one null slot — the exact null semantics of
+    * the superseded column form's per-element CASE, measured against
+    * Spark itself (Sq8DecodeSpec): `least(floor(<null chain>), 255L)`
+    * IGNORES nulls (Least skips null children), so a null v in a
+    * spanning dim takes code 255 and decodes to mn + 255·(mx−mn)/255
+    * (= mx up to the one float rounding); the constant-dim
+    * `otherwise(mn)` branch never reads v and yields mn. Neither
+    * branch emits null, so the expression's containsNull=false output
+    * type is truthful even for containsNull=true inputs. */
+  private def decodeWithNulls(vec: ArrayData, mins: Array[Double],
+                              maxs: Array[Double]): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (!vec.isNullAt(i)) decodeAt(vec, i, mins, maxs)
+        else {
+          val mn = mins(i)
+          val mx = maxs(i)
+          if (mx > mn) (mn + 255.0 * (mx - mn) / 255.0).toFloat else mn.toFloat
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }
 
@@ -63,6 +101,10 @@ case class Sq8DecodeExpr(child: Expression, mins: Seq[Double], maxs: Seq[Double]
     case other => TypeCheckResult.TypeCheckFailure(
       s"sq8_roundtrip expects ARRAY<FLOAT> input and non-empty equal-length range stats, got $other")
   }
+  // containsNull=false is truthful for ANY input nullability: a null
+  // slot is handled explicitly (ADVICE r13) and decodes to a non-null
+  // float in both branches — see Sq8DecodeImpl.decodeWithNulls for the
+  // measured column-form semantics it reproduces
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def prettyName: String = "sq8_roundtrip"
 
@@ -70,14 +112,13 @@ case class Sq8DecodeExpr(child: Expression, mins: Seq[Double], maxs: Seq[Double]
   @transient private lazy val mxArr: Array[Double] = maxs.toArray
 
   override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(Sq8DecodeImpl.decode(v.asInstanceOf[ArrayData], mnArr, mxArr))
+    Sq8DecodeImpl.decode(v.asInstanceOf[ArrayData], mnArr, mxArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mnRef = ctx.addReferenceObj("sq8Mins", mnArr, "double[]")
     val mxRef = ctx.addReferenceObj("sq8Maxs", mxArr, "double[]")
     defineCodeGen(ctx, ev, c =>
-      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.Sq8DecodeImpl.decode($c, $mnRef, $mxRef))")
+      s"graft.functions.Sq8DecodeImpl.decode($c, $mnRef, $mxRef)")
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

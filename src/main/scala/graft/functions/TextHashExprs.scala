@@ -157,7 +157,16 @@ object TextHashImpl {
     *  - n_bpe_tokens = matches of [A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]:
     *    a letter run counts 1, a digit run counts 1, every other code
     *    point EXCEPT space/tab/newline counts 1 (note \f\r are marks
-    *    here — the BPE ws set is narrower than WS_CLASS, faithfully). */
+    *    here — the BPE ws set is narrower than WS_CLASS, faithfully).
+    *  - Invalid-UTF-8 caveat (ADVICE r13, documented divergence
+    *    surface): this path compares tokens as Java Strings after
+    *    UTF8String→String conversion, where every ill-formed byte
+    *    sequence decodes to U+FFFD — so two DISTINCT invalid byte
+    *    sequences can collapse to one token here while the column
+    *    form's array_distinct (raw UTF8String byte equality) keeps
+    *    them distinct, skewing n_distinct_tokens (and token_len_sum
+    *    via numChars). Acceptable under the corpus's valid-UTF-8
+    *    contract — for valid UTF-8 the two equalities coincide. */
   def tokenStats(s: String): Array[Long] = {
     var nTok = 0L
     var lenSum = 0L

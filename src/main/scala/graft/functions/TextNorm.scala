@@ -35,12 +35,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    is dropped exactly as the negated char class drops it.
   *    Punct-then-collapse ordering is preserved: a dropped byte leaves
   *    the pending-space flag untouched, so "a . b" → "a b" and
-  *    "a.b" → "ab", same as the two-layer regex. Non-ASCII caveat
-  *    (documented, corpus-ASCII): byte-wise dropping removes each
-  *    multi-byte char whole, matching the regex, UNLESS lower() maps a
-  *    non-ASCII char INTO ascii (e.g. İ → i̇ under ICU) — impossible
-  *    for ASCII input, asserted for this corpus by NormalizeSpec's
-  *    corpus-equality pin.
+  *    "a.b" → "ab", same as the two-layer regex. Non-ASCII input
+  *    (since round 14): the byte loop bails to an exact column-form
+  *    fallback (UTF8String.toLowerCase + the two compiled regexes) the
+  *    moment it sees a byte ≥ 0x80, so chars whose lower() image lands
+  *    inside ascii (U+212A KELVIN SIGN → 'k', U+0130 → 'i'+U+0307)
+  *    normalize identically to the regex chain instead of diverging —
+  *    the kernel is now input-total, not corpus-contracted
+  *    (NormalizeSpec pins the K/İ edges; the hot path is unchanged).
   *  - asciiKeepCount: the count of bytes in [a-zA-Z0-9 ] ≡
   *    length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")) for ANY
   *    input (also non-ASCII): the replaced string keeps only ASCII
@@ -48,6 +50,26 @@ import org.apache.spark.unsafe.types.UTF8String
   *    count — a multi-byte char never contributes a matching byte.
   */
 object TextNormImpl {
+  // the exact column-form patterns, compiled once — used only on the
+  // cold non-ASCII path below
+  private val NON_KEPT = java.util.regex.Pattern.compile("[^a-z0-9 \t\n\f\r]")
+  private val WS_RUN = java.util.regex.Pattern.compile("[ \t\n\f\r]+")
+
+  /** Cold path: input contains a non-ASCII byte. Runs the SAME machinery
+    * the column form runs — `UTF8String.toLowerCase` (what Spark's
+    * `lower()` calls under the default UTF8_BINARY collation), then the
+    * two java.util.regex replaces, then trim — so chars whose lower()
+    * image lands INSIDE ascii (U+212A KELVIN SIGN → 'k', U+0130 İ →
+    * 'i' + combining dot) normalize identically to the regex chain
+    * instead of being byte-dropped (ADVICE r13). The surviving chars
+    * are ASCII [a-z0-9 ] by construction, so String.trim ≡ trim(' '). */
+  private def normalizeGeneral(s: UTF8String): UTF8String = {
+    val lowered = s.toLowerCase.toString
+    val stripped = NON_KEPT.matcher(lowered).replaceAll("")
+    val collapsed = WS_RUN.matcher(stripped).replaceAll(" ")
+    UTF8String.fromString(collapsed.trim)
+  }
+
   def normalizeAscii(s: UTF8String): UTF8String = {
     val bytes = s.getBytes
     val n = bytes.length
@@ -57,6 +79,13 @@ object TextNormImpl {
     var i = 0
     while (i < n) {
       var b = bytes(i)
+      // non-ASCII byte: bail to the exact column-form path — lower()
+      // can map some non-ASCII chars INTO ascii (KELVIN SIGN → 'k'),
+      // which byte-wise dropping would diverge from (ADVICE r13). The
+      // corpus is ASCII, so this branch never fires on the hot path;
+      // it exists so production normDedup is regex-chain-equivalent
+      // for ANY input, not just the corpus contract.
+      if (b < 0) return normalizeGeneral(s)
       if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
       if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
         if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
@@ -65,7 +94,7 @@ object TextNormImpl {
         pendingSpace = false
       } else if (b == ' ' || b == '\t' || b == '\n' || b == '\f' || b == '\r') {
         pendingSpace = true
-      } // else: dropped (punct, control, non-ASCII) — flag untouched
+      } // else: dropped (ASCII punct/control) — flag untouched
       i += 1
     }
     UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))

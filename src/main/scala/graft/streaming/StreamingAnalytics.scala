@@ -194,17 +194,27 @@ object StreamingAnalytics {
     val acc = new java.util.concurrent.atomic.AtomicReference(
       new Array[Long](graft.functions.CountMinSketchAgg.D *
         graft.functions.CountMinSketchAgg.W))
+    // CMS merge is ADDITIVE, so an at-least-once foreachBatch replay
+    // (same batchId after a failed checkpoint commit) would double-count
+    // the batch — skip already-applied ids, same posture as
+    // [[runTopKAccumulation]] (ADVICE r13; KMV's set-union merge is the
+    // one accumulation here that is replay-idempotent by construction).
+    val lastMergedBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     val q = ev.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sk = batch.agg(graft.functions.SketchAgg.cms(col(key)).as("s"))
-          .head().getSeq[Long](0).toArray
-        acc.updateAndGet { prev =>
-          val out = new Array[Long](prev.length)
-          var i = 0
-          while (i < out.length) { out(i) = prev(i) + sk(i); i += 1 }
-          out
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId <= lastMergedBatch.get()) ()
+        else {
+          val sk = batch.agg(graft.functions.SketchAgg.cms(col(key)).as("s"))
+            .head().getSeq[Long](0).toArray
+          acc.updateAndGet { prev =>
+            val out = new Array[Long](prev.length)
+            var i = 0
+            while (i < out.length) { out(i) = prev(i) + sk(i); i += 1 }
+            out
+          }
+          lastMergedBatch.set(batchId)
         }
         ()
       }
@@ -224,6 +234,11 @@ object StreamingAnalytics {
     * under any batch boundaries, and state never grows with
     * cardinality. The estimate reads off the sketch exactly as
     * `q_kmv_distinct` does: (k−1)·M/h₍k₎ once the sketch is full.
+    *
+    * Replay safety: unlike the CMS/top-k accumulations, the KMV merge
+    * (union → distinct → keep k smallest) is IDEMPOTENT — re-merging a
+    * replayed micro-batch's sketches changes nothing — so it needs no
+    * batch-id skip under foreachBatch's at-least-once semantics.
     *
     * The driver-side merge is bounded BOTH ways: ≤ k longs per key
     * (the sketch) AND ≤ `maxKeys` distinct keys per batch — an
@@ -300,10 +315,19 @@ object StreamingAnalytics {
       : (StreamingQuery, () => Map[String, Seq[(Long, Double)]]) = {
     val acc = new java.util.concurrent.atomic.AtomicReference(
       Map.empty[String, Seq[(Long, Double)]])
+    // foreachBatch is at-least-once: a micro-batch whose checkpoint
+    // commit failed is REPLAYED with the same batchId. Top-k merge is
+    // not idempotent — re-inserting the same (id, score) entries into a
+    // Buf adds duplicates that can evict legitimate distinct entries
+    // (ADVICE r13) — so already-applied batch ids are skipped. In-JVM
+    // tracking is the correct scope: if the JVM died, acc died with it.
+    val lastMergedBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     val q = ev.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId <= lastMergedBatch.get()) ()
+        else {
         val rows = batch
           .groupBy(col(group).cast("string").as("g"))
           .agg(graft.functions.TopK.topKByScore(
@@ -316,20 +340,36 @@ object StreamingAnalytics {
         require(rows.length <= maxKeys,
           s"top-k accumulation saw > $maxKeys groups in one batch — " +
             "use the stateful path for high-cardinality groups")
-        acc.updateAndGet { prev =>
-          rows.foldLeft(prev) { case (m, (g, entries)) =>
-            // merge through a fresh kernel buffer (never mutate the
-            // published map): same comparator, same kept set
-            val buf = new graft.functions.TopKAgg.Buf(k)
-            m.getOrElse(g, Seq.empty).foreach { case (i, s) => buf.insert(s, i) }
-            entries.foreach { case (i, s) => buf.insert(s, i) }
-            m.updated(g, (0 until buf.n).map(j => (buf.id(j), buf.score(j))))
-          }
+        mergeTopKBatch(acc, lastMergedBatch, batchId, rows.toSeq, k)
         }
         ()
       }
       .start()
     (q, () => acc.get())
+  }
+
+  /** The driver-side top-k merge step, factored out so StreamingSpec can
+    * pin its replay idempotence directly: a batchId ≤ the last merged
+    * one is an at-least-once REPLAY and must leave the accumulator
+    * untouched (merging the same entries twice through a Buf inserts
+    * duplicates that can evict legitimate distinct entries). */
+  private[graft] def mergeTopKBatch(
+      acc: java.util.concurrent.atomic.AtomicReference[Map[String, Seq[(Long, Double)]]],
+      lastMergedBatch: java.util.concurrent.atomic.AtomicLong,
+      batchId: Long, rows: Seq[(String, Seq[(Long, Double)])], k: Int): Unit = {
+    if (batchId <= lastMergedBatch.get()) return
+    acc.updateAndGet { prev =>
+      rows.foldLeft(prev) { case (m, (g, entries)) =>
+        // merge through a fresh kernel buffer (never mutate the
+        // published map): same comparator, same kept set
+        val buf = new graft.functions.TopKAgg.Buf(k)
+        m.getOrElse(g, Seq.empty).foreach { case (i, s) => buf.insert(s, i) }
+        entries.foreach { case (i, s) => buf.insert(s, i) }
+        m.updated(g, (0 until buf.n).map(j => (buf.id(j), buf.score(j))))
+      }
+    }
+    lastMergedBatch.set(batchId)
+    ()
   }
 
   // ------------------------------------------------------------ runners

@@ -28,11 +28,23 @@ class NormalizeSpec extends AnyFunSuite {
     "tabs\tand\nnewlines\fand\rreturns", "ab", "1-2=3!",
     "double  space", "punct-only-....!!!", "Zz9 ")
 
+  /** Non-ASCII fixtures (ADVICE r13): the byte kernel bails to an exact
+    * column-form fallback on the first byte ≥ 0x80, so chars whose
+    * lower() image lands INSIDE ascii — U+212A KELVIN SIGN → 'k',
+    * U+0130 İ → 'i' + U+0307 — must normalize exactly like the regex
+    * chain (keep the 'k'/'i', drop the combining mark), and ordinary
+    * non-ASCII (é, 中, emoji, fullwidth Ａ) must still drop whole. */
+  private val nonAsciiEdges = Seq(
+    "K", "aKb", "K elvin",      // KELVIN SIGN lowers to 'k'
+    "İ", "İstanbul", "x İ y",   // İ lowers to i + combining dot
+    "café", "中文 words", "emoji 😀 tail",
+    "ＡＢＣ", "mixed Kİé all")
+
   test("normalize_ascii ≡ the regex chain (corpus + adversarial edges)") {
     import spark.implicits._
     val corpus = Tables.documents(spark, "/root/testdata/sf0.01")
       .select(col("doc_id").cast("string").as("id"), col("text"))
-    val edgeDf = edges.zipWithIndex
+    val edgeDf = (edges ++ nonAsciiEdges).zipWithIndex
       .map { case (t, i) => (s"e$i", t) }.toDF("id", "text")
     for (df <- Seq(corpus, edgeDf)) {
       val mismatch = df.select(col("id"),
@@ -42,6 +54,15 @@ class NormalizeSpec extends AnyFunSuite {
       val bad = mismatch.limit(5).collect()
       assert(bad.isEmpty, s"normalize_ascii diverged: ${bad.mkString("; ")}")
     }
+    // the lower()-into-ascii cases keep their folded char (the old
+    // byte-drop behavior would have produced "" / "elvin" here)
+    val folded = Seq(("k1", "K"), ("k2", "K elvin"), ("i1", "İ"))
+      .toDF("id", "text")
+      .select(col("id"), graft.functions.TextNorm.normalizeAscii(col("text")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(folded("k1") == "k", s"KELVIN SIGN should fold to 'k', got '${folded("k1")}'")
+    assert(folded("k2") == "k elvin", s"got '${folded("k2")}'")
+    assert(folded("i1") == "i", s"İ should fold to 'i' (mark dropped), got '${folded("i1")}'")
   }
 
   test("token_stats kernel ≡ the regex/HOF column formulation (corpus + edges)") {

@@ -71,4 +71,35 @@ class Sq8DecodeSpec extends AnyFunSuite {
     assert(got.forall(_.head == 2.5f), "constant dim must decode to mn")
     assert(got(1)(1) == 3.0f, "max endpoint must round-trip exactly (code 255)")
   }
+
+  test("a null element decodes like the column form, never garbage (ADVICE r13)") {
+    // embeddings are non-null by corpus contract, but the input type
+    // admits containsNull=true (parquet default) — the kernel must
+    // match the superseded transform() form exactly. Measured column
+    // semantics: least() SKIPS nulls, so in a spanning dim a null v
+    // takes code 255 and decodes to ≈mx; in a constant dim the
+    // otherwise(mn) branch never reads v and yields mn. Fixture:
+    // dim 1 spans [2, 6]; dim 2 is constant after null removal.
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, Seq[java.lang.Float](1.0f, null, null)),
+      org.apache.spark.sql.Row(2L, Seq[java.lang.Float](0.0f, 2.0f, 4.0f)),
+      org.apache.spark.sql.Row(3L, Seq[java.lang.Float](2.0f, 6.0f, 4.0f)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = true))))
+    val d = spark.createDataFrame(rows, schema)
+    // stats computed over the non-null slots only (posexplode skips nothing,
+    // min/max ignore nulls) — both forms see identical mins/maxs
+    val k = kernelForm(d).orderBy("vec_id").collect()
+    val c = columnForm(d).orderBy("vec_id").collect()
+    val kDq = k.map(_.getSeq[java.lang.Float](1))
+    val cDq = c.map(_.getSeq[java.lang.Float](1))
+    assert(kDq.toSeq == cDq.toSeq, s"null-slot decode mismatch: ${kDq.toSeq} vs ${cDq.toSeq}")
+    assert(kDq(0)(1) == 6.0f, "null element in a spanning dim must decode as code 255 (≈mx)")
+    assert(kDq(0)(2) == 4.0f, "null element in a constant dim must decode to mn")
+    assert(kDq(0)(0) != null)
+  }
 }

@@ -630,6 +630,34 @@ class StreamingSpec extends AnyFunSuite {
       "no group saturated — test data too small for chosen k")
   }
 
+  test("top-k accumulation skips a replayed micro-batch (at-least-once idempotence)") {
+    // foreachBatch replays a batch with the SAME batchId after a failed
+    // checkpoint commit; re-merging its entries through a Buf would
+    // insert duplicates that can evict legitimate distinct entries
+    // (ADVICE r13). Drive the factored-out merge step directly.
+    val acc = new java.util.concurrent.atomic.AtomicReference(
+      Map.empty[String, Seq[(Long, Double)]])
+    val last = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val b0 = Seq("g" -> Seq((1L, 5.0), (2L, 4.0)))
+    val b1 = Seq("g" -> Seq((3L, 3.0)))
+    streaming.StreamingAnalytics.mergeTopKBatch(acc, last, 0L, b0, 2)
+    val afterB0 = acc.get()
+    assert(afterB0("g") == Seq((1L, 5.0), (2L, 4.0)))
+    // replay of batch 0: must be a no-op — with the old behavior the
+    // duplicate (1,5.0)/(2,4.0) inserts would evict nothing visible at
+    // k=2 here, but the state would differ after the NEXT merge; assert
+    // both the no-op and the downstream selection
+    streaming.StreamingAnalytics.mergeTopKBatch(acc, last, 0L, b0, 2)
+    assert(acc.get() == afterB0, "replayed batch was merged twice")
+    streaming.StreamingAnalytics.mergeTopKBatch(acc, last, 1L, b1, 2)
+    assert(acc.get()("g") == Seq((1L, 5.0), (2L, 4.0)),
+      "selection after replay+new batch diverged from the exactly-once result")
+    // an out-of-order OLD id (replay arriving after a newer merge) is
+    // also skipped — the guard is monotone, not equality-based
+    streaming.StreamingAnalytics.mergeTopKBatch(acc, last, 0L, b0, 2)
+    assert(last.get() == 1L && acc.get()("g") == Seq((1L, 5.0), (2L, 4.0)))
+  }
+
   test("stream-stream interval join equals the batch attribution join") {
     val clicks = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)
     val buys = MemoryStream[Ev](Encoders.product[Ev], spark.sqlContext)

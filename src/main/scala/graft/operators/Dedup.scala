@@ -301,7 +301,33 @@ object Dedup {
         .join(candDocs, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), explode(shingleHashesFast(col("text"))).as("sh"))
         .distinct())
-    jaccardOf(cands, vIdx)
+    // Size-ratio gate BEFORE the intersection join (round 14 — the
+    // remaining verification cost after the round-13 index restriction
+    // was the candidate × shingle fan-out itself): |A∩B| ≤ min(|A|,|B|)
+    // and jaccard = c/(|A|+|B|−c) is increasing in c, so a pair's
+    // attainable maximum is min/max — a PROVABLE reject below the
+    // threshold, the classic set-similarity-join length filter. The
+    // monotonicity survives double rounding (fl is monotone), so a
+    // gated-out pair could never have passed the final filter:
+    // bit-identical output, no probabilistic estimate involved
+    // (MinhashKernelSpec pins equality vs the ungated relational twin).
+    // Sizes ride along through the aggregate, saving the two post-agg
+    // size joins jaccardOf paid.
+    val sizes = vIdx.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val gated = cands
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"), col("s1.n").as("n1"), col("s2.n").as("n2"))
+      .filter(least(col("n1"), col("n2")).cast("double") /
+        greatest(col("n1"), col("n2")) >= JACCARD_T)
+    gated
+      .join(vIdx.as("a"), col("d1") === col("a.doc_id"))
+      .join(vIdx.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("common"))
+      .select(col("d1"), col("d2"), col("common"),
+        (col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+          .as("jaccard"))
       .filter(col("jaccard") >= JACCARD_T)
       .orderBy("d1", "d2")
   }

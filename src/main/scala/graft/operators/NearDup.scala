@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 
 import graft.Materializer
@@ -70,18 +70,38 @@ object NearDup {
     * edit-verify, …) builds its pair join from. */
   def cappedPostings(postings: DataFrame, key: String, dfCap: Int,
                      tag: String): DataFrame =
-    Materializer.materialize(tag,
-      postings
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col(key))))
-        .filter(col("df") <= dfCap)
-        .drop("df"))
+    Materializer.materialize(tag, {
+      // df-cap as aggregate + anti-join, NOT a count window: the window
+      // form shuffled and SORTED the ENTIRE posting list by key (500 M
+      // rows at the sf100 probe) to attach a count, where the hot-key
+      // SET is tiny (59 keys above cap at sf0.1; hotness is a property
+      // of the key, not the row). The aggregate partial-aggregates
+      // map-side — only distinct keys reach the shuffle — and the
+      // anti-join against the hot set is AQE-broadcast at any realistic
+      // hot-set size (shuffled-anti fallback keeps it safe if a corpus
+      // ever produces millions of hot keys). Row-identical to the
+      // window form: count(*) per key > cap ⇔ df > cap.
+      val hot = postings.groupBy(col(key)).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap)
+        .select(col(key))
+      postings.join(hot, Seq(key), "left_anti")
+    })
 
   def cappedPairStats(postings: DataFrame, key: String, dfCap: Int,
                       tag: String, pairCond: Column,
                       c1: String, c2: String): DataFrame = {
     val capped = cappedPostings(postings, key, dfCap, tag)
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    capped.as("a").join(capped.as("b"),
+    // SHUFFLE_HASH, not sort-merge: SMJ sorts BOTH shuffled sides by
+    // key before streaming — at the sf10 probe that sort was the
+    // self-join stage's dominant cost (the posting list is large and
+    // high-cardinality; the per-key groups it feeds are ≤ dfCap rows).
+    // A shuffled hash join builds a per-partition map instead — no
+    // sorts — and its build side is one shuffle partition of the
+    // capped list, bounded by partition count sizing at any corpus
+    // scale (the standard SSJoin shape). The pair aggregate downstream
+    // is hash-based and never needed the sort order.
+    capped.as("a").hint("shuffle_hash").join(capped.as("b"),
         col(s"a.$key") === col(s"b.$key") && pairCond)
       .groupBy(col("a.doc_id").as(c1), col("b.doc_id").as(c2))
       .agg(count(lit(1)).as("common"))

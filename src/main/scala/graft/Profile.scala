@@ -21,18 +21,35 @@ object Profile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // honor the same scale knob Bench honors, so profile stage
+      // attribution runs under the bench harness's plan shape
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.local.dir", GraftSession.scratchRoot)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Int, Long, Long, String)]()
+    case class St(id: Int, name: String, tasks: Int, cpuMs: Long, wallMs: Long,
+                  inRows: Long, outRows: Long, shRdRows: Long, shRdMb: Long,
+                  shWrRows: Long, shWrMb: Long, spillMb: Long, details: String)
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
-        val run = Option(si.taskMetrics).map(_.executorRunTime).getOrElse(0L)
+        val m = Option(si.taskMetrics)
         val wall = (for (a <- si.completionTime; b <- si.submissionTime) yield a - b).getOrElse(0L)
-        stages.add((si.stageId, si.name.takeWhile(_ != '\n'), si.numTasks, run, wall, si.details))
+        stages.add(St(si.stageId, si.name.takeWhile(_ != '\n'), si.numTasks,
+          m.map(_.executorRunTime).getOrElse(0L), wall,
+          m.map(_.inputMetrics.recordsRead).getOrElse(0L),
+          m.map(_.outputMetrics.recordsWritten).getOrElse(0L),
+          m.map(_.shuffleReadMetrics.recordsRead).getOrElse(0L),
+          m.map(x => (x.shuffleReadMetrics.localBytesRead +
+            x.shuffleReadMetrics.remoteBytesRead) >> 20).getOrElse(0L),
+          m.map(_.shuffleWriteMetrics.recordsWritten).getOrElse(0L),
+          m.map(_.shuffleWriteMetrics.bytesWritten >> 20).getOrElse(0L),
+          m.map(x => (x.memoryBytesSpilled + x.diskBytesSpilled) >> 20).getOrElse(0L),
+          si.details))
       }
     })
     (1 to reps).foreach { rep =>
@@ -44,15 +61,14 @@ object Profile {
       println(f"[prof] rep $rep: $name = $sec%.2f s")
       if (rep == reps) {
         import scala.jdk.CollectionConverters._
-        println(f"[prof] ${"stage"}%-8s ${"tasks"}%5s ${"cpu_s"}%8s ${"wall_s"}%8s  name")
-        val top = stages.asScala.toSeq.sortBy(-_._5)
-        top.take(20).foreach {
-          case (id, nm, nt, run, wall, _) =>
-            println(f"[prof] $id%-8d $nt%5d ${run / 1e3}%8.2f ${wall / 1e3}%8.2f  $nm")
+        println(f"[prof] ${"stage"}%-6s ${"tasks"}%5s ${"cpu_s"}%8s ${"wall_s"}%7s ${"in_rows"}%10s ${"shR_rows"}%10s ${"shR_mb"}%7s ${"shW_rows"}%10s ${"shW_mb"}%7s ${"spill_mb"}%8s")
+        val top = stages.asScala.toSeq.sortBy(-_.wallMs)
+        top.take(20).foreach { s =>
+          println(f"[prof] ${s.id}%-6d ${s.tasks}%5d ${s.cpuMs / 1e3}%8.2f ${s.wallMs / 1e3}%7.2f ${s.inRows}%10d ${s.shRdRows}%10d ${s.shRdMb}%7d ${s.shWrRows}%10d ${s.shWrMb}%7d ${s.spillMb}%8d")
         }
-        top.take(2).foreach { case (id, _, _, _, _, det) =>
-          println(s"[prof] -- stage $id details --")
-          det.linesIterator.take(18).foreach(l => println(s"[prof]   $l"))
+        top.take(2).foreach { s =>
+          println(s"[prof] -- stage ${s.id} details --")
+          s.details.linesIterator.take(18).foreach(l => println(s"[prof]   $l"))
         }
       }
     }

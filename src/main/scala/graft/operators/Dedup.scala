@@ -240,7 +240,12 @@ object Dedup {
             col("text"), A, B, POW31, BANDS, ROWS_PER_BAND).as("sigs"))
         .filter(size(col("sigs")) > 0)
         .select(col("doc_id"), posexplode(col("sigs")).as(Seq("band", "sig"))))
-    bands.as("x").join(bands.as("y"),
+    // SHUFFLE_HASH: per-(band, sig) bucket groups are near-dup-sized
+    // and the candidate distinct downstream is hash-based — the SMJ
+    // sort of the bands table bought nothing (same reasoning as
+    // NearDup.cappedPairStats; the relational twin below stays
+    // un-hinted as the plan-independent equality reference)
+    bands.as("x").hint("shuffle_hash").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -874,7 +879,10 @@ object Dedup {
     // shingle requirement is the scale bound, documented recall trade.
     val capped = NearDup.cappedPostings(shingleIndex(spark, dir), "sh", DF_CAP,
       Materializer.tagFor("candidx", dir))
-    val primary = capped.as("ca").join(capped.as("cb"),
+    // SHUFFLE_HASH for the same reason as NearDup.cappedPairStats: the
+    // per-key groups are ≤ DF_CAP rows and nothing downstream needs the
+    // SMJ sort order — the sorts were the join stages' dominant cost
+    val primary = capped.as("ca").hint("shuffle_hash").join(capped.as("cb"),
         col("ca.sh") === col("cb.sh") && col("ca.doc_id") < col("cb.doc_id"))
       .select(col("ca.doc_id").as("d1"), col("cb.doc_id").as("d2"))
     val d = documents(spark, dir).select(col("doc_id"), col("lang"),
@@ -882,7 +890,7 @@ object Dedup {
       substring(col("text"), 1, EDIT_PFX).as("pfx"))
     // secondary source: pigeonhole prefix segments, df-capped on the
     // (segment index, segment text) key — "si#seg" as one string key so
-    // the shared cappedPostings window applies unchanged
+    // the shared cappedPostings hot-key cap applies unchanged
     val segs = (0 until EDIT_SEGS).map { i =>
       val (start, len) = segBounds(i)
       concat_ws("#", lit(i), substring(col("pfx"), start, len))
@@ -890,7 +898,7 @@ object Dedup {
     val segCapped = NearDup.cappedPostings(
       d.select(col("doc_id"), explode(array(segs: _*)).as("segk")),
       "segk", DF_CAP, Materializer.tagFor("editsegs", dir))
-    val secondary = segCapped.as("sa").join(segCapped.as("sb"),
+    val secondary = segCapped.as("sa").hint("shuffle_hash").join(segCapped.as("sb"),
         col("sa.segk") === col("sb.segk") && col("sa.doc_id") < col("sb.doc_id"))
       .select(col("sa.doc_id").as("d1"), col("sb.doc_id").as("d2"))
     val cand = primary.union(secondary).distinct()

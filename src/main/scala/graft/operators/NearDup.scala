@@ -45,7 +45,17 @@ object NearDup {
                         pairCond: Column, c1: String, c2: String): DataFrame =
     cappedScoredJoin(postings, key, dfCap, threshold, scoreName, tag,
       pairCond, c1, c2,
-      (common, n1, n2) => common.cast("double") / (n1 + n2 - common))
+      (common, n1, n2) => common.cast("double") / (n1 + n2 - common),
+      // jaccard size-ratio gate, applied INSIDE the pair-join condition:
+      // common ≤ min(n1,n2) and jaccard is increasing in common, so the
+      // attainable max is min/max — a pair below it can NEVER pass the
+      // final threshold filter (fl() is monotone, so the argument
+      // survives double rounding: exact, not heuristic). Pruning at the
+      // join drops the fanout rows themselves, which is what unloads
+      // the pair aggregate (the sf100 profile measured 1.24 B partial
+      // rows and 185 GB of aggregate spill for a ~256-row result).
+      gate = (n1, n2) =>
+        least(n1, n2).cast("double") / greatest(n1, n2) >= threshold)
 
   /** Fully general form: `score(common, n1, n2)` plugs the similarity
     * formula (jaccard = c/(n1+n2−c); containment = c/n1; overlap
@@ -54,8 +64,10 @@ object NearDup {
   def cappedScoredJoin(postings: DataFrame, key: String, dfCap: Int,
                        threshold: Double, scoreName: String, tag: String,
                        pairCond: Column, c1: String, c2: String,
-                       score: (Column, Column, Column) => Column): DataFrame =
-    cappedPairStats(postings, key, dfCap, tag, pairCond, c1, c2)
+                       score: (Column, Column, Column) => Column,
+                       gate: (Column, Column) => Column = (_, _) => lit(true))
+      : DataFrame =
+    cappedPairStats(postings, key, dfCap, tag, pairCond, c1, c2, gate)
       .select(col(c1), col(c2), col("common"),
         score(col("common"), col("n1"), col("n2")).as(scoreName))
       .filter(col(scoreName) >= threshold)
@@ -89,9 +101,22 @@ object NearDup {
 
   def cappedPairStats(postings: DataFrame, key: String, dfCap: Int,
                       tag: String, pairCond: Column,
-                      c1: String, c2: String): DataFrame = {
+                      c1: String, c2: String,
+                      gate: (Column, Column) => Column = (_, _) => lit(true))
+      : DataFrame = {
     val capped = cappedPostings(postings, key, dfCap, tag)
+    // Per-doc sizes attach to the POSTING LIST before the pair join and
+    // ride through the aggregate as grouping columns (functionally
+    // dependent on the doc ids — same groups), instead of joining the
+    // aggregated pair set twice afterwards: the candidate-pair set is
+    // the largest relation in the query (pairs sharing ≥1 capped key,
+    // BEFORE the similarity threshold prunes it), so the sf100 profile
+    // showed each post-agg size join costing as much as the pair join
+    // itself. sizes ⋈ capped is one posting-list-sized hash join (AQE
+    // broadcasts sizes when small); the pair shuffle widens by 16 bytes
+    // per row — strictly cheaper than re-shuffling the pair set twice.
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val withN = capped.join(sizes, Seq("doc_id"))
     // SHUFFLE_HASH, not sort-merge: SMJ sorts BOTH shuffled sides by
     // key before streaming — at the sf10 probe that sort was the
     // self-join stage's dominant cost (the posting list is large and
@@ -101,14 +126,16 @@ object NearDup {
     // capped list, bounded by partition count sizing at any corpus
     // scale (the standard SSJoin shape). The pair aggregate downstream
     // is hash-based and never needed the sort order.
-    capped.as("a").hint("shuffle_hash").join(capped.as("b"),
-        col(s"a.$key") === col(s"b.$key") && pairCond)
-      .groupBy(col("a.doc_id").as(c1), col("b.doc_id").as(c2))
+    // `gate(n1, n2)` joins the pair condition so provably-hopeless
+    // pairs (by the caller's score-specific size bound) never emit
+    // fanout rows — see cappedJaccardJoin for the exactness argument.
+    withN.as("a").hint("shuffle_hash").join(withN.as("b"),
+        col(s"a.$key") === col(s"b.$key") && pairCond &&
+          gate(col("a.n"), col("b.n")))
+      .groupBy(col("a.doc_id").as(c1), col("b.doc_id").as(c2),
+        col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("common"))
-      .join(sizes.as("s1"), col(c1) === col("s1.doc_id"))
-      .join(sizes.as("s2"), col(c2) === col("s2.doc_id"))
-      .select(col(c1), col(c2), col("common"),
-        col("s1.n").as("n1"), col("s2.n").as("n2"))
+      .select(col(c1), col(c2), col("common"), col("n1"), col("n2"))
   }
 
   /** Oracle-SQL twin of [[cappedJaccardPairs]]: CTE suffix + final

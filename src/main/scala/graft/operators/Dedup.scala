@@ -87,10 +87,14 @@ object Dedup {
     documents(spark, dir).repartition(n, col("doc_id"))
   }
 
-  /** (doc_id, sh): distinct 3-token shingle hashes, exploded. Dedup is
-    * relational (shuffled hash-distinct, codegen'd) — NOT array-land
-    * array_distinct, whose interpreted O(|shingles|²) per-doc loop
-    * dominated the sf0.1 profile.
+  /** (doc_id, sh): distinct 3-token shingle hashes, exploded. The dedup
+    * is SCAN-LOCAL since round 14 ([[graft.functions.DistinctLongsExpr]],
+    * a linear open-addressing pass — not the interpreted O(n²)/row
+    * array_distinct): the distinct key is (doc_id, sh), so within-doc
+    * dedup IS the global distinct, and the former relational
+    * `.distinct()` was shuffling the whole exploded index (260 M rows
+    * at the sf100 probe, two extra stages) to compute a per-row
+    * property.
     *
     * MATERIALIZED (session temp parquet): every dedup query references
     * this subtree 2-4× (signatures, sizes, both sides of the common-
@@ -102,8 +106,9 @@ object Dedup {
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     Materializer.materialize(Materializer.tagFor("shingles", dir),
       docsParallel(spark, dir)
-        .select(col("doc_id"), explode(shingleHashesFast(col("text"))).as("sh"))
-        .distinct())
+        .select(col("doc_id"),
+          explode(graft.functions.DistinctLongs.distinctLongs(
+            shingleHashesFast(col("text")))).as("sh")))
 
   private val sqlShingleIndex: String =
     s"""SELECT DISTINCT doc_id, unnest(${sqlShingleHashes("th")}) AS sh
@@ -304,8 +309,9 @@ object Dedup {
     val vIdx = Materializer.materialize(Materializer.tagFor("candshingles", dir),
       docsParallel(spark, dir)
         .join(candDocs, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), explode(shingleHashesFast(col("text"))).as("sh"))
-        .distinct())
+        .select(col("doc_id"),
+          explode(graft.functions.DistinctLongs.distinctLongs(
+            shingleHashesFast(col("text")))).as("sh")))
     // Size-ratio gate BEFORE the intersection join (round 14 — the
     // remaining verification cost after the round-13 index restriction
     // was the candidate × shingle fan-out itself): |A∩B| ≤ min(|A|,|B|)

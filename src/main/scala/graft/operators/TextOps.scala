@@ -285,15 +285,29 @@ object TextOps {
   // array work is per-row scan-local; rows out = distinct fingerprints.
   private val WINNOW_W = 8
 
-  // Relational formulation, NOT array-land transform/slice/array_min +
-  // array_distinct: those are interpreted (CodegenFallback) and the
-  // distinct is O(windows²) PER ROW — the exact trap Dedup.scala
-  // documents and replaced. Here: explode once, sliding window-frame min
-  // (codegen'd, one shuffle by doc_id), relational distinct — linear in
-  // shingles regardless of document length.
   /** The distinct (doc_id, fp) winnow posting list — shared by the
-    * fingerprint dump and the near-dup candidate join. */
+    * fingerprint dump and the near-dup candidate join. SCAN-LOCAL since
+    * round 14 ([[graft.functions.WinnowFpsExpr]]: monotonic-deque
+    * sliding min + linear dedup in one generated call): the fingerprint
+    * set depends only on the document's own shingles, and the former
+    * relational chain (posexplode → two doc-keyed window functions →
+    * relational distinct) shuffled the fully exploded shingle index
+    * THREE times to compute a per-doc property — the same diagnosis as
+    * round 13's BandSigsExpr. The repartition stays: it spreads the
+    * scan-side hashing across cores at small SF, where AQE would
+    * otherwise coalesce the projection onto one partition. */
   private def winnowPostings(spark: SparkSession, dir: String): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    documents(spark, dir)
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), explode(graft.functions.Winnow.winnowFps(
+        shingleHashesFast(col("text")), WINNOW_W)).as("fp"))
+  }
+
+  /** The superseded relational formulation — retained verbatim as
+    * WinnowKernelSpec's equality reference (explode once, sliding
+    * window-frame min, relational distinct). */
+  private[graft] def winnowPostingsRelational(spark: SparkSession, dir: String): DataFrame = {
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val exploded = documents(spark, dir)
       .repartition(n, col("doc_id"))

@@ -103,7 +103,7 @@ object Dedup {
     * per reference (the round-1 bench blowup; round 2's persist was
     * eviction-bimodal). Computed once, scanned per reference, deleted by
     * Bench/Verify after each query. */
-  private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     Materializer.materialize(Materializer.tagFor("shingles", dir),
       docsParallel(spark, dir)
         .select(col("doc_id"),
@@ -146,9 +146,11 @@ object Dedup {
   // re-scores on the full index). Planted near-dups share hundreds of
   // low-df shingles, so the filtered jaccard is within noise of the
   // unfiltered one. The cap/join/score core is the shared
-  // [[NearDup.cappedJaccardPairs]].
+  // [[NearDup.prefixJaccardPairs]] (AllPairs prefix-filtered candidates,
+  // provably lossless at the threshold; relational twin
+  // [[NearDup.cappedJaccardPairs]] stays as the spec/oracle reference).
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    NearDup.cappedJaccardPairs(shingleIndex(spark, dir), "sh", DF_CAP,
+    NearDup.prefixJaccardPairs(shingleIndex(spark, dir), "sh", DF_CAP,
       JACCARD_T, "jaccard", Materializer.tagFor("candidx", dir))
 
   val ngramJaccardSql: String =
@@ -538,7 +540,7 @@ object Dedup {
     * near-dups arriving in the same delta are still caught, and no pair
     * is ever scored twice across batches. Same df-capped posting-list
     * candidate join as [[ngramJaccard]] (shared
-    * [[NearDup.cappedJaccardJoin]] core). At 100 TB the existing side
+    * [[NearDup.prefixJaccardJoin]] core). At 100 TB the existing side
     * is the STORED posting-list index (partitioned by shingle) and only
     * the delta's postings probe it — cost scales with the delta, not
     * the corpus. */
@@ -547,7 +549,7 @@ object Dedup {
     val newB = pmod(col("b.doc_id"), lit(10)) === NEW_RESIDUE
     // tag "candidx" — the capped index is identical to [[ngramJaccard]]'s
     // (same postings, key, cap), so a full-registry run builds it once
-    NearDup.cappedJaccardJoin(shingleIndex(spark, dir), "sh", DF_CAP,
+    NearDup.prefixJaccardJoin(shingleIndex(spark, dir), "sh", DF_CAP,
       JACCARD_T, "jaccard", Materializer.tagFor("candidx", dir),
       newA && (!newB || col("a.doc_id") < col("b.doc_id")),
       "new_doc", "other_doc")

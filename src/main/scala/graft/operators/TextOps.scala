@@ -296,7 +296,7 @@ object TextOps {
     * round 13's BandSigsExpr. The repartition stays: it spreads the
     * scan-side hashing across cores at small SF, where AQE would
     * otherwise coalesce the projection onto one partition. */
-  private def winnowPostings(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def winnowPostings(spark: SparkSession, dir: String): DataFrame = {
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     documents(spark, dir)
       .repartition(n, col("doc_id"))
@@ -353,12 +353,14 @@ object TextOps {
   // lands in MANY documents' windows and would fan out at df² per hot
   // fp. Scores are therefore winnow-jaccard over the capped posting
   // space, mirrored exactly in the oracle. The cap/join/score core is
-  // the shared [[NearDup.cappedJaccardPairs]].
+  // the shared [[NearDup.prefixJaccardPairs]] (prefix-filtered
+  // candidates; the winnow posting list is per-doc distinct — the
+  // docSetArrays set contract — because WinnowFpsExpr dedups in-pass).
   private val WDF_CAP = 20
   private val WJACCARD_T = 0.5
 
   def winnowNearDup(spark: SparkSession, dir: String): DataFrame =
-    NearDup.cappedJaccardPairs(winnowPostings(spark, dir), "fp", WDF_CAP,
+    NearDup.prefixJaccardPairs(winnowPostings(spark, dir), "fp", WDF_CAP,
       WJACCARD_T, "winnow_jaccard", Materializer.tagFor("winnowcap", dir))
 
   val winnowNearDupSql: String =

@@ -146,11 +146,12 @@ object Dedup {
   // re-scores on the full index). Planted near-dups share hundreds of
   // low-df shingles, so the filtered jaccard is within noise of the
   // unfiltered one. The cap/join/score core is the shared
-  // [[NearDup.prefixJaccardPairs]] (AllPairs prefix-filtered candidates,
-  // provably lossless at the threshold; relational twin
-  // [[NearDup.cappedJaccardPairs]] stays as the spec/oracle reference).
+  // [[NearDup.cappedJaccardPairs]] — count-in-the-aggregate, NOT the
+  // AllPairs prefix variant ([[NearDup.prefixJaccardJoin]]): measured
+  // at sf10, this corpus's candidate density refutes the prefix+verify
+  // shape (see the adjudication on that method).
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    NearDup.prefixJaccardPairs(shingleIndex(spark, dir), "sh", DF_CAP,
+    NearDup.cappedJaccardPairs(shingleIndex(spark, dir), "sh", DF_CAP,
       JACCARD_T, "jaccard", Materializer.tagFor("candidx", dir))
 
   val ngramJaccardSql: String =
@@ -165,10 +166,23 @@ object Dedup {
     * capped shingle index: catches quotes/inclusions that symmetric
     * jaccard misses (a paragraph wholly inside a much longer doc has
     * tiny jaccard but containment ≈ 1 in one direction). The pair join
-    * runs HALF-SPACE (a < b, same cost as the jaccard query) via
-    * [[NearDup.cappedPairStats]]; both directions then derive from one
-    * candidate row (a→b = c/n1, b→a = c/n2) by a scan-local 2-struct
-    * explode. Reuses the `candidx` materialized capped index. */
+    * runs HALF-SPACE (a < b) via [[NearDup.cappedPairStats]]; both
+    * directions then derive from one candidate row (a→b = c/n1,
+    * b→a = c/n2) by a scan-local 2-struct explode. Reuses the
+    * `candidx` materialized capped index.
+    *
+    * Scale adjudication (round-14 sf10 profile, 32cpu): this is the
+    * registry's pair-volume FLOOR query and its cost is inherent. The
+    * pair join runs UNGATED — no size bound exists for containment
+    * (max attainable score is c/min ≤ 1 whatever n1, n2), unlike
+    * jaccard's min/max ≥ t gate — so the aggregate consumes the full
+    * capped fanout: 124 M rows / 2.2 GB shuffle for a 37-row result at
+    * sf10, zero spill, ~2.7× the gated jaccard fanout. The partial
+    * aggregate combines ~nothing (candidate pairs are near-unique per
+    * partition), so the cost is two hash passes over the fanout — the
+    * same Σ df²-bounded volume every exact containment join pays; the
+    * AllPairs prefix variant was measured and refuted for this corpus
+    * (candidate density — see [[NearDup.prefixJaccardJoin]]). */
   def containment(spark: SparkSession, dir: String): DataFrame = {
     val st = NearDup.cappedPairStats(shingleIndex(spark, dir), "sh", DF_CAP,
       Materializer.tagFor("candidx", dir), col("a.doc_id") < col("b.doc_id"),
@@ -540,7 +554,7 @@ object Dedup {
     * near-dups arriving in the same delta are still caught, and no pair
     * is ever scored twice across batches. Same df-capped posting-list
     * candidate join as [[ngramJaccard]] (shared
-    * [[NearDup.prefixJaccardJoin]] core). At 100 TB the existing side
+    * [[NearDup.cappedJaccardJoin]] core). At 100 TB the existing side
     * is the STORED posting-list index (partitioned by shingle) and only
     * the delta's postings probe it — cost scales with the delta, not
     * the corpus. */
@@ -549,7 +563,7 @@ object Dedup {
     val newB = pmod(col("b.doc_id"), lit(10)) === NEW_RESIDUE
     // tag "candidx" — the capped index is identical to [[ngramJaccard]]'s
     // (same postings, key, cap), so a full-registry run builds it once
-    NearDup.prefixJaccardJoin(shingleIndex(spark, dir), "sh", DF_CAP,
+    NearDup.cappedJaccardJoin(shingleIndex(spark, dir), "sh", DF_CAP,
       JACCARD_T, "jaccard", Materializer.tagFor("candidx", dir),
       newA && (!newB || col("a.doc_id") < col("b.doc_id")),
       "new_doc", "other_doc")

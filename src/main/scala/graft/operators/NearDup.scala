@@ -151,10 +151,26 @@ object NearDup {
   // ≤ nᵢ − o + 1 ≤ nᵢ − ⌈t·nᵢ⌉ + 1. So joining only each doc's PREFIX
   // posting rows generates a candidate superset of the true pair set —
   // at t = 0.5 the prefix is ~half the posting list, quartering the
-  // pair-join fanout (the sf100 profile's dominant term) — and exact
-  // verification restores precision. The prefix length is computed as
-  // n − floor(t·n) + 1 ≥ n − ⌈t·n⌉ + 1 so double rounding in fl(t·n)
-  // can only LENGTHEN the prefix: conservative, never lossy.
+  // pair-join fanout — and exact verification restores precision. The
+  // prefix length is computed as n − floor(t·n) + 1 ≥ n − ⌈t·n⌉ + 1 so
+  // double rounding in fl(t·n) can only LENGTHEN the prefix:
+  // conservative, never lossy.
+  //
+  // MEASURED AND NOT ADOPTED for the registry queries (round 14, sf10,
+  // 32cpu): this corpus's candidate DENSITY defeats the shape. The
+  // prefix join emitted 45.8 M fanout rows that deduped to 43.1 M
+  // candidate pairs — background pairs share ~1 sub-cap shingle each,
+  // so candidates ≈ fanout and per-candidate verification cost is the
+  // whole game. Verifying by joining each candidate to its two sorted
+  // key arrays shuffled ~300 B/pair (12.9 GB written + 13 GB read at
+  // sf10 — the stage-26/32 profile), where the relational twin counts
+  // `common` inside the SAME hash aggregate that consumes the 20 B/row
+  // fanout: q_ngram_jaccard 82.7 → 123.7 s, q_dedup_clusters 85.9 →
+  // 426.6 s. The halved fanout cannot pay for array-sized candidate
+  // rows unless candidates are SPARSE relative to fanout (high
+  // threshold, heavy-tailed key sharing). Kept, spec-pinned
+  // (PrefixJaccardSpec proves bit-equality), as the variant for that
+  // regime; the registry rides [[cappedJaccardJoin]].
 
   /** The per-doc capped key SET as one canonically-sorted array row:
     * (doc_id, ks ASC-sorted ARRAY<BIGINT>, n = |ks|). Materialized —

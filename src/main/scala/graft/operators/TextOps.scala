@@ -353,14 +353,14 @@ object TextOps {
   // lands in MANY documents' windows and would fan out at df² per hot
   // fp. Scores are therefore winnow-jaccard over the capped posting
   // space, mirrored exactly in the oracle. The cap/join/score core is
-  // the shared [[NearDup.prefixJaccardPairs]] (prefix-filtered
-  // candidates; the winnow posting list is per-doc distinct — the
-  // docSetArrays set contract — because WinnowFpsExpr dedups in-pass).
+  // the shared [[NearDup.cappedJaccardPairs]] (count-in-the-aggregate;
+  // the AllPairs prefix variant was measured and refuted at sf10 — see
+  // [[NearDup.prefixJaccardJoin]]).
   private val WDF_CAP = 20
   private val WJACCARD_T = 0.5
 
   def winnowNearDup(spark: SparkSession, dir: String): DataFrame =
-    NearDup.prefixJaccardPairs(winnowPostings(spark, dir), "fp", WDF_CAP,
+    NearDup.cappedJaccardPairs(winnowPostings(spark, dir), "fp", WDF_CAP,
       WJACCARD_T, "winnow_jaccard", Materializer.tagFor("winnowcap", dir))
 
   val winnowNearDupSql: String =

@@ -121,6 +121,25 @@ object Materializer {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Materialize a small final result, then sort it globally.
+    *
+    * A range-partitioned global sort (`orderBy`) executes its child
+    * plan TWICE — once inside RangePartitioner's boundary sampling,
+    * once for the real exchange. For a query whose final result is
+    * small but whose child is the expensive part of the plan (a
+    * candidate-pair aggregate, a full-corpus scan+hash), the sample
+    * pass re-runs that work just to pick range bounds for a few
+    * hundred rows: the sf10 q_dedup_clusters profile measured the
+    * sample pass alone at 227 executor-run seconds, re-aggregating
+    * 94.5 M partial rows for a 25.6 k-row sort. Materialized first,
+    * both sort passes read a tiny parquet instead. Use ONLY where the
+    * result is small relative to its plan; a corpus-sized result
+    * should keep the plain orderBy (writing it out first would double
+    * its own IO instead). */
+  def sortedSmall(tag: String, df: DataFrame, by: String*): DataFrame =
+    materialize(tag, df)
+      .orderBy(by.map(org.apache.spark.sql.functions.col): _*)
+
   /** Drop every materialized copy. Safe to call between queries; the next
     * `materialize` for a tag simply recomputes. An in-flight write is
     * awaited first — unregistering it without awaiting would let the write

@@ -30,7 +30,8 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    case class St(id: Int, name: String, tasks: Int, cpuMs: Long, wallMs: Long,
+    case class St(id: Int, name: String, tasks: Int, runMs: Long, cpuMs: Long,
+                  gcMs: Long, wallMs: Long,
                   inRows: Long, outRows: Long, shRdRows: Long, shRdMb: Long,
                   shWrRows: Long, shWrMb: Long, spillMb: Long, details: String)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
@@ -40,7 +41,15 @@ object Profile {
         val m = Option(si.taskMetrics)
         val wall = (for (a <- si.completionTime; b <- si.submissionTime) yield a - b).getOrElse(0L)
         stages.add(St(si.stageId, si.name.takeWhile(_ != '\n'), si.numTasks,
-          m.map(_.executorRunTime).getOrElse(0L), wall,
+          // run = executorRunTime (task wall: compute + blocking + GC);
+          // cpu = executorCpuTime (ns→ms, pure on-CPU); gc = jvmGCTime.
+          // run ≫ cpu ⇒ tasks stalled (shuffle fetch, disk, lock); gc
+          // high ⇒ heap churn; run ≈ cpu ≫ data volume ⇒ interpreted /
+          // deoptimized hot loop — three failure modes one wall number
+          // can't tell apart.
+          m.map(_.executorRunTime).getOrElse(0L),
+          m.map(_.executorCpuTime / 1000000L).getOrElse(0L),
+          m.map(_.jvmGCTime).getOrElse(0L), wall,
           m.map(_.inputMetrics.recordsRead).getOrElse(0L),
           m.map(_.outputMetrics.recordsWritten).getOrElse(0L),
           m.map(_.shuffleReadMetrics.recordsRead).getOrElse(0L),
@@ -61,10 +70,10 @@ object Profile {
       println(f"[prof] rep $rep: $name = $sec%.2f s")
       if (rep == reps) {
         import scala.jdk.CollectionConverters._
-        println(f"[prof] ${"stage"}%-6s ${"tasks"}%5s ${"cpu_s"}%8s ${"wall_s"}%7s ${"in_rows"}%10s ${"shR_rows"}%10s ${"shR_mb"}%7s ${"shW_rows"}%10s ${"shW_mb"}%7s ${"spill_mb"}%8s")
+        println(f"[prof] ${"stage"}%-6s ${"tasks"}%5s ${"run_s"}%8s ${"cpu_s"}%8s ${"gc_s"}%6s ${"wall_s"}%7s ${"in_rows"}%10s ${"shR_rows"}%10s ${"shR_mb"}%7s ${"shW_rows"}%10s ${"shW_mb"}%7s ${"spill_mb"}%8s")
         val top = stages.asScala.toSeq.sortBy(-_.wallMs)
         top.take(20).foreach { s =>
-          println(f"[prof] ${s.id}%-6d ${s.tasks}%5d ${s.cpuMs / 1e3}%8.2f ${s.wallMs / 1e3}%7.2f ${s.inRows}%10d ${s.shRdRows}%10d ${s.shRdMb}%7d ${s.shWrRows}%10d ${s.shWrMb}%7d ${s.spillMb}%8d")
+          println(f"[prof] ${s.id}%-6d ${s.tasks}%5d ${s.runMs / 1e3}%8.2f ${s.cpuMs / 1e3}%8.2f ${s.gcMs / 1e3}%6.1f ${s.wallMs / 1e3}%7.2f ${s.inRows}%10d ${s.shRdRows}%10d ${s.shRdMb}%7d ${s.shWrRows}%10d ${s.shWrMb}%7d ${s.spillMb}%8d")
         }
         top.take(2).foreach { s =>
           println(s"[prof] -- stage ${s.id} details --")

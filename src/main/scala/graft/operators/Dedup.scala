@@ -187,16 +187,20 @@ object Dedup {
     val st = NearDup.cappedPairStats(shingleIndex(spark, dir), "sh", DF_CAP,
       Materializer.tagFor("candidx", dir), col("a.doc_id") < col("b.doc_id"),
       "d1", "d2")
-    st.select(explode(array(
-        struct(col("d1").as("inner_doc"), col("d2").as("outer_doc"),
-          col("common"), (col("common").cast("double") / col("n1")).as("containment")),
-        struct(col("d2").as("inner_doc"), col("d1").as("outer_doc"),
-          col("common"), (col("common").cast("double") / col("n2")).as("containment"))))
-        .as("r"))
-      .select(col("r.inner_doc").as("inner_doc"), col("r.outer_doc").as("outer_doc"),
-        col("r.common").as("common"), col("r.containment").as("containment"))
-      .filter(col("containment") >= CONTAIN_T)
-      .orderBy("inner_doc", "outer_doc")
+    // sortedSmall: the sort's child is the full pair aggregate — the
+    // adjudicated pair-volume floor (124 M fanout rows at sf10) — and a
+    // plain orderBy would run it twice (boundary sample + real pass)
+    Materializer.sortedSmall(Materializer.tagFor("containres", dir),
+      st.select(explode(array(
+          struct(col("d1").as("inner_doc"), col("d2").as("outer_doc"),
+            col("common"), (col("common").cast("double") / col("n1")).as("containment")),
+          struct(col("d2").as("inner_doc"), col("d1").as("outer_doc"),
+            col("common"), (col("common").cast("double") / col("n2")).as("containment"))))
+          .as("r"))
+        .select(col("r.inner_doc").as("inner_doc"), col("r.outer_doc").as("outer_doc"),
+          col("r.common").as("common"), col("r.containment").as("containment"))
+        .filter(col("containment") >= CONTAIN_T),
+      "inner_doc", "outer_doc")
   }
 
   val containmentSql: String =
@@ -347,16 +351,20 @@ object Dedup {
       .select(col("d1"), col("d2"), col("s1.n").as("n1"), col("s2.n").as("n2"))
       .filter(least(col("n1"), col("n2")).cast("double") /
         greatest(col("n1"), col("n2")) >= JACCARD_T)
-    gated
-      .join(vIdx.as("a"), col("d1") === col("a.doc_id"))
-      .join(vIdx.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
-      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
-      .agg(count(lit(1)).as("common"))
-      .select(col("d1"), col("d2"), col("common"),
-        (col("common").cast("double") / (col("n1") + col("n2") - col("common")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= JACCARD_T)
-      .orderBy("d1", "d2")
+    // sortedSmall: the sort's child is the verification intersection
+    // join + aggregate — the query's dominant cost — and a plain
+    // orderBy would run it twice (boundary sample + real pass)
+    Materializer.sortedSmall(Materializer.tagFor("minhashres", dir),
+      gated
+        .join(vIdx.as("a"), col("d1") === col("a.doc_id"))
+        .join(vIdx.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+        .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+        .agg(count(lit(1)).as("common"))
+        .select(col("d1"), col("d2"), col("common"),
+          (col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= JACCARD_T),
+      "d1", "d2")
   }
 
   /** Shared CTE chain producing the raw LSH candidate pair set `cand`
@@ -503,16 +511,20 @@ object Dedup {
       simhash.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until CHUNKS).map(c =>
           expr(s"shiftright(simhash, ${9 * c}) & 511")): _*)).as(Seq("c", "chunk"))))
-    chunks.as("x").join(chunks.as("y"),
-        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        col("x.simhash").as("h1"), col("y.simhash").as("h2"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("int"))
-      .filter(col("hamming") <= HAMMING_T)
-      .select(col("d1"), col("d2"), col("hamming"))
-      .orderBy("d1", "d2")
+    // sortedSmall: the sort's child is the chunk-collision self-join +
+    // distinct — the query's fanout cost — and a plain orderBy would
+    // run it twice (boundary sample + real pass)
+    Materializer.sortedSmall(Materializer.tagFor("simhashres", dir),
+      chunks.as("x").join(chunks.as("y"),
+          col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.simhash").as("h1"), col("y.simhash").as("h2"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("int"))
+        .filter(col("hamming") <= HAMMING_T)
+        .select(col("d1"), col("d2"), col("hamming")),
+      "d1", "d2")
   }
 
   val simhashPairsSql: String =
@@ -783,9 +795,13 @@ object Dedup {
     val kg = docsParallel(spark, dir).select(col("doc_id"),
       posexplode(kgramHashesFast(col("text"), SPAN_K)).as(Seq("pos0", "kg")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("kg"))
-    val idx = Materializer.materialize(Materializer.tagFor("spanidx", dir),
-      kg.withColumn("df", count(lit(1)).over(Window.partitionBy(col("kg"))))
-        .filter(col("df") <= DF_CAP).drop("df"))
+    // df-cap via the shared agg + broadcast-anti core, not a count
+    // window: the window form shuffled AND SORTED the entire positional
+    // k-gram index by kg to attach a count whose hot-key set is tiny —
+    // the same cost NearDup.cappedPostings removed from the shingle
+    // family (see there for the measured numbers)
+    val idx = NearDup.cappedPostings(kg, "kg", DF_CAP,
+      Materializer.tagFor("spanidx", dir))
     val m = idx.as("a").join(idx.as("b"),
         col("a.kg") === col("b.kg") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -793,14 +809,18 @@ object Dedup {
         (col("a.pos") - col("b.pos")).as("diag"))
     val w = Window.partitionBy(col("da"), col("db"), col("diag"))
       .orderBy(col("pa").asc)
-    m.withColumn("grp", col("pa") - row_number().over(w))
-      .groupBy(col("da"), col("db"), col("diag"), col("grp"))
-      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
-        (count(lit(1)) + lit(SPAN_K - 1).cast("long")).as("span_len"))
-      .filter(col("span_len") >= SPAN_MIN_LEN)
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        col("start_a"), col("start_b"), col("span_len"))
-      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    // sortedSmall: the sort's child is the positional pair join + run
+    // grouping — the query's fanout cost — and a plain orderBy would
+    // run it twice (boundary sample + real pass)
+    Materializer.sortedSmall(Materializer.tagFor("spanres", dir),
+      m.withColumn("grp", col("pa") - row_number().over(w))
+        .groupBy(col("da"), col("db"), col("diag"), col("grp"))
+        .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+          (count(lit(1)) + lit(SPAN_K - 1).cast("long")).as("span_len"))
+        .filter(col("span_len") >= SPAN_MIN_LEN)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("start_a"), col("start_b"), col("span_len")),
+      "doc_a", "doc_b", "start_a", "start_b")
   }
 
   val dupSpansSql: String =
@@ -924,18 +944,22 @@ object Dedup {
         col("sa.segk") === col("sb.segk") && col("sa.doc_id") < col("sb.doc_id"))
       .select(col("sa.doc_id").as("d1"), col("sb.doc_id").as("d2"))
     val cand = primary.union(secondary).distinct()
-    cand
-      .join(d.as("a"), col("d1") === col("a.doc_id"))
-      .join(d.as("b"), col("d2") === col("b.doc_id") &&
-        col("a.lang") === col("b.lang") && col("a.band") === col("b.band"))
-      // 3-arg threshold form: banded O(k·n) DP with early abandon (returns
-      // -1 past the threshold) instead of the full O(n·m) table — the
-      // per-pair cost cap that matters when blocks are thousands wide
-      .withColumn("dist", levenshtein(col("a.pfx"), col("b.pfx"), EDIT_T))
-      .filter(col("dist") >= 0 && col("dist") <= EDIT_T)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.lang").as("lang"), col("dist"))
-      .orderBy("doc_a", "doc_b")
+    // sortedSmall: the sort's child is the candidate join + banded
+    // edit-distance verification — the query's dominant cost — and a
+    // plain orderBy would run it twice (boundary sample + real pass)
+    Materializer.sortedSmall(Materializer.tagFor("editres", dir),
+      cand
+        .join(d.as("a"), col("d1") === col("a.doc_id"))
+        .join(d.as("b"), col("d2") === col("b.doc_id") &&
+          col("a.lang") === col("b.lang") && col("a.band") === col("b.band"))
+        // 3-arg threshold form: banded O(k·n) DP with early abandon (returns
+        // -1 past the threshold) instead of the full O(n·m) table — the
+        // per-pair cost cap that matters when blocks are thousands wide
+        .withColumn("dist", levenshtein(col("a.pfx"), col("b.pfx"), EDIT_T))
+        .filter(col("dist") >= 0 && col("dist") <= EDIT_T)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.lang").as("lang"), col("dist")),
+      "doc_a", "doc_b")
   }
 
   val editNearDupSql: String = {
@@ -1049,13 +1073,16 @@ object Dedup {
     // duplication" is a finding, not an empty result — and the |S|²/2
     // spine is constant-size by construction
     val src = documents(spark, dir).select(col("source")).distinct()
-    src.as("x").join(src.as("y"), col("x.source") <= col("y.source"))
-      .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
-      .join(m, Seq("source_a", "source_b"), "left")
-      .select(col("source_a"), col("source_b"),
-        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
-        coalesce(col("n_groups"), lit(0L)).as("n_groups"))
-      .orderBy("source_a", "source_b")
+    // sortedSmall: the sort's child re-scans and re-hashes the whole
+    // corpus (md5 per text) — a plain orderBy would run it twice
+    Materializer.sortedSmall(Materializer.tagFor("xsrcres", dir),
+      src.as("x").join(src.as("y"), col("x.source") <= col("y.source"))
+        .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+        .join(m, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          coalesce(col("n_groups"), lit(0L)).as("n_groups")),
+      "source_a", "source_b")
   }
 
   val crossSourceDupsSql: String =
@@ -1096,16 +1123,19 @@ object Dedup {
       // min_by is hash-aggregable and deterministic here (doc_id unique)
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tok_all"),
         min_by(col("nt"), col("doc_id")).as("keep_nt"))
-    g.groupBy(col("source"))
-      .agg(sum(col("n_docs")).as("n_docs"),
-        count(lit(1)).as("n_unique"),
-        sum(col("tok_all")).as("n_tokens"),
-        sum(col("keep_nt")).as("n_tokens_kept"))
-      .select(col("source"), col("n_docs"), col("n_unique"),
-        col("n_tokens"), col("n_tokens_kept"),
-        (lit(1.0) - col("n_tokens_kept").cast("double") / col("n_tokens"))
-          .as("savings_frac"))
-      .orderBy("source")
+    // sortedSmall: the sort's child re-scans the corpus (md5 + token
+    // count per text) — a plain orderBy would run it twice
+    Materializer.sortedSmall(Materializer.tagFor("savingsres", dir),
+      g.groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          count(lit(1)).as("n_unique"),
+          sum(col("tok_all")).as("n_tokens"),
+          sum(col("keep_nt")).as("n_tokens_kept"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          col("n_tokens"), col("n_tokens_kept"),
+          (lit(1.0) - col("n_tokens_kept").cast("double") / col("n_tokens"))
+            .as("savings_frac")),
+      "source")
   }
 
   val dedupSavingsSql: String =
@@ -1198,12 +1228,15 @@ object Dedup {
     // list is the small side here; the joins stay un-hinted so AQE
     // broadcasts the pair list when its runtime size allows and falls
     // back to a shuffled equi-join on doc_id otherwise.
-    ngramJaccard(spark, dir)
-      .join(sp.select(col("doc_id").as("d1"), col("split").as("split_1")), "d1")
-      .join(sp.select(col("doc_id").as("d2"), col("split").as("split_2")), "d2")
-      .filter(col("split_1") =!= col("split_2"))
-      .select(col("d1"), col("d2"), col("jaccard"), col("split_1"), col("split_2"))
-      .orderBy("d1", "d2")
+    // sortedSmall: the sort's child re-derives the corpus-wide split
+    // hash (a full text scan) — a plain orderBy would run it twice
+    Materializer.sortedSmall(Materializer.tagFor("leakres", dir),
+      ngramJaccard(spark, dir)
+        .join(sp.select(col("doc_id").as("d1"), col("split").as("split_1")), "d1")
+        .join(sp.select(col("doc_id").as("d2"), col("split").as("split_2")), "d2")
+        .filter(col("split_1") =!= col("split_2"))
+        .select(col("d1"), col("d2"), col("jaccard"), col("split_1"), col("split_2")),
+      "d1", "d2")
   }
 
   val splitLeakageSql: String =
@@ -1245,18 +1278,30 @@ object Dedup {
       .select(col("doc_id"), col("n_tokens"),
         element_at(col("kh"), 1).as("head"),
         element_at(col("kh"), -1).as("tail"))
-    val hdf = count(lit(1)).over(Window.partitionBy(col("head")))
-    val tdf = count(lit(1)).over(Window.partitionBy(col("tail")))
-    val capped = Materializer.materialize(Materializer.tagFor("stitch", dir),
-      kg.withColumn("hdf", hdf).withColumn("tdf", tdf)
-        .filter(col("hdf") <= DF_CAP && col("tdf") <= DF_CAP)
-        .drop("hdf", "tdf"))
-    capped.as("a").join(capped.as("b"),
-        col("a.tail") === col("b.head") && col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("left_doc"), col("b.doc_id").as("right_doc"),
-        col("a.tail").as("boundary_hash"),
-        col("a.n_tokens").as("left_tokens"), col("b.n_tokens").as("right_tokens"))
-      .orderBy("left_doc", "right_doc")
+    // df-caps via agg + broadcast-anti over the materialized head/tail
+    // table, not two count windows: the window form shuffled and sorted
+    // the whole table TWICE (once per partition key) to attach counts
+    // whose hot-key sets are tiny — the same cost NearDup.cappedPostings
+    // removed from the shingle family. kg is materialized first so the
+    // text scan + k-gram hashing runs once; the hot sets and both
+    // self-join sides re-read the small parquet.
+    val kgm = Materializer.materialize(Materializer.tagFor("stitchkg", dir), kg)
+    def hotSet(key: String, tag: String) =
+      Materializer.materialize(Materializer.tagFor(tag, dir),
+        kgm.groupBy(col(key)).agg(count(lit(1)).as("df"))
+          .filter(col("df") > DF_CAP).select(col(key)))
+    val capped = kgm
+      .join(hotSet("head", "stitchhh"), Seq("head"), "left_anti")
+      .join(hotSet("tail", "stitchht"), Seq("tail"), "left_anti")
+    // sortedSmall: the sort's child is the boundary self-join — a plain
+    // orderBy would run it twice (boundary sample + real pass)
+    Materializer.sortedSmall(Materializer.tagFor("stitchres", dir),
+      capped.as("a").join(capped.as("b"),
+          col("a.tail") === col("b.head") && col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("left_doc"), col("b.doc_id").as("right_doc"),
+          col("a.tail").as("boundary_hash"),
+          col("a.n_tokens").as("left_tokens"), col("b.n_tokens").as("right_tokens")),
+      "left_doc", "right_doc")
   }
 
   val shardStitchSql: String =
@@ -1300,18 +1345,21 @@ object Dedup {
           .cast("long").as("q_mu"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("q_mu").desc, col("doc_id").asc)
-    scored
-      .withColumn("rk", row_number().over(w))
-      .groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("n_members"),
-        min(col("doc_id")).as("min_keeper"),
-        min(when(col("rk") === 1, col("doc_id"))).as("best_keeper"),
-        min(when(col("rk") === 1, col("q_mu"))).as("best_q_mu"),
-        min(when(col("doc_id") === col("cluster_id"), col("q_mu"))).as("min_q_mu"))
-      .select(col("cluster_id"), col("n_members"), col("min_keeper"),
-        col("best_keeper"), col("best_q_mu"),
-        (col("best_q_mu") - col("min_q_mu")).as("q_gain_mu"))
-      .orderBy("cluster_id")
+    // sortedSmall: the sort's child re-scans documents and re-scores
+    // quality — a plain orderBy would run it twice
+    Materializer.sortedSmall(Materializer.tagFor("keeperres", dir),
+      scored
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("doc_id")).as("min_keeper"),
+          min(when(col("rk") === 1, col("doc_id"))).as("best_keeper"),
+          min(when(col("rk") === 1, col("q_mu"))).as("best_q_mu"),
+          min(when(col("doc_id") === col("cluster_id"), col("q_mu"))).as("min_q_mu"))
+        .select(col("cluster_id"), col("n_members"), col("min_keeper"),
+          col("best_keeper"), col("best_q_mu"),
+          (col("best_q_mu") - col("min_q_mu")).as("q_gain_mu")),
+      "cluster_id")
   }
 
   val bestKeeperSql: String =
@@ -1372,12 +1420,15 @@ object Dedup {
       .join(assigned.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
       .filter(col("s1") =!= col("s2"))
       .agg(count(lit(1)).as("cross_pairs"))
-    assigned.groupBy(col("split"))
-      .agg(countDistinct(col("gk")).as("n_groups"),
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"))
-      .crossJoin(broadcast(cross))
-      .orderBy("split")
+    // sortedSmall: the sort's child re-scans documents (token counts +
+    // split assignment) — a plain orderBy would run it twice
+    Materializer.sortedSmall(Materializer.tagFor("lssres", dir),
+      assigned.groupBy(col("split"))
+        .agg(countDistinct(col("gk")).as("n_groups"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .crossJoin(broadcast(cross)),
+      "split")
   }
 
   val leakageSafeSplitSql: String =
@@ -1430,15 +1481,18 @@ object Dedup {
       .agg(count(lit(1)).as("n_sh"),
         sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
     val maxId = perDoc.agg(max(col("doc_id")).as("mx"))
-    perDoc.crossJoin(broadcast(maxId))
-      .groupBy(floor(col("doc_id") * NOVELTY_BUCKETS / (col("mx") + 1))
-        .cast("long").as("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_sh")).as("n_shingles"),
-        sum(col("n_novel")).as("n_novel"),
-        floor(sum(col("n_novel")).cast("double") * 1000000.0 /
-          sum(col("n_sh")).cast("double")).cast("long").as("novelty_ppm"))
-      .orderBy("bucket")
+    // sortedSmall: the sort's child re-runs the first-seer join over
+    // the posting index — a plain orderBy would run it twice
+    Materializer.sortedSmall(Materializer.tagFor("noveltyres", dir),
+      perDoc.crossJoin(broadcast(maxId))
+        .groupBy(floor(col("doc_id") * NOVELTY_BUCKETS / (col("mx") + 1))
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_sh")).as("n_shingles"),
+          sum(col("n_novel")).as("n_novel"),
+          floor(sum(col("n_novel")).cast("double") * 1000000.0 /
+            sum(col("n_sh")).cast("double")).cast("long").as("novelty_ppm")),
+      "bucket")
   }
 
   val ngramNoveltySql: String =

@@ -66,12 +66,31 @@ object NearDup {
                        pairCond: Column, c1: String, c2: String,
                        score: (Column, Column, Column) => Column,
                        gate: (Column, Column) => Column = (_, _) => lit(true))
-      : DataFrame =
-    cappedPairStats(postings, key, dfCap, tag, pairCond, c1, c2, gate)
-      .select(col(c1), col(c2), col("common"),
-        score(col("common"), col("n1"), col("n2")).as(scoreName))
-      .filter(col(scoreName) >= threshold)
-      .orderBy(c1, c2)
+      : DataFrame = {
+    // The scored pair set is materialized BEFORE the final orderBy
+    // because a range-partitioned sort runs its child plan TWICE — once
+    // inside RangePartitioner's boundary sample, once for the real
+    // shuffle — and the child here is the final pair aggregate over the
+    // candidate-fanout exchange, the largest relation in the query (the
+    // sf10 profile measured the sample pass alone at 227 executor-run
+    // seconds re-aggregating 94.5 M partial rows to produce boundaries
+    // for a 25.6 k-row sort). Materialized, both sort passes read a
+    // tiny parquet. The tag folds in every parameter that
+    // distinguishes callers sharing a posting-list tag (incremental vs
+    // symmetric dedup both ride "candidx"): threshold, score/column
+    // names, and the pair condition's expression string.
+    val scoredTag = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(s"$threshold|$scoreName|$c1|$c2|$pairCond".getBytes("UTF-8"))
+      tag + "-scored-" + md.digest().map("%02x".format(_)).mkString.take(12)
+    }
+    val scored = Materializer.materialize(scoredTag,
+      cappedPairStats(postings, key, dfCap, tag, pairCond, c1, c2, gate)
+        .select(col(c1), col(c2), col("common"),
+          score(col("common"), col("n1"), col("n2")).as(scoreName))
+        .filter(col(scoreName) >= threshold))
+    scored.orderBy(c1, c2)
+  }
 
   /** Unscored candidate statistics: (c1, c2, common, n1, n2) for every
     * capped-key candidate pair under `pairCond` — the raw material for
@@ -87,15 +106,27 @@ object NearDup {
       // form shuffled and SORTED the ENTIRE posting list by key (500 M
       // rows at the sf100 probe) to attach a count, where the hot-key
       // SET is tiny (59 keys above cap at sf0.1; hotness is a property
-      // of the key, not the row). The aggregate partial-aggregates
-      // map-side — only distinct keys reach the shuffle — and the
-      // anti-join against the hot set is AQE-broadcast at any realistic
-      // hot-set size (shuffled-anti fallback keeps it safe if a corpus
-      // ever produces millions of hot keys). Row-identical to the
-      // window form: count(*) per key > cap ⇔ df > cap.
-      val hot = postings.groupBy(col(key)).agg(count(lit(1)).as("df"))
-        .filter(col("df") > dfCap)
-        .select(col(key))
+      // of the key, not the row).
+      //
+      // The hot set is MATERIALIZED before the anti-join, not left as a
+      // plan subtree: planned inline, the join's right side carries the
+      // UNFILTERED aggregate's statistics (AQE re-plans a join only
+      // from completed exchange stats, and the df > cap filter runs
+      // after the final aggregate it was waiting on), so the planner
+      // kept a co-partitioned anti-join and shuffled the full posting
+      // list by key anyway — the sf10 profile measured that shuffle +
+      // join at ~536 executor-run seconds, the exact cost the
+      // agg+anti rewrite was meant to remove. Written to parquet
+      // first, the hot set's TRUE size (59 keys at sf0.1) is file-scan
+      // metadata, the static planner broadcasts it, and the posting
+      // list never shuffles. A corpus with an over-broadcast-threshold
+      // hot set falls back to the shuffled anti-join on its own — the
+      // safety property is the planner's size rule, not a hint.
+      // Row-identical to the window form: count(*) > cap ⇔ df > cap.
+      val hot = Materializer.materialize(tag + "-hot",
+        postings.groupBy(col(key)).agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap)
+          .select(col(key)))
       postings.join(hot, Seq(key), "left_anti")
     })
 
@@ -112,10 +143,19 @@ object NearDup {
     // the largest relation in the query (pairs sharing ≥1 capped key,
     // BEFORE the similarity threshold prunes it), so the sf100 profile
     // showed each post-agg size join costing as much as the pair join
-    // itself. sizes ⋈ capped is one posting-list-sized hash join (AQE
-    // broadcasts sizes when small); the pair shuffle widens by 16 bytes
-    // per row — strictly cheaper than re-shuffling the pair set twice.
-    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // itself. The sizes table is MATERIALIZED (one row per doc — tiny
+    // beside the posting list) for the same reason as the hot-key set
+    // in [[cappedPostings]]: planned inline, its exchange materializes
+    // CONCURRENTLY with the posting list's doc_id exchange, so by the
+    // time AQE can see sizes is broadcast-small the posting shuffle has
+    // already run (the sf10 profile measured that shuffle at 447
+    // executor-run seconds against a 4 MB sizes side). Scanned from
+    // parquet, its true size drives the static planner: broadcast when
+    // small, the ordinary co-partitioned join when a corpus outgrows
+    // the threshold. The pair shuffle widens by 16 bytes per row —
+    // strictly cheaper than re-shuffling the pair set twice.
+    val sizes = Materializer.materialize(tag + "-sizes",
+      capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n")))
     val withN = capped.join(sizes, Seq("doc_id"))
     // SHUFFLE_HASH, not sort-merge: SMJ sorts BOTH shuffled sides by
     // key before streaming — at the sf10 probe that sort was the

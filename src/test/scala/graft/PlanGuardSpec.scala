@@ -220,10 +220,14 @@ class PlanGuardSpec extends AnyFunSuite {
       "q_ab_test", "q_attribution", "q_multitouch_attribution", "q_funnel",
       "q_audience_overlap", "q_kmv_overlap", "q_set_ops_priorities",
       "q_semi_anti_customers", "q_merge_upsert", "q_dau_stickiness",
-      "q_threeway_join", "q_skew_join", "q_cross_source_dups",
+      "q_threeway_join", "q_skew_join",
       "q_lang_confusion", "q_waiting_orders", "q_brand_affinity",
-      "q_edit_neardup", "q_embedding_neardup", "q_norm_dedup",
-      "q_split_leakage", "q_filter_cascade", "q_anomaly_days",
+      "q_embedding_neardup", "q_norm_dedup",
+      "q_filter_cascade", "q_anomaly_days",
+      // (r14: q_cross_source_dups, q_edit_neardup, q_split_leakage,
+      // q_leakage_safe_split left this list — sortedSmall materializes
+      // their small results before the final sort, so the range-sort
+      // boundary sample no longer re-scans the fact table)
       "q_chi2_assoc") ++
     declared("bounded-aggregate join-back: the extra scans feed scalar / " +
       "low-cardinality bounds (global threshold, marginal totals, " +
@@ -231,7 +235,7 @@ class PlanGuardSpec extends AnyFunSuite {
       "each bound pass prunes to the 1-2 columns it aggregates")(
       "q_above_avg_orders", "q_benford", "q_bm25", "q_calendar_fill",
       "q_cohort_retention", "q_decayed_engagement", "q_drift_psi",
-      "q_js_divergence", "q_lang_kappa", "q_leakage_safe_split",
+      "q_js_divergence", "q_lang_kappa",
       "q_length_histogram", "q_mad_outliers", "q_moving_avg",
       "q_quality_lift", "q_quantiles_cont", "q_quantiles_disc",
       "q_repetition_stats", "q_seasonal_profile", "q_skew_report",

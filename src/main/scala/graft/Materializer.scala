@@ -106,6 +106,14 @@ object Materializer {
   def materialize(tag: String, df: DataFrame): DataFrame = {
     val task = new java.util.concurrent.FutureTask[String](() => {
       val p = root.resolve(tag).toString
+      // PlanAudit sets graft.plan.dump so the materialized SUBTREES —
+      // where the interesting shuffle/join/cap decisions live — appear
+      // in the dumped plans, not just the final scan-of-parquet tail
+      if (System.getProperty("graft.plan.dump") != null) {
+        println(s"----- materialize[${tag.replaceAll("-[0-9a-f]{12,}", "")}] -----")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      }
       df.write.mode(SaveMode.Overwrite).parquet(p)
       p
     })

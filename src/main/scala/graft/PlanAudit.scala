@@ -21,10 +21,15 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // dump materialized subtrees too (see Materializer.materialize), and
+    // clear between queries so every dump is self-contained — a shared
+    // tag (candidx …) would otherwise print only under the first query
+    System.setProperty("graft.plan.dump", "1")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n===== $name =====")
         fn(spark, sfDir).explain("formatted")
+        Materializer.clear()
       }
     }
     spark.stop()

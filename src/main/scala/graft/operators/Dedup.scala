@@ -152,7 +152,18 @@ object Dedup {
   // shape (see the adjudication on that method).
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     NearDup.cappedJaccardPairs(shingleIndex(spark, dir), "sh", DF_CAP,
-      JACCARD_T, "jaccard", Materializer.tagFor("candidx", dir))
+      JACCARD_T, "jaccard", Materializer.tagFor("candidx", dir),
+      inputMaterialized = true)
+
+  /** The near-dup pair SET without [[ngramJaccard]]'s final global sort
+    * — what the clustering/split/audit consumers actually need. Reading
+    * the materialized scored relation directly saves each of them a
+    * range sort (boundary-sample pass + exchange) plus, previously, a
+    * redundant second on-disk copy of the same pairs ("ndpairs"). */
+  private def ngramJaccardUnsorted(spark: SparkSession, dir: String): DataFrame =
+    NearDup.cappedJaccardPairsUnsorted(shingleIndex(spark, dir), "sh", DF_CAP,
+      JACCARD_T, "jaccard", Materializer.tagFor("candidx", dir),
+      inputMaterialized = true)
 
   val ngramJaccardSql: String =
     s"""WITH ex AS ($sqlShingleIndex),
@@ -186,7 +197,7 @@ object Dedup {
   def containment(spark: SparkSession, dir: String): DataFrame = {
     val st = NearDup.cappedPairStats(shingleIndex(spark, dir), "sh", DF_CAP,
       Materializer.tagFor("candidx", dir), col("a.doc_id") < col("b.doc_id"),
-      "d1", "d2")
+      "d1", "d2", inputMaterialized = true)
     // sortedSmall: the sort's child is the full pair aggregate — the
     // adjudicated pair-volume floor (124 M fanout rows at sf10) — and a
     // plain orderBy would run it twice (boundary sample + real pass)
@@ -424,7 +435,7 @@ object Dedup {
     * shuffles on (d1,d2) and the rollup is one row. Integer ppm via
     * floor division keeps the row hash-exact cross-engine. */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
-    val truth = ngramJaccard(spark, dir).select(col("d1"), col("d2"))
+    val truth = ngramJaccardUnsorted(spark, dir).select(col("d1"), col("d2"))
       .withColumn("t", lit(1L))
     val cand = lshCandidates(spark, dir).withColumn("c", lit(1L))
     truth.join(cand, Seq("d1", "d2"), "full_outer")
@@ -578,7 +589,7 @@ object Dedup {
     NearDup.cappedJaccardJoin(shingleIndex(spark, dir), "sh", DF_CAP,
       JACCARD_T, "jaccard", Materializer.tagFor("candidx", dir),
       newA && (!newB || col("a.doc_id") < col("b.doc_id")),
-      "new_doc", "other_doc")
+      "new_doc", "other_doc", inputMaterialized = true)
   }
 
   val incrementalNearDupSql: String =
@@ -667,13 +678,18 @@ object Dedup {
     * every doc in at least one near-dup pair; singleton docs are their
     * own trivial cluster and are omitted. Oracle: the same closure via a
     * DuckDB recursive CTE. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // pairs materialized FIRST: the union below references the subtree
-    // twice (forward + reversed), and the jaccard pipeline must not run
-    // per reference; the union itself is then two scans of a tiny
-    // parquet and needs no copy of its own
-    val pairs = Materializer.materialize(Materializer.tagFor("ndpairs", dir),
-      ngramJaccard(spark, dir).select(col("d1"), col("d2")))
+  /** The raw (node → cluster label) relation — [[dedupClusters]] minus
+    * the output projection and global sort, for the downstream
+    * consumers (keeper choice, soft weights, leakage-safe split) that
+    * join on it and would otherwise pay a range sort per reference
+    * just to discard the order. */
+  private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    // the pair set is read straight from the scored relation the
+    // jaccard pipeline already materialized — the union below is then
+    // two scans of a tiny parquet (the former explicit "ndpairs" copy
+    // duplicated those bytes and paid ngramJaccard's final sort on the
+    // way)
+    val pairs = ngramJaccardUnsorted(spark, dir).select(col("d1"), col("d2"))
     val edges = pairs
       .unionByName(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("a", "b")
@@ -711,10 +727,14 @@ object Dedup {
               least(col("o.lbl"), coalesce(col("u.nlbl"), col("o.lbl"))).as("lbl")))
     }
     require(changed == 0, s"label propagation did not converge in $iter rounds")
-    labels.select(col("d").as("doc_id"), col("lbl").as("cluster_id"),
-      (col("d") === col("lbl")).cast("int").as("is_keeper"))
-      .orderBy("doc_id")
+    labels
   }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir)
+      .select(col("d").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("d") === col("lbl")).cast("int").as("is_keeper"))
+      .orderBy("doc_id")
 
   val dedupClustersSql: String =
     s"""WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ($ngramJaccardSql)),
@@ -744,8 +764,8 @@ object Dedup {
     * corpus-proportional at a realistic dup rate; AQE broadcasts it only
     * when its runtime size allows, same rule as [[leakageSafeSplit]]). */
   def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
-    val labels = dedupClusters(spark, dir)
-      .select(col("doc_id").as("d"), col("cluster_id"))
+    val labels = clusterLabels(spark, dir)
+      .select(col("d"), col("lbl").as("cluster_id"))
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("csize"))
     documents(spark, dir).select(col("doc_id"))
@@ -920,7 +940,7 @@ object Dedup {
     // length-band) AND pass the banded prefix edit-distance gate — the
     // shingle requirement is the scale bound, documented recall trade.
     val capped = NearDup.cappedPostings(shingleIndex(spark, dir), "sh", DF_CAP,
-      Materializer.tagFor("candidx", dir))
+      Materializer.tagFor("candidx", dir), inputMaterialized = true)
     // SHUFFLE_HASH for the same reason as NearDup.cappedPairStats: the
     // per-key groups are ≤ DF_CAP rows and nothing downstream needs the
     // SMJ sort order — the sorts were the join stages' dominant cost
@@ -1168,7 +1188,7 @@ object Dedup {
   def dedupSweep(spark: SparkSession, dir: String): DataFrame = {
     val st = NearDup.cappedPairStats(shingleIndex(spark, dir), "sh", DF_CAP,
       Materializer.tagFor("candidx", dir), col("a.doc_id") < col("b.doc_id"),
-      "d1", "d2")
+      "d1", "d2", inputMaterialized = true)
     val b = st.select(least(floor(
         (col("common").cast("double") / (col("n1") + col("n2") - col("common"))) * 10)
         .cast("int"), lit(9)).as("bucket"))
@@ -1231,7 +1251,7 @@ object Dedup {
     // sortedSmall: the sort's child re-derives the corpus-wide split
     // hash (a full text scan) — a plain orderBy would run it twice
     Materializer.sortedSmall(Materializer.tagFor("leakres", dir),
-      ngramJaccard(spark, dir)
+      ngramJaccardUnsorted(spark, dir)
         .join(sp.select(col("doc_id").as("d1"), col("split").as("split_1")), "d1")
         .join(sp.select(col("doc_id").as("d2"), col("split").as("split_2")), "d2")
         .filter(col("split_1") =!= col("split_2"))
@@ -1337,7 +1357,8 @@ object Dedup {
     * pruned — the quality expression never runs over the non-clustered
     * corpus), + a |members| window. */
   def bestKeeper(spark: SparkSession, dir: String): DataFrame = {
-    val labels = dedupClusters(spark, dir).select(col("doc_id"), col("cluster_id"))
+    val labels = clusterLabels(spark, dir)
+      .select(col("d").as("doc_id"), col("lbl").as("cluster_id"))
     val scored = documents(spark, dir)
       .join(labels, "doc_id")  // semi-shaped: only cluster members scored
       .select(col("doc_id"), col("cluster_id"),
@@ -1400,7 +1421,8 @@ object Dedup {
     * corpus-PROPORTIONAL at a realistic dup rate, so the join is
     * un-hinted: AQE broadcasts it only when its runtime size allows. */
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
-    val labels = dedupClusters(spark, dir).select(col("doc_id").as("d"), col("cluster_id"))
+    val labels = clusterLabels(spark, dir)
+      .select(col("d"), col("lbl").as("cluster_id"))
     val grouped = documents(spark, dir)
       .select(col("doc_id"), tokenCountFast(col("text")).as("n_tokens"))
       .join(labels, col("doc_id") === col("d"), "left")
@@ -1410,11 +1432,10 @@ object Dedup {
     val assigned = grouped.select(col("doc_id"), col("n_tokens"), col("gk"),
       when(splitCol <= 7L, "train").when(splitCol === 8L, "val")
         .otherwise("test").as("split"))
-    // same tag dedupClusters used — the pair table is already on disk
-    // from the labeling pass above, so the cross-split count re-reads it
-    // instead of re-running the whole jaccard pipeline
-    val pairs = Materializer.materialize(Materializer.tagFor("ndpairs", dir),
-      ngramJaccard(spark, dir).select(col("d1"), col("d2")))
+    // the scored pair relation is already on disk from the labeling
+    // pass above — the cross-split count re-reads it directly (no sort,
+    // no second copy)
+    val pairs = ngramJaccardUnsorted(spark, dir).select(col("d1"), col("d2"))
     val cross = pairs
       .join(assigned.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
       .join(assigned.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")

@@ -22,18 +22,46 @@ import graft.Materializer
 object NearDup {
 
   /** df-capped jaccard near-dup pairs over a `(doc_id, key)` posting
-    * list. The capped list is materialized under `tag` — it is
-    * referenced three times (sizes + both self-join sides) and Spark has
-    * no cross-reference subtree reuse. Output: (d1, d2, common,
-    * `scoreName`) for pairs with score ≥ `threshold`, d1 < d2.
+    * list. The posting list is materialized under `tag` (unless the
+    * caller says it already is) — it is referenced three times (sizes +
+    * both self-join sides) and Spark has no cross-reference subtree
+    * reuse. Output: (d1, d2, common, `scoreName`) for pairs with
+    * score ≥ `threshold`, d1 < d2.
     *
-    * Scale shape: one window shuffle on key (df cap), one self-join on
+    * Scale shape: one tiny hot-key aggregate (df cap), one self-join on
     * key with per-key fan-out bounded by dfCap², one aggregate on the
     * pair key — never the O(n²) pair space. */
   def cappedJaccardPairs(postings: DataFrame, key: String, dfCap: Int,
-                         threshold: Double, scoreName: String, tag: String): DataFrame =
+                         threshold: Double, scoreName: String, tag: String,
+                         inputMaterialized: Boolean = false): DataFrame =
     cappedJaccardJoin(postings, key, dfCap, threshold, scoreName, tag,
-      col("a.doc_id") < col("b.doc_id"), "d1", "d2")
+      col("a.doc_id") < col("b.doc_id"), "d1", "d2", inputMaterialized)
+
+  /** [[cappedJaccardPairs]] without the final global sort — for
+    * consumers (clustering, splits, audits) that only need the pair SET
+    * and would otherwise pay a range sort (sample pass + exchange) per
+    * reference just to discard the order. Returns the materialized
+    * scored relation directly. */
+  def cappedJaccardPairsUnsorted(postings: DataFrame, key: String, dfCap: Int,
+                                 threshold: Double, scoreName: String, tag: String,
+                                 inputMaterialized: Boolean = false): DataFrame =
+    cappedScoredPairs(postings, key, dfCap, threshold, scoreName, tag,
+      col("a.doc_id") < col("b.doc_id"), "d1", "d2",
+      jaccardScore, jaccardGate(threshold), inputMaterialized)
+
+  private def jaccardScore: (Column, Column, Column) => Column =
+    (common, n1, n2) => common.cast("double") / (n1 + n2 - common)
+
+  // jaccard size-ratio gate, applied INSIDE the pair-join condition:
+  // common ≤ min(n1,n2) and jaccard is increasing in common, so the
+  // attainable max is min/max — a pair below it can NEVER pass the
+  // final threshold filter (fl() is monotone, so the argument
+  // survives double rounding: exact, not heuristic). Pruning at the
+  // join drops the fanout rows themselves, which is what unloads
+  // the pair aggregate (the sf100 profile measured 1.24 B partial
+  // rows and 185 GB of aggregate spill for a ~256-row result).
+  private def jaccardGate(threshold: Double): (Column, Column) => Column =
+    (n1, n2) => least(n1, n2).cast("double") / greatest(n1, n2) >= threshold
 
   /** The general form: pair space = self-join on key restricted by
     * `pairCond` over aliases `a`/`b` (symmetric dedup passes
@@ -42,20 +70,11 @@ object NearDup {
     * `scoreName`), ordered by (c1, c2). */
   def cappedJaccardJoin(postings: DataFrame, key: String, dfCap: Int,
                         threshold: Double, scoreName: String, tag: String,
-                        pairCond: Column, c1: String, c2: String): DataFrame =
+                        pairCond: Column, c1: String, c2: String,
+                        inputMaterialized: Boolean = false): DataFrame =
     cappedScoredJoin(postings, key, dfCap, threshold, scoreName, tag,
-      pairCond, c1, c2,
-      (common, n1, n2) => common.cast("double") / (n1 + n2 - common),
-      // jaccard size-ratio gate, applied INSIDE the pair-join condition:
-      // common ≤ min(n1,n2) and jaccard is increasing in common, so the
-      // attainable max is min/max — a pair below it can NEVER pass the
-      // final threshold filter (fl() is monotone, so the argument
-      // survives double rounding: exact, not heuristic). Pruning at the
-      // join drops the fanout rows themselves, which is what unloads
-      // the pair aggregate (the sf100 profile measured 1.24 B partial
-      // rows and 185 GB of aggregate spill for a ~256-row result).
-      gate = (n1, n2) =>
-        least(n1, n2).cast("double") / greatest(n1, n2) >= threshold)
+      pairCond, c1, c2, jaccardScore,
+      gate = jaccardGate(threshold), inputMaterialized = inputMaterialized)
 
   /** Fully general form: `score(common, n1, n2)` plugs the similarity
     * formula (jaccard = c/(n1+n2−c); containment = c/n1; overlap
@@ -65,77 +84,106 @@ object NearDup {
                        threshold: Double, scoreName: String, tag: String,
                        pairCond: Column, c1: String, c2: String,
                        score: (Column, Column, Column) => Column,
-                       gate: (Column, Column) => Column = (_, _) => lit(true))
+                       gate: (Column, Column) => Column = (_, _) => lit(true),
+                       inputMaterialized: Boolean = false)
+      : DataFrame =
+    cappedScoredPairs(postings, key, dfCap, threshold, scoreName, tag,
+      pairCond, c1, c2, score, gate, inputMaterialized)
+      .orderBy(c1, c2)
+
+  /** The materialized scored pair relation BEFORE the final orderBy.
+    *
+    * Materialized because a range-partitioned sort runs its child plan
+    * TWICE — once inside RangePartitioner's boundary sample, once for
+    * the real shuffle — and the child here is the final pair aggregate
+    * over the candidate-fanout exchange, the largest relation in the
+    * query (the sf10 profile measured the sample pass alone at 227
+    * executor-run seconds re-aggregating 94.5 M partial rows to produce
+    * boundaries for a 25.6 k-row sort). Materialized, both sort passes
+    * read a tiny parquet — and unsorted consumers (clustering, splits)
+    * skip the sort entirely. The tag folds in every parameter that
+    * distinguishes callers sharing a posting-list tag (incremental vs
+    * symmetric dedup both ride "candidx"): threshold, score/column
+    * names, and the pair condition's expression string. */
+  def cappedScoredPairs(postings: DataFrame, key: String, dfCap: Int,
+                        threshold: Double, scoreName: String, tag: String,
+                        pairCond: Column, c1: String, c2: String,
+                        score: (Column, Column, Column) => Column,
+                        gate: (Column, Column) => Column = (_, _) => lit(true),
+                        inputMaterialized: Boolean = false)
       : DataFrame = {
-    // The scored pair set is materialized BEFORE the final orderBy
-    // because a range-partitioned sort runs its child plan TWICE — once
-    // inside RangePartitioner's boundary sample, once for the real
-    // shuffle — and the child here is the final pair aggregate over the
-    // candidate-fanout exchange, the largest relation in the query (the
-    // sf10 profile measured the sample pass alone at 227 executor-run
-    // seconds re-aggregating 94.5 M partial rows to produce boundaries
-    // for a 25.6 k-row sort). Materialized, both sort passes read a
-    // tiny parquet. The tag folds in every parameter that
-    // distinguishes callers sharing a posting-list tag (incremental vs
-    // symmetric dedup both ride "candidx"): threshold, score/column
-    // names, and the pair condition's expression string.
     val scoredTag = {
       val md = java.security.MessageDigest.getInstance("MD5")
       md.update(s"$threshold|$scoreName|$c1|$c2|$pairCond".getBytes("UTF-8"))
       tag + "-scored-" + md.digest().map("%02x".format(_)).mkString.take(12)
     }
-    val scored = Materializer.materialize(scoredTag,
-      cappedPairStats(postings, key, dfCap, tag, pairCond, c1, c2, gate)
+    Materializer.materialize(scoredTag,
+      cappedPairStats(postings, key, dfCap, tag, pairCond, c1, c2, gate,
+        inputMaterialized)
         .select(col(c1), col(c2), col("common"),
           score(col("common"), col("n1"), col("n2")).as(scoreName))
         .filter(col(scoreName) >= threshold))
-    scored.orderBy(c1, c2)
   }
 
-  /** Unscored candidate statistics: (c1, c2, common, n1, n2) for every
-    * capped-key candidate pair under `pairCond` — the raw material for
-    * asymmetric scorers that want BOTH directions from one half-sized
-    * pair join (compute a<b once, derive a→b and b→a). */
-  /** The df-capped posting list itself, materialized under `tag` — the
-    * shared candidate substrate every consumer (jaccard, containment,
-    * edit-verify, …) builds its pair join from. */
+  /** The df-capped posting list — the shared candidate substrate every
+    * consumer (jaccard, containment, edit-verify, …) builds its pair
+    * join from.
+    *
+    * df-cap as aggregate + anti-join, NOT a count window: the window
+    * form shuffled and SORTED the ENTIRE posting list by key (500 M
+    * rows at the sf100 probe) to attach a count, where the hot-key
+    * SET is tiny (59 keys above cap at sf0.1; hotness is a property
+    * of the key, not the row).
+    *
+    * The hot set is MATERIALIZED before the anti-join, not left as a
+    * plan subtree: planned inline, the join's right side carries the
+    * UNFILTERED aggregate's statistics (AQE re-plans a join only
+    * from completed exchange stats, and the df > cap filter runs
+    * after the final aggregate it was waiting on), so the planner
+    * kept a co-partitioned anti-join and shuffled the full posting
+    * list by key anyway — the sf10 profile measured that shuffle +
+    * join at ~536 executor-run seconds, the exact cost the
+    * agg+anti rewrite was meant to remove. Written to parquet
+    * first, the hot set's TRUE size (59 keys at sf0.1) is file-scan
+    * metadata, the static planner broadcasts it, and the posting
+    * list never shuffles. A corpus with an over-broadcast-threshold
+    * hot set falls back to the shuffled anti-join on its own — the
+    * safety property is the planner's size rule, not a hint.
+    * Row-identical to the window form: count(*) > cap ⇔ df > cap.
+    *
+    * The capped RESULT is no longer materialized (round 14, second
+    * pass): each consumer re-applies the broadcast anti-join over the
+    * materialized posting scan instead — a per-scan hash probe against
+    * a tiny build side, strictly cheaper than the extra full write +
+    * read round trip the result copy cost (measured at sf0.1: one
+    * round trip ≈ 0.3 s of the bench's per-query fixed cost across the
+    * whole family; at sf100 the anti-join probe is a no-op beside the
+    * scan it rides). What IS materialized is the INPUT posting list
+    * (under `tag + "-post"`) when the caller says it isn't already:
+    * without that, the raw posting pipeline (winnow windows, k-gram
+    * hashing) would re-run once per consumer — the hot aggregate plus
+    * every self-join side. Callers whose postings are already a
+    * materialized scan (the shared shingle index) pass
+    * `inputMaterialized = true` and skip the copy. */
   def cappedPostings(postings: DataFrame, key: String, dfCap: Int,
-                     tag: String): DataFrame =
-    Materializer.materialize(tag, {
-      // df-cap as aggregate + anti-join, NOT a count window: the window
-      // form shuffled and SORTED the ENTIRE posting list by key (500 M
-      // rows at the sf100 probe) to attach a count, where the hot-key
-      // SET is tiny (59 keys above cap at sf0.1; hotness is a property
-      // of the key, not the row).
-      //
-      // The hot set is MATERIALIZED before the anti-join, not left as a
-      // plan subtree: planned inline, the join's right side carries the
-      // UNFILTERED aggregate's statistics (AQE re-plans a join only
-      // from completed exchange stats, and the df > cap filter runs
-      // after the final aggregate it was waiting on), so the planner
-      // kept a co-partitioned anti-join and shuffled the full posting
-      // list by key anyway — the sf10 profile measured that shuffle +
-      // join at ~536 executor-run seconds, the exact cost the
-      // agg+anti rewrite was meant to remove. Written to parquet
-      // first, the hot set's TRUE size (59 keys at sf0.1) is file-scan
-      // metadata, the static planner broadcasts it, and the posting
-      // list never shuffles. A corpus with an over-broadcast-threshold
-      // hot set falls back to the shuffled anti-join on its own — the
-      // safety property is the planner's size rule, not a hint.
-      // Row-identical to the window form: count(*) > cap ⇔ df > cap.
-      val hot = Materializer.materialize(tag + "-hot",
-        postings.groupBy(col(key)).agg(count(lit(1)).as("df"))
-          .filter(col("df") > dfCap)
-          .select(col(key)))
-      postings.join(hot, Seq(key), "left_anti")
-    })
+                     tag: String, inputMaterialized: Boolean = false): DataFrame = {
+    val post =
+      if (inputMaterialized) postings
+      else Materializer.materialize(tag + "-post", postings)
+    val hot = Materializer.materialize(tag + "-hot",
+      post.groupBy(col(key)).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap)
+        .select(col(key)))
+    post.join(hot, Seq(key), "left_anti")
+  }
 
   def cappedPairStats(postings: DataFrame, key: String, dfCap: Int,
                       tag: String, pairCond: Column,
                       c1: String, c2: String,
-                      gate: (Column, Column) => Column = (_, _) => lit(true))
+                      gate: (Column, Column) => Column = (_, _) => lit(true),
+                      inputMaterialized: Boolean = false)
       : DataFrame = {
-    val capped = cappedPostings(postings, key, dfCap, tag)
+    val capped = cappedPostings(postings, key, dfCap, tag, inputMaterialized)
     // Per-doc sizes attach to the POSTING LIST before the pair join and
     // ride through the aggregate as grouping columns (functionally
     // dependent on the doc ids — same groups), instead of joining the

@@ -256,17 +256,28 @@ object ScalePatterns {
         RANGE_W_CENTS).as("lo_c"),
       (floor(col("s_acctbal") * 100.0 + lit(0.5)).cast("long") +
         RANGE_W_CENTS).as("hi_c"))
-    // dense grid bounds: cover every lookup point on both sides
-    val bounds = perCent.agg(min(col("cents")).as("cmin"), max(col("cents")).as("cmax"))
-      .crossJoin(supp.agg(min(col("lo_c") - 1).as("smin"), max(col("hi_c")).as("smax")))
-      .select(least(col("cmin"), col("smin")).as("gmin"),
-        greatest(col("cmax"), col("smax")).as("gmax"))
-    val grid = bounds
-      .select(explode(sequence(col("gmin"), col("gmax"))).as("cents"))
-      .join(perCent, Seq("cents"), "left")
+    // SPARSE grid (round 14): prefix sums only need rows at OCCUPIED
+    // cells plus the supplier LOOKUP points (hi_c and lo_c−1, weighted
+    // zero) — F is a step function, so its running sum at a lookup row
+    // over this set equals the dense-domain cumulative at that cent
+    // exactly. The former dense `sequence(gmin, gmax)` exploded the
+    // whole ~1.1 M-cent value domain FROM ONE ROW — a single-task
+    // generate stage (an inherent straggler at any scale) feeding
+    // window work proportional to the DOMAIN even when the corpus
+    // occupies a sliver of it. Sparse rows = |occupied cents| +
+    // 2·|suppliers| — corpus-bounded, fully parallel, same two-level
+    // prefix-sum shape (RangeJoinSpec pins output equality with the
+    // materialized pair join).
+    val pts = supp.select(col("hi_c").as("cents"))
+      .unionByName(supp.select((col("lo_c") - 1).as("cents")))
+      .distinct()
+    val grid = perCent
+      .unionByName(pts.select(col("cents"), lit(0L).as("cnt"),
+        lit(0).cast(dec).as("bal")))
+      .groupBy(col("cents"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("bal")).as("bal"))
       .select(col("cents"), (col("cents") / PFX_BUCKET).cast("long").as("bkt"),
-        coalesce(col("cnt"), lit(0L)).as("cnt"),
-        coalesce(col("bal"), lit(0).cast(dec)).as("bal"))
+        col("cnt"), col("bal"))
     val within = Window.partitionBy(col("bkt")).orderBy(col("cents").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fine = grid

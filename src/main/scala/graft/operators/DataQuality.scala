@@ -44,18 +44,31 @@ object DataQuality {
     * 100 TB you'd additionally bucket both sides on the key).
     */
   def dqConstraints(spark: SparkSession, dir: String): DataFrame = {
-    // one struct row per constraint out of a single-pass aggregate
-    def suite(tbl: String, df: DataFrame, checks: (String, Column)*): DataFrame = {
-      // coalesce like the oracle's CASE..ELSE 0: an all-NULL checked
-      // column (or an empty table) must report 0 violations, not a NULL
-      // that flips `passed` to 0 in one engine only
-      val agg = df.agg(count(lit(1)).as("n"),
-        checks.map { case (id, bad) =>
-          coalesce(sum(bad.cast("long")), lit(0L)).as(s"v_$id") }: _*)
-      agg.select(explode(array(checks.map { case (id, _) =>
+    // ONE aggregate pass per table (round 14): the row-local violation
+    // sums, the uniqueness check (n − countDistinct(pk)), and the row
+    // count the FK rows reuse all come out of the same scan — the
+    // separate unique()/fk-count scans re-read lineitem/orders/
+    // documents/customer 4 extra times for numbers one pass already
+    // had. `uniqueKey` folds the pk check in as a countDistinct
+    // (two-phase agg, still a single scan); the emitted struct rows are
+    // unchanged. coalesce like the oracle's CASE..ELSE 0: an all-NULL
+    // checked column (or an empty table) must report 0 violations, not
+    // a NULL that flips `passed` to 0 in one engine only.
+    def suite(tbl: String, df: DataFrame, uniqueKey: Option[String],
+              checks: (String, Column)*): DataFrame = {
+      val vSums = checks.map { case (id, bad) =>
+        coalesce(sum(bad.cast("long")), lit(0L)).as(s"v_$id") }
+      val uniq = uniqueKey.map(k =>
+        (count(lit(1)) - countDistinct(col(k))).as(s"v_pk_${k}_unique")).toSeq
+      val aggs = vSums ++ uniq
+      val agg = df.agg(count(lit(1)).as("n"), aggs: _*)
+      val rows = checks.map { case (id, _) =>
         struct(lit(id).as("constraint_id"), lit(tbl).as("tbl"),
           col("n").as("n_rows"), col(s"v_$id").as("violations"))
-      }: _*)).as("r")).select("r.*")
+      } ++ uniqueKey.map(k =>
+        struct(lit(s"pk_${k}_unique").as("constraint_id"), lit(tbl).as("tbl"),
+          col("n").as("n_rows"), col(s"v_pk_${k}_unique").as("violations")))
+      agg.select(explode(array(rows: _*)).as("r")).select("r.*")
     }
 
     val li = lineitem(spark, dir)
@@ -65,49 +78,43 @@ object DataQuality {
     val doc = documents(spark, dir)
 
     val rowLocal = Seq(
-      suite("lineitem", li,
+      suite("lineitem", li, None,
         "vals_returnflag" -> !col("l_returnflag").isin("A", "N", "R"),
         "vals_linestatus" -> !col("l_linestatus").isin("F", "O"),
         "range_quantity_pos" -> (col("l_quantity").isNull || col("l_quantity") <= 0.0),
         "range_discount_unit" -> (col("l_discount") < 0.0 || col("l_discount") > 1.0)),
-      suite("orders", ord,
+      suite("orders", ord, Some("o_orderkey"),
         "vals_orderstatus" -> !col("o_orderstatus").isin("F", "O", "P"),
         "range_totalprice_pos" -> (col("o_totalprice").isNull || col("o_totalprice") <= 0.0),
         "complete_orderdate" -> col("o_orderdate").isNull),
-      suite("events", ev,
+      suite("events", ev, None,
         "vals_event_type" -> !col("event_type").isin("click", "view", "purchase", "signup", "error"),
         "range_value_nonneg" -> (col("value").isNull || col("value") < 0.0),
         "range_ts_window" -> (col("ts").isNull ||
           col("ts") < to_timestamp(lit("2020-01-01 00:00:00")) ||
           col("ts") >= to_timestamp(lit("2030-01-01 00:00:00")))),
-      suite("documents", doc,
+      suite("documents", doc, Some("doc_id"),
         "complete_text" -> (col("text").isNull || trim(col("text")) === ""),
-        "complete_lang" -> (col("lang").isNull || col("lang") === "")))
-
-    // uniqueness: n − |distinct keys| (one scan, keys shuffle)
-    def unique(tbl: String, df: DataFrame, key: String): DataFrame =
-      df.agg(count(lit(1)).as("n_rows"),
-          (count(lit(1)) - countDistinct(col(key))).as("violations"))
-        .select(lit(s"pk_${key}_unique").as("constraint_id"), lit(tbl).as("tbl"),
-          col("n_rows"), col("violations"))
+        "complete_lang" -> (col("lang").isNull || col("lang") === "")),
+      suite("customer", cust, Some("c_custkey")))
 
     // referential integrity: distinct fact keys anti-join the dimension,
-    // violation count = rows carried by the missing keys
+    // violation count = rows carried by the missing keys. The fact's
+    // total row count comes from the keyed aggregate itself (sum of
+    // per-key counts) — not a second full scan of the fact table.
     def fk(id: String, tbl: String, fact: DataFrame, factKey: String,
            dim: DataFrame, dimKey: String): DataFrame = {
       val keys = fact.groupBy(col(factKey)).agg(count(lit(1)).as("key_rows"))
+      val nRows = keys.agg(coalesce(sum(col("key_rows")), lit(0L)).as("n_rows"))
       val missing = keys.join(dim.select(col(dimKey)),
         col(factKey) === col(dimKey), "left_anti")
       missing.agg(coalesce(sum(col("key_rows")), lit(0L)).as("violations"))
-        .crossJoin(fact.agg(count(lit(1)).as("n_rows")))
+        .crossJoin(broadcast(nRows))
         .select(lit(id).as("constraint_id"), lit(tbl).as("tbl"),
           col("n_rows"), col("violations"))
     }
 
     val all = (rowLocal ++ Seq(
-      unique("customer", cust, "c_custkey"),
-      unique("orders", ord, "o_orderkey"),
-      unique("documents", doc, "doc_id"),
       fk("fk_orders_custkey", "orders", ord, "o_custkey", cust, "c_custkey"),
       fk("fk_lineitem_orderkey", "lineitem", li, "l_orderkey", ord, "o_orderkey")))
       .reduce(_ unionByName _)

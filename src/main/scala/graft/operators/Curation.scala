@@ -79,12 +79,27 @@ object Curation {
         .select(col("doc_id"),
           spanHashArr(tokenHashesFast(col("text"))).as("spans"))
         .select(col("doc_id"), explode(col("spans")).as("sh")))
-    val dfreq = spans.groupBy(col("sh"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    spans.join(dfreq, "sh")
+    // only membership in the BOILERPLATE set matters downstream, so the
+    // join carries the filtered hot set (df ≥ BP_DF — tiny: boilerplate
+    // is repeated-by-definition, rare-by-construction), not the full
+    // per-span dfreq. The full relation stops being broadcastable as the
+    // corpus vocabulary grows and would demote the join to a shuffle of
+    // the whole exploded span table; the hot set stays broadcast-sized
+    // far longer, and a left join + null test reproduces df ≥ BP_DF
+    // exactly (round 14; same rows, oracle unchanged).
+    // materialized so the static planner sees the FILTERED size (the
+    // bigram-surprise refutation in OPTIMIZATION_r14.md: an inline
+    // agg+filter subtree carries the unfiltered aggregate's stats and
+    // loses the broadcast)
+    val hot = Materializer.materialize(Materializer.tagFor("bphot", dir),
+      spans.groupBy(col("sh"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= BP_DF)
+        .select(col("sh"), lit(1L).as("bp")))
+    spans.join(hot, Seq("sh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
-        sum((col("df") >= BP_DF).cast("long")).as("n_bp_spans"))
+        sum(coalesce(col("bp"), lit(0L))).as("n_bp_spans"))
       .select(col("doc_id"), col("n_spans"), col("n_bp_spans"),
         (col("n_bp_spans").cast("double") / col("n_spans")).as("bp_frac"),
         (col("n_bp_spans") === 0).cast("int").as("is_clean"))

@@ -1304,15 +1304,25 @@ object Dedup {
     // whose hot-key sets are tiny — the same cost NearDup.cappedPostings
     // removed from the shingle family. kg is materialized first so the
     // text scan + k-gram hashing runs once; the hot sets and both
-    // self-join sides re-read the small parquet.
+    // self-join sides re-read the small parquet. BOTH hot sets come out
+    // of ONE aggregate pass (round 14): the head and tail keys unpivot
+    // to (side, key) rows scan-locally, so one shuffle + one tiny
+    // materialized table replaces two separate aggregate jobs + writes
+    // over the same input.
     val kgm = Materializer.materialize(Materializer.tagFor("stitchkg", dir), kg)
-    def hotSet(key: String, tag: String) =
-      Materializer.materialize(Materializer.tagFor(tag, dir),
-        kgm.groupBy(col(key)).agg(count(lit(1)).as("df"))
-          .filter(col("df") > DF_CAP).select(col(key)))
+    val hot = Materializer.materialize(Materializer.tagFor("stitchhot", dir),
+      kgm.select(explode(array(
+          struct(lit(0).as("side"), col("head").as("key")),
+          struct(lit(1).as("side"), col("tail").as("key")))).as("r"))
+        .select(col("r.side").as("side"), col("r.key").as("key"))
+        .groupBy(col("side"), col("key")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > DF_CAP)
+        .select(col("side"), col("key")))
     val capped = kgm
-      .join(hotSet("head", "stitchhh"), Seq("head"), "left_anti")
-      .join(hotSet("tail", "stitchht"), Seq("tail"), "left_anti")
+      .join(hot.filter(col("side") === 0).select(col("key").as("head")),
+        Seq("head"), "left_anti")
+      .join(hot.filter(col("side") === 1).select(col("key").as("tail")),
+        Seq("tail"), "left_anti")
     // sortedSmall: the sort's child is the boundary self-join — a plain
     // orderBy would run it twice (boundary sample + real pass)
     Materializer.sortedSmall(Materializer.tagFor("stitchres", dir),
